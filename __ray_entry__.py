@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in exstruct_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``  — flagship extraction pipeline over a deterministic synthetic
+  interleaved-document corpus (the BASELINE.json input_hint table shape),
+  returning the extracted span table.
+- ``queries()`` — one callable per implemented operator family (SURVEY.md §2
+  + training-data ops). Extraction queries synthesize their input corpus
+  deterministically (seed=42) scaled by the sf directory; relational /
+  text / ANN queries run over the provided parquet tables.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query,
+  with matching output column names. Extraction and sketch-based ops are
+  genuinely non-SQL-expressible → rows-only checks.
 """
 
 from __future__ import annotations
@@ -18,27 +20,135 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_EXTRACT_DOCS_BY_SF = {"0.001": 60, "0.01": 240, "0.1": 960}
+
+
+def _sf_of(sf_dir: str) -> str:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return m.group(1).rstrip(".") if m else "0.001"
+
+
+def _corpus_dataset(sf_dir: str, include_giant: bool = False):
+    import ray.data
+
+    from exstruct_ray.datagen.corpus import generate_corpus_table
+
+    n_docs = _EXTRACT_DOCS_BY_SF.get(_sf_of(sf_dir), 60)
+    return ray.data.from_arrow(
+        generate_corpus_table(n_docs, seed=42, include_giant=include_giant)
+    )
+
+
+def _flatten_spans(ds):
+    """Flatten (doc_id, spans) rows into one row per span (stable schema)."""
+    import pyarrow as pa
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        rows = {
+            "doc_id": [],
+            "offset": [],
+            "kind": [],
+            "media_ref": [],
+            "text": [],
+        }
+        for doc_id, spans in zip(doc_ids, spans_col):
+            for s in spans or []:
+                rows["doc_id"].append(doc_id)
+                rows["offset"].append(s["offset"])
+                rows["kind"].append(s["kind"])
+                rows["media_ref"].append(s["media_ref"])
+                rows["text"].append(s["text"])
+        return pa.Table.from_pydict(
+            rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("offset", pa.int32()),
+                    ("kind", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("text", pa.string()),
+                ]
+            ),
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline at sf0.001 scale (driver smoke check)."""
+    from exstruct_ray.stages.pipeline import build_extraction_pipeline
+
+    ds = _corpus_dataset("/root/testdata/sf0.001")
+    out = build_extraction_pipeline(ds, batch_size=16)
+    return _flatten_spans(out)
+
+
+def _extract_query(mode: str = "light", **opts):
+    def run(sf_dir: str):
+        from exstruct_ray.config import ExtractOptions
+        from exstruct_ray.stages.pipeline import build_extraction_pipeline
+
+        ds = _corpus_dataset(sf_dir)
+        out = build_extraction_pipeline(
+            ds, ExtractOptions(mode=mode, **opts), batch_size=16
+        )
+        return _flatten_spans(out).to_pandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+
+    return run
+
+
+def _extract_exploded(sf_dir: str):
+    from exstruct_ray.stages.pipeline import build_extraction_pipeline
+
+    ds = _corpus_dataset(sf_dir)
+    out = build_extraction_pipeline(ds, explode_threshold=20_000, batch_size=16)
+    return (
+        _flatten_spans(out)
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from exstruct_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # Extraction pipeline (non-SQL-expressible → rows-only checks)
+        "extract_light": _extract_query("light"),
+        "extract_verbose": _extract_query("verbose"),
+        "extract_alpha_col": _extract_query("light", alpha_col=True),
+        "extract_no_merged_values": _extract_query(
+            "light", include_merged_values_in_rows=False
+        ),
+        "extract_exploded": _extract_exploded,
+        # Relational operators with exact DuckDB oracles
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q6_revenue": q.q6_revenue,
+        "revenue_by_nation": q.revenue_by_nation,
+        "top_orders": q.top_orders,
+        "events_hourly": q.events_hourly,
+        "distinct_users": q.distinct_users,
+        "events_asof_orders": q.events_asof_orders,
+        "part_type_stats": q.part_type_stats,
+        # Training-data ops
+        "doc_token_stats": q.doc_token_stats,
+        "doc_fingerprints": q.doc_fingerprints,
+        "doc_exact_dedup": q.doc_exact_dedup,
+        "doc_lang_counts": q.doc_lang_counts,
+        "doc_lang_detect": q.doc_lang_detect,
+        "doc_minhash_pairs": q.doc_minhash_pairs,
+        "doc_simhash": q.doc_simhash,
+        "embedding_topk": q.embedding_topk,
+        "embedding_label_centroids": q.embedding_label_centroids,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from exstruct_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,194 @@
+"""Benchmark harness: headline extraction throughput + query timings.
+
+Usage:
+    python bench.py                # full bench over $GRAFT_SF_DIR (sf0.1)
+    python bench.py --scaling     # same job at 8 vs 32 CPUs in fresh
+                                  # processes → scaling efficiency
+    python bench.py --quick       # small corpus for iteration
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+The headline pipeline is the extraction engine itself: a deterministic
+synthetic interleaved-document corpus (seed=42) streamed through
+read → map_batches(ExtractActor) → consume. The scaling run (--scaling)
+executes the identical job at two parallelism levels in fresh ray.init
+sessions and reports both throughputs plus efficiency (BASELINE.md
+protocol: N vs 4N CPUs stands in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Extraction corpus sizing: docs scale with sf so steady-state dominates.
+_DOCS_BY_SF = {"0.001": 120, "0.01": 600, "0.1": 2400}
+CORPUS_DIR_TEMPLATE = "/tmp/exstruct_ray_corpus_sf{sf}"
+
+
+def _sf_of(sf_dir: str) -> str:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return m.group(1).rstrip(".") if m else "0.1"
+
+
+def _ensure_corpus(sf: str, n_docs: int) -> str:
+    """Materialize the synthetic corpus to parquet once (excluded from timing)."""
+    path = CORPUS_DIR_TEMPLATE.format(sf=sf)
+    marker = os.path.join(path, f".complete-{n_docs}")
+    if not os.path.exists(marker):
+        from exstruct_ray.datagen.corpus import write_corpus_parquet
+
+        write_corpus_parquet(path, n_docs, seed=42, include_giant=True, rows_per_file=100)
+        open(marker, "w").close()
+    return path
+
+
+def bench_extraction(sf: str, n_docs: int) -> dict:
+    import ray.data
+
+    from exstruct_ray.stages.pipeline import build_extraction_pipeline
+
+    corpus = _ensure_corpus(sf, n_docs)
+    start = time.perf_counter()
+    ds = ray.data.read_parquet(corpus)
+    out = build_extraction_pipeline(ds, batch_size=16)
+    total_docs = 0
+    total_spans = 0
+    total_errors = 0
+    for batch in out.select_columns(["n_spans", "n_errors"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        total_docs += batch.num_rows
+        total_spans += sum(batch.column("n_spans").to_pylist())
+        total_errors += sum(batch.column("n_errors").to_pylist())
+    elapsed = time.perf_counter() - start
+    return {
+        "sec": elapsed,
+        "docs": total_docs,
+        "spans": total_spans,
+        "errors": total_errors,
+        "docs_per_sec": total_docs / elapsed if elapsed else 0.0,
+    }
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    from exstruct_ray import queries as q
+
+    timings: dict[str, float] = {}
+    for name, fn in [
+        ("q1_pricing_summary", q.q1_pricing_summary),
+        ("revenue_by_nation", q.revenue_by_nation),
+        ("top_orders", q.top_orders),
+        ("events_hourly", q.events_hourly),
+        ("doc_token_stats", q.doc_token_stats),
+        ("doc_exact_dedup", q.doc_exact_dedup),
+        ("doc_minhash_pairs", q.doc_minhash_pairs),
+        ("embedding_topk", q.embedding_topk),
+    ]:
+        start = time.perf_counter()
+        fn(sf_dir)
+        timings[name] = round(time.perf_counter() - start, 3)
+    return timings
+
+
+def run_main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    sf = _sf_of(SF_DIR)
+    n_docs = _DOCS_BY_SF.get(sf, 600)
+    extraction = bench_extraction(sf, n_docs)
+    queries = bench_queries(SF_DIR)
+    queries["extract"] = round(extraction["sec"], 3)
+    result = {
+        "metric": "end-to-end extraction docs/sec (synthetic interleaved corpus)",
+        "value": round(extraction["docs_per_sec"], 2),
+        "unit": "docs/sec",
+        "extract_sec": round(extraction["sec"], 3),
+        "extract_docs": extraction["docs"],
+        "extract_spans": extraction["spans"],
+        "extract_errors": extraction["errors"],
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def run_single(num_cpus: int) -> None:
+    """Subprocess entry: one extraction run in a fresh Ray session."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    sf = _sf_of(SF_DIR)
+    n_docs = _DOCS_BY_SF.get(sf, 600)
+    result = bench_extraction(sf, n_docs)
+    result["num_cpus"] = num_cpus
+    ray.shutdown()
+    print("BENCH_RESULT " + json.dumps(result))
+
+
+def run_scaling() -> None:
+    # Pre-build the corpus so neither run pays generation cost.
+    sf = _sf_of(SF_DIR)
+    _ensure_corpus(sf, _DOCS_BY_SF.get(sf, 600))
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("BENCH_RESULT ")),
+            None,
+        )
+        if line is None:
+            print(json.dumps({"error": "no result", "stderr": proc.stderr[-2000:]}))
+            sys.exit(1)
+        results[cpus] = json.loads(line[len("BENCH_RESULT "):])
+    t8 = results[8]["docs_per_sec"]
+    t32 = results[32]["docs_per_sec"]
+    efficiency = (t32 / t8) / (32 / 8) if t8 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "extraction scaling efficiency (8 vs 32 CPUs, fresh sessions)",
+                "value": round(efficiency, 4),
+                "unit": "efficiency",
+                "throughput_8": round(t8, 2),
+                "throughput_32": round(t32, 2),
+                "sec_8": round(results[8]["sec"], 3),
+                "sec_32": round(results[32]["sec"], 3),
+                "docs": results[32]["docs"],
+                "sf": sf,
+                "num_cpus": 32,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--single" in sys.argv:
+        run_single(int(sys.argv[sys.argv.index("--single") + 1]))
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    elif "--quick" in sys.argv:
+        _DOCS_BY_SF[_sf_of(SF_DIR)] = 100
+        run_main()
+    else:
+        run_main()

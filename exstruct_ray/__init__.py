@@ -1,0 +1,24 @@
+"""exstruct_ray — a Ray-Data-native Excel/OOXML → structured-span extraction engine.
+
+A from-scratch reimplementation of the extraction capabilities of
+harumiWeb/exstruct (reference at /root/reference, studied for semantics only)
+expressed as a streaming ``ray.data.Dataset`` pipeline over Arrow batches of
+interleaved documents: ``(doc_id: string, spans: list<struct<kind, text,
+media_ref, offset>>)``.
+
+Layout:
+    functions/  pure scalar functions (numeric coercion, A1, EMU, colors, …)
+    ooxml/      byte-level OOXML part parsers (sheets, styles, drawings, charts)
+    tables/     table-region detection heuristics (border clusters + scoring)
+    extract/    per-document extraction pipeline and span assembly
+    stages/     Ray Data stages (actor-pool map_batches, explode/reassemble,
+                resumable partitioned output, metrics)
+    datagen/    deterministic synthetic workbook-corpus generator (seeded)
+    ops/        corpus-scale training-data operators (dedup, ANN, text stats)
+"""
+
+from .config import ExtractOptions
+from .extract.document import extract_document_spans
+
+__all__ = ["ExtractOptions", "extract_document_spans"]
+__version__ = "0.1.0"

@@ -1,0 +1,323 @@
+"""Worksheet XML parsing: cell grid, merged ranges, hyperlinks, metrics.
+
+Replaces the reference's pandas/openpyxl readers
+(/root/reference/src/exstruct/core/cells.py:701-797) with a single pass over
+the sheet XML part. Value rendering matches the reference's
+``pd.read_excel(dtype=str)`` semantics: every cell is rendered to the string
+pandas would have produced (numbers via int/float str(), booleans
+"True"/"False", date-formatted numbers as "YYYY-MM-DD HH:MM:SS"), then
+numerically re-coerced downstream by ``coerce_numeric_preserve_format``.
+
+Sheet sizing metrics parity: core/ooxml_drawing.py:746-860
+(`_read_sheet_metrics`, `_column_width_to_points`, prefix-sum offsets).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+import datetime as _dt
+import re
+import xml.etree.ElementTree as ET
+
+from ..functions.geometry import column_width_to_points
+from .package import HYPERLINK_REL_TYPE, VirtualPackage
+from .styles import Stylesheet
+
+_MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+_CELL_REF_RE = re.compile(r"^([A-Z]+)(\d+)$")
+
+DEFAULT_COLUMN_WIDTH_POINTS = 48.0
+DEFAULT_ROW_HEIGHT_POINTS = 15.0
+
+_EXCEL_EPOCH = _dt.datetime(1899, 12, 30)
+
+
+def _col_letters_to_index(letters: str) -> int:
+    n = 0
+    for ch in letters:
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+@dataclass
+class Cell:
+    value: str  # rendered string value ("" when empty)
+    style: int | None = None
+    formula: str | None = None  # raw formula text without leading "="
+
+
+@dataclass
+class SheetMetrics:
+    """Row/column sizing used to resolve drawing anchors (prefix sums)."""
+
+    default_column_width_points: float = DEFAULT_COLUMN_WIDTH_POINTS
+    default_row_height_points: float = DEFAULT_ROW_HEIGHT_POINTS
+    column_width_points: dict[int, float] = field(default_factory=dict)
+    row_height_points: dict[int, float] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self._col_offsets = [0.0]
+        self._row_offsets = [0.0]
+
+    def column_offset_points(self, col_index: int) -> float:
+        return self._offset(
+            col_index,
+            self.column_width_points,
+            self.default_column_width_points,
+            self._col_offsets,
+        )
+
+    def row_offset_points(self, row_index: int) -> float:
+        return self._offset(
+            row_index,
+            self.row_height_points,
+            self.default_row_height_points,
+            self._row_offsets,
+        )
+
+    @staticmethod
+    def _offset(
+        index: int,
+        explicit: dict[int, float],
+        default: float,
+        prefix: list[float],
+    ) -> float:
+        if index <= 0:
+            return 0.0
+        while len(prefix) <= index:
+            nxt = len(prefix) - 1
+            prefix.append(prefix[-1] + explicit.get(nxt, default))
+        return prefix[index]
+
+
+@dataclass
+class SheetGrid:
+    """Parsed worksheet: sparse cell map keyed by (row 1-based, col 0-based)."""
+
+    name: str
+    cells: dict[tuple[int, int], Cell] = field(default_factory=dict)
+    merged_refs: list[str] = field(default_factory=list)
+    hyperlinks: dict[tuple[int, int], str] = field(default_factory=dict)
+    metrics: SheetMetrics = field(default_factory=SheetMetrics)
+    # Used-range bounds: rows/cols 1-based inclusive; (1, 1, 0, 0) when empty.
+    min_row: int = 1
+    min_col: int = 1
+    max_row: int = 0
+    max_col: int = 0
+
+    def value_at(self, row: int, col0: int) -> str:
+        cell = self.cells.get((row, col0))
+        return cell.value if cell is not None else ""
+
+
+def _render_number(text: str) -> str:
+    """Render a numeric XML token the way openpyxl+str() would."""
+    try:
+        if "." not in text and "e" not in text and "E" not in text:
+            return str(int(text))
+        return str(float(text))
+    except ValueError:
+        return text
+
+
+def _render_date(serial: float) -> str:
+    """Render an Excel date serial the way pandas' Timestamp str() does."""
+    try:
+        dt = _EXCEL_EPOCH + _dt.timedelta(days=serial)
+    except OverflowError:
+        return str(serial)
+    # Round to the nearest second to absorb float serial error.
+    if dt.microsecond >= 500000:
+        dt += _dt.timedelta(seconds=1)
+    dt = dt.replace(microsecond=0)
+    return dt.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def parse_sheet(
+    package: VirtualPackage,
+    sheet_path: str,
+    sheet_name: str,
+    shared_strings: list[str],
+    styles: Stylesheet,
+) -> SheetGrid:
+    """Parse one worksheet part into a SheetGrid (single pass)."""
+    root = package.read_xml(sheet_path)
+    grid = SheetGrid(name=sheet_name)
+    metrics = grid.metrics
+    shared_formulas: dict[str, str] = {}
+
+    fmt = root.find(f"{_MAIN_NS}sheetFormatPr")
+    if fmt is not None:
+        drh = _float_attr(fmt, "defaultRowHeight")
+        if drh is not None and drh > 0:
+            metrics.default_row_height_points = drh
+        dcw = _float_attr(fmt, "defaultColWidth")
+        if dcw is not None and dcw > 0:
+            metrics.default_column_width_points = column_width_to_points(dcw)
+
+    cols_node = root.find(f"{_MAIN_NS}cols")
+    if cols_node is not None:
+        for col in cols_node.findall(f"{_MAIN_NS}col"):
+            mn = _int_attr(col, "min")
+            mx = _int_attr(col, "max")
+            width = _float_attr(col, "width")
+            if mn is None or mx is None or width is None or mn <= 0 or mx < mn or width <= 0:
+                continue
+            wpts = column_width_to_points(width)
+            for idx in range(mn - 1, mx):
+                metrics.column_width_points[idx] = wpts
+
+    sheet_data = root.find(f"{_MAIN_NS}sheetData")
+    min_r = min_c = None
+    max_r = max_c = 0
+    if sheet_data is not None:
+        for row_el in sheet_data.findall(f"{_MAIN_NS}row"):
+            r_attr = _int_attr(row_el, "r")
+            ht = _float_attr(row_el, "ht")
+            if r_attr is not None and r_attr > 0 and ht is not None and ht > 0:
+                metrics.row_height_points[r_attr - 1] = ht
+            for c_el in row_el:
+                if c_el.tag != f"{_MAIN_NS}c":
+                    continue
+                ref = c_el.attrib.get("r")
+                if not ref:
+                    continue
+                m = _CELL_REF_RE.match(ref)
+                if not m:
+                    continue
+                col0 = _col_letters_to_index(m.group(1))
+                row1 = int(m.group(2))
+                style_idx = _int_attr(c_el, "s")
+                cell_type = c_el.attrib.get("t", "n")
+
+                formula: str | None = None
+                f_el = c_el.find(f"{_MAIN_NS}f")
+                if f_el is not None:
+                    f_text = f_el.text or ""
+                    si = f_el.attrib.get("si")
+                    if f_el.attrib.get("t") == "shared" and si is not None:
+                        if f_text:
+                            shared_formulas[si] = f_text
+                        else:
+                            f_text = shared_formulas.get(si, "")
+                    formula = f_text
+
+                v_el = c_el.find(f"{_MAIN_NS}v")
+                v_text = v_el.text if v_el is not None and v_el.text is not None else ""
+                value = _render_value(
+                    cell_type, v_text, c_el, style_idx, shared_strings, styles
+                )
+
+                if value == "" and style_idx is None and formula is None:
+                    continue
+                grid.cells[(row1, col0)] = Cell(
+                    value=value, style=style_idx, formula=formula
+                )
+                c1 = col0 + 1
+                if min_r is None or row1 < min_r:
+                    min_r = row1
+                if min_c is None or c1 < min_c:
+                    min_c = c1
+                if row1 > max_r:
+                    max_r = row1
+                if c1 > max_c:
+                    max_c = c1
+
+    if min_r is not None and min_c is not None:
+        grid.min_row, grid.min_col = min_r, min_c
+        grid.max_row, grid.max_col = max_r, max_c
+
+    merged_node = root.find(f"{_MAIN_NS}mergeCells")
+    if merged_node is not None:
+        for mc in merged_node.findall(f"{_MAIN_NS}mergeCell"):
+            ref = mc.attrib.get("ref")
+            if ref:
+                grid.merged_refs.append(ref)
+
+    links_node = root.find(f"{_MAIN_NS}hyperlinks")
+    if links_node is not None:
+        rel_map = package.relationships(sheet_path)
+        for link in links_node.findall(f"{_MAIN_NS}hyperlink"):
+            ref = link.attrib.get("ref")
+            rel_id = link.attrib.get(f"{_R_NS}id")
+            if not ref or not rel_id:
+                continue  # location-only (internal) links have no target
+            rel = rel_map.get(rel_id)
+            if rel is None or rel.relationship_type != HYPERLINK_REL_TYPE:
+                continue
+            m = _CELL_REF_RE.match(ref.split(":", 1)[0])
+            if not m:
+                continue
+            grid.hyperlinks[
+                (int(m.group(2)), _col_letters_to_index(m.group(1)))
+            ] = rel.target
+    return grid
+
+
+def _render_value(
+    cell_type: str,
+    v_text: str,
+    c_el: ET.Element,
+    style_idx: int | None,
+    shared_strings: list[str],
+    styles: Stylesheet,
+) -> str:
+    if cell_type == "s":
+        try:
+            return shared_strings[int(v_text)]
+        except (ValueError, IndexError):
+            return ""
+    if cell_type == "inlineStr":
+        is_el = c_el.find(f"{_MAIN_NS}is")
+        if is_el is None:
+            return ""
+        return "".join(t.text or "" for t in is_el.iter(f"{_MAIN_NS}t"))
+    if cell_type == "str":
+        return v_text
+    if cell_type == "b":
+        return "True" if v_text.strip() == "1" else "False"
+    if cell_type == "e":
+        return v_text
+    # numeric (default)
+    if v_text == "":
+        return ""
+    if styles.style(style_idx).is_date:
+        try:
+            return _render_date(float(v_text))
+        except ValueError:
+            return v_text
+    return _render_number(v_text)
+
+
+def parse_shared_strings(package: VirtualPackage) -> list[str]:
+    """Parse xl/sharedStrings.xml into an indexed string table."""
+    path = "xl/sharedStrings.xml"
+    if path not in package:
+        return []
+    root = package.read_xml(path)
+    out: list[str] = []
+    for si in root.findall(f"{_MAIN_NS}si"):
+        out.append("".join(t.text or "" for t in si.iter(f"{_MAIN_NS}t")))
+    return out
+
+
+def _int_attr(node: ET.Element, attr: str) -> int | None:
+    raw = node.attrib.get(attr)
+    if raw is None:
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        return None
+
+
+def _float_attr(node: ET.Element, attr: str) -> float | None:
+    raw = node.attrib.get(attr)
+    if raw is None:
+        return None
+    try:
+        return float(raw)
+    except ValueError:
+        return None

@@ -1,0 +1,130 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+query matrix broadcast once via ``ray.put`` (read per task, never re-shipped
+per batch), per-batch partial top-k, final merge on the driver over
+(num_batches × k × num_queries) rows only.
+
+Scale path: an LSH-bucketed variant (random hyperplane signs) that prunes
+each batch to candidates sharing a bucket with the query before the matmul.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(matrix: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return matrix / norms
+
+
+class _TopKScorer:
+    """Actor: holds the normalized query matrix from the object store."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        queries = ray.get(queries_ref)
+        self._query_ids = queries["ids"]
+        self._matrix = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
+        self._k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]],
+        )
+        vec_ids = np.asarray(batch["vec_id"])
+        sims = _normalize(vecs) @ self._matrix.T  # (batch, queries)
+        k = min(self._k, len(vec_ids))
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi, query_id in enumerate(self._query_ids):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for i in idx:
+                rows["query_id"].append(query_id)
+                rows["vec_id"].append(vec_ids[i])
+                rows["cosine"].append(float(col[i]))
+        return pd.DataFrame(rows)
+
+
+def brute_force_topk(ds, query_ids, query_matrix, k: int = 10, concurrency=None):
+    """Top-k cosine neighbors for each query vector.
+
+    Returns a pandas DataFrame (query_id, vec_id, cosine, rank) — the final
+    merge is tiny (partial top-k per batch), so a driver-side reduce is the
+    right call even at scale.
+    """
+    import ray
+
+    if concurrency is None:
+        from ..stages.pipeline import _default_concurrency
+
+        concurrency = _default_concurrency()
+    queries_ref = ray.put(
+        {"ids": list(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)}
+    )
+    partial = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    best: dict[object, list[tuple[float, object]]] = {}
+    for batch in partial.iter_batches(batch_format="pandas"):
+        for query_id, vec_id, cosine in zip(
+            batch["query_id"], batch["vec_id"], batch["cosine"]
+        ):
+            heap = best.setdefault(query_id, [])
+            # Tie-break on smaller vec_id for full determinism.
+            item = (float(cosine), -int(vec_id))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    rows = {"query_id": [], "vec_id": [], "cosine": [], "rank": []}
+    for query_id in sorted(best):
+        ranked = sorted(best[query_id], key=lambda t: (-t[0], -t[1]))
+        for rank, (cosine, neg_id) in enumerate(ranked, start=1):
+            rows["query_id"].append(query_id)
+            rows["vec_id"].append(-neg_id)
+            rows["cosine"].append(cosine)
+            rows["rank"].append(rank)
+    return pd.DataFrame(rows)
+
+
+class _LshBucketer:
+    """Random-hyperplane LSH signatures (the bucketed scale path)."""
+
+    def __init__(self, dim: int, num_planes: int = 16, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self._planes = rng.standard_normal((dim, num_planes))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        signs = (vecs @ self._planes) > 0
+        keys = np.zeros(len(vecs), dtype=np.int64)
+        for bit in range(signs.shape[1]):
+            keys |= signs[:, bit].astype(np.int64) << bit
+        out = batch[["vec_id"]].copy()
+        out["bucket"] = keys
+        return out
+
+
+def lsh_buckets(ds, dim: int, num_planes: int = 16, concurrency=None):
+    if concurrency is None:
+        from ..stages.pipeline import _default_concurrency
+
+        concurrency = _default_concurrency()
+    return ds.map_batches(
+        _LshBucketer,
+        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes},
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (100 TB design):
+  - exact_dedup: hash-partition groupby on the content hash; only the hash +
+    doc_id move through the shuffle, never the text.
+  - MinHash: signatures are computed batch-local and vectorized (numpy);
+    the LSH band groupby shuffles (band_id, band_hash, doc_id) triples only.
+    Candidate verification is per-bucket (bounded by bucket size), not
+    all-pairs.
+  - SimHash: 64-bit signatures, banded into 4×16-bit keys for bucketing.
+  - Embedding near-dup: per-batch matmul against a ray.put-broadcast matrix
+    (read once per task, never re-shipped per batch).
+"""
+
+from __future__ import annotations
+
+import itertools
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def _hash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """CRC32 hashes of character k-shingles (deterministic across processes)."""
+    data = text.encode("utf-8", "ignore")
+    if len(data) < k:
+        if not data:
+            return np.zeros(1, dtype=np.uint64)
+        return np.array([zlib.crc32(data)], dtype=np.uint64)
+    hashes = {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)}
+    return np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+
+
+def word_ngrams(text: str, n: int = 3) -> set[int]:
+    """CRC32 hashes of word n-grams (n-gram Jaccard building block)."""
+    words = text.lower().split()
+    if len(words) < n:
+        return {zlib.crc32(" ".join(words).encode())} if words else set()
+    return {
+        zlib.crc32(" ".join(words[i : i + n]).encode())
+        for i in range(len(words) - n + 1)
+    }
+
+
+def minhash_signature(
+    shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """num_perm × uint32 MinHash signature, fully vectorized."""
+    # (h*a + b) mod p, then truncate to 32 bits; min over shingles per perm.
+    vals = (shingle_hashes[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+    return (vals & _MAX_HASH).min(axis=0).astype(np.uint32)
+
+
+class MinHashActor:
+    """Stateful stage: permutation params generated once per actor."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 1):
+        self._a, self._b = _hash_params(num_perm, seed)
+        self._k = shingle_k
+        self._num_perm = num_perm
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = [
+            minhash_signature(char_shingles(t or "", self._k), self._a, self._b)
+            for t in batch["text"].tolist()
+        ]
+        out = batch[["doc_id"]].copy()
+        out["signature"] = [s.tolist() for s in sigs]
+        return out
+
+
+def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 5, concurrency=None):
+    if concurrency is None:
+        from ..stages.pipeline import _default_concurrency
+
+        concurrency = _default_concurrency()
+    return ds.map_batches(
+        MinHashActor,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
+    doc_ids: list = []
+    band_keys: list[int] = []
+    for doc_id, sig in zip(batch["doc_id"], batch["signature"]):
+        arr = np.asarray(sig, dtype=np.uint32).reshape(bands, rows_per_band)
+        for band_idx in range(bands):
+            key = zlib.crc32(arr[band_idx].tobytes()) ^ (band_idx << 32)
+            doc_ids.append(doc_id)
+            band_keys.append(key)
+    return pd.DataFrame({"doc_id": doc_ids, "band_key": band_keys})
+
+
+def minhash_dedup_pairs(
+    ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    concurrency=None,
+):
+    """Near-duplicate pairs via MinHash banding + in-bucket verification.
+
+    Returns a Dataset of (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k,
+                              concurrency=concurrency)
+    # Keep signatures joined to band rows so bucket verification is local.
+    def band_with_sig(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, sig in zip(batch["doc_id"], batch["signature"]):
+            arr = np.asarray(sig, dtype=np.uint32)
+            banded = arr.reshape(bands, rows_per_band)
+            for band_idx in range(bands):
+                rows.append(
+                    {
+                        "band_key": int(
+                            zlib.crc32(banded[band_idx].tobytes()) ^ (band_idx << 32)
+                        ),
+                        "doc_id": doc_id,
+                        "signature": arr.tolist(),
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    banded = sigs.map_batches(band_with_sig, batch_format="pandas")
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+        docs = list(zip(group["doc_id"], group["signature"]))
+        pairs = []
+        for (ida, siga), (idb, sigb) in itertools.combinations(docs, 2):
+            if ida == idb:
+                continue
+            a, b = np.asarray(siga), np.asarray(sigb)
+            est = float((a == b).mean())
+            if est >= jaccard_threshold:
+                lo, hi = sorted((ida, idb))
+                pairs.append({"doc_a": lo, "doc_b": hi, "est_jaccard": est})
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b", "est_jaccard"])
+
+    pairs = banded.groupby("band_key").map_groups(verify_bucket, batch_format="pandas")
+
+    def dedup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(subset=["doc_a", "doc_b"])
+
+    # Same pair may surface from several bands → one more keyed dedup.
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def exact_dedup(ds, key_column: str = "text", id_column: str = "doc_id"):
+    """Exact dedup: group by content, keep the minimum id; emits dup_count.
+
+    Hash-partition + per-group first — only (hash, id) move in the shuffle.
+    """
+
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_column]].copy()
+        out["content_hash"] = [
+            zlib.crc32((t or "").encode("utf-8"))
+            ^ (len((t or "").encode("utf-8")) << 32)
+            for t in batch[key_column].tolist()
+        ]
+        return out
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_column: [group[id_column].min()],
+                "dup_count": [len(group)],
+            }
+        )
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+def simhash_64(text: str, seed_salt: bytes = b"sim") -> int:
+    """64-bit SimHash over whitespace tokens (two CRC32 halves per token)."""
+    tokens = text.lower().split()
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        data = tok.encode("utf-8", "ignore")
+        h = (zlib.crc32(data) << 32) | zlib.crc32(seed_salt + data)
+        bits = np.frombuffer(
+            np.uint64(h).tobytes(), dtype=np.uint8
+        )
+        bit_arr = np.unpackbits(bits)[:64]
+        acc += np.where(bit_arr > 0, 1, -1)
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    out = batch[["doc_id"]].copy()
+    sims = [simhash_64(t or "") for t in batch["text"].tolist()]
+    out["simhash"] = np.array(sims, dtype=np.uint64).astype(np.int64)
+    # 4×16-bit bands for hamming-distance bucketing
+    arr = np.array(sims, dtype=np.uint64)
+    for band in range(4):
+        out[f"band{band}"] = ((arr >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(
+            np.int64
+        )
+    return out
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard similarity."""
+    sa, sb = word_ngrams(text_a, n), word_ngrams(text_b, n)
+    if not sa and not sb:
+        return 1.0
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 0.0

@@ -1,0 +1,109 @@
+"""Text-analysis operators: stats, quality, language ID, fingerprints.
+
+All per-batch functions are vectorized (pandas string kernels / numpy); no
+Python loop over rows in the hot path except where a hash digest per row is
+inherently scalar (fingerprints), which stays a tight C-call loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+
+def _stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"].fillna("")
+    n_chars = text.str.len().astype("int64")
+    n_tokens = text.str.split().str.len().fillna(0).astype("int64")
+    n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
+    n_digit = text.str.count(r"[0-9]").astype("int64")
+    n_punct = text.str.count(r"[.,!?;:]").astype("int64")
+    out = batch[["doc_id"]].copy()
+    out["n_chars"] = n_chars
+    out["n_tokens"] = n_tokens
+    out["n_alpha"] = n_alpha
+    out["n_digit"] = n_digit
+    out["n_punct"] = n_punct
+    denom = n_chars.replace(0, np.nan)
+    out["alpha_ratio"] = (n_alpha / denom).astype("float64")
+    return out
+
+
+def add_text_stats(ds):
+    """doc_id + char/token/alpha/digit/punct counts + alpha ratio."""
+    return ds.map_batches(_stats_batch, batch_format="pandas")
+
+
+# Tiny deterministic stopword lists per language — a public-knowledge n-gram/
+# stopword heuristic, NOT a trained model.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "des", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "las", "es", "una", "para", "con", "por", "del"),
+    "it": ("il", "la", "che", "di", "non", "per", "una", "sono", "con", "del"),
+}
+_WORD_RE = re.compile(r"[a-zà-ÿ]+")
+
+
+def _detect_lang_one(text: str) -> str:
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return "unknown"
+    counts = {lang: 0 for lang in _LANG_MARKERS}
+    wordset = {}
+    for w in words:
+        wordset[w] = wordset.get(w, 0) + 1
+    for lang, markers in _LANG_MARKERS.items():
+        counts[lang] = sum(wordset.get(m, 0) for m in markers)
+    best = max(sorted(counts), key=lambda k: counts[k])
+    return best if counts[best] > 0 else "unknown"
+
+
+def _lang_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    out = batch[["doc_id"]].copy()
+    out["detected_lang"] = [
+        _detect_lang_one(t or "") for t in batch["text"].tolist()
+    ]
+    if "lang" in batch.columns:
+        out["lang"] = batch["lang"]
+    return out
+
+
+def detect_language(ds):
+    """Stopword-marker language ID per document (heuristic, deterministic)."""
+    return ds.map_batches(_lang_batch, batch_format="pandas")
+
+
+def _fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    out = batch[["doc_id"]].copy()
+    out["fingerprint"] = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch["text"].tolist()
+    ]
+    return out
+
+
+def fingerprint_documents(ds):
+    """MD5 content fingerprint per document (matches SQL md5(text))."""
+    return ds.map_batches(_fingerprint_batch, batch_format="pandas")
+
+
+def rolling_fingerprints(text: str, window: int = 32, base: int = 257, mod: int = (1 << 61) - 1) -> list[int]:
+    """Rolling (Rabin-Karp) window hashes of a document — winnowing building
+    block for near-dup sketches. Deterministic, pure."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return []
+    h = 0
+    power = pow(base, window - 1, mod)
+    out: list[int] = []
+    for i, b in enumerate(data):
+        h = (h * base + b) % mod
+        if i >= window - 1:
+            out.append(h)
+            h = (h - data[i - window + 1] * power) % mod
+    return out

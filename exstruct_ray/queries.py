@@ -1,0 +1,615 @@
+"""Ray-Data query implementations paired with DuckDB oracle SQL.
+
+Each query here exercises one family of engine operators (partial-aggregate
+groupby, broadcast join, sort/top-k, distinct, time-bucketed aggregation,
+as-of join, dedup, text analysis, ANN) in the idiomatic Ray Data form:
+column-pruned reads, vectorized map_batches, pre-aggregation before any
+shuffle, broadcast small sides via ray.put.
+
+The matching ANSI-SQL strings live in ORACLE_SQL with identical output
+column names (the driver hash-compares values by sorted column name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational operators
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Groupby-aggregate with in-batch partial aggregation (TPC-H Q1 shape).
+
+    The per-batch combiner collapses each Arrow batch to ≤ a handful of
+    partial rows before the shuffle — the groupby then moves tiny data.
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= cutoff]
+        if batch.empty:
+            return pd.DataFrame(
+                columns=[
+                    "l_returnflag",
+                    "l_linestatus",
+                    "sum_qty",
+                    "sum_base_price",
+                    "sum_disc_price",
+                    "count_order",
+                ]
+            )
+        disc_price = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        tmp = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["l_quantity"],
+                "sum_base_price": batch["l_extendedprice"],
+                "sum_disc_price": disc_price,
+                "count_order": 1,
+            }
+        )
+        return (
+            tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        out["avg_qty"] = out["sum_qty"] / out["count_order"]
+        return out
+
+    result = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    result["count_order"] = result["count_order"].astype("int64")
+    return result.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q6_revenue(sf_dir: str):
+    """Filter + vectorized projection + global sum (TPC-H Q6 shape)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = pd.Timestamp("1994-01-01")
+    hi = pd.Timestamp("1996-01-01")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (batch["l_shipdate"] >= lo)
+            & (batch["l_shipdate"] < hi)
+            & (batch["l_discount"] >= 0.05)
+            & (batch["l_discount"] <= 0.07)
+            & (batch["l_quantity"] < 24)
+        )
+        sel = batch[m]
+        return pd.DataFrame(
+            {"revenue": [(sel["l_extendedprice"] * sel["l_discount"]).sum()],
+             "n_rows": [int(m.sum())]}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue": [float(partials["revenue"].sum())],
+            "n_rows": [int(partials["n_rows"].sum())],
+        }
+    )
+
+
+def revenue_by_nation(sf_dir: str):
+    """Broadcast join: orders ⋈ customer ⋈ nation with ray.put'd small sides.
+
+    The customer→nation map is built once on the driver, put in the object
+    store, and read once per task — never re-shipped per batch, no shuffle.
+    """
+    import ray
+
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust_to_nation = dict(
+        zip(
+            customer.column("c_custkey").to_pylist(),
+            customer.column("c_nationkey").to_pylist(),
+        )
+    )
+    nation_names = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    lookup_ref = ray.put((cust_to_nation, nation_names))
+
+    class Joiner:
+        def __init__(self, ref):
+            self._cust_to_nation, self._nation_names = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            nk = batch["o_custkey"].map(self._cust_to_nation)
+            names = nk.map(self._nation_names)
+            tmp = pd.DataFrame(
+                {"n_name": names, "revenue": batch["o_totalprice"], "n_orders": 1}
+            )
+            tmp = tmp.dropna(subset=["n_name"])
+            return tmp.groupby("n_name", as_index=False).sum()
+
+    from .stages.pipeline import _default_concurrency
+
+    partials = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        Joiner,
+        fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pandas",
+        concurrency=_default_concurrency(),
+        num_cpus=1,
+    )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("n_name", as_index=False).sum()
+
+    out = partials.groupby("n_name").map_groups(final, batch_format="pandas").to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def top_orders(sf_dir: str):
+    """Distributed sort + limit (deterministic tie-break on o_orderkey)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+def events_hourly(sf_dir: str):
+    """Time-bucketed aggregation with in-batch partials."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "bucket": batch["ts"].dt.floor("h"),
+                "event_type": batch["event_type"],
+                "n_events": 1,
+                "sum_value": batch["value"],
+            }
+        )
+        return tmp.groupby(["bucket", "event_type"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["bucket", "event_type"], as_index=False).sum()
+
+    out = (
+        partials.groupby(["bucket", "event_type"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["bucket", "event_type"]).reset_index(drop=True)
+
+
+def distinct_users(sf_dir: str):
+    """count(distinct) via in-batch dedup → keyed dedup → count."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local_unique(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    deduped = (
+        ds.map_batches(local_unique, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("event_type", as_index=False)
+            .agg(n_users=("user_id", "count"))
+        )
+
+    out = (
+        deduped.map_batches(count_partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(
+            lambda g: g.groupby("event_type", as_index=False).sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the user's latest prior order.
+
+    Ray Data lacks an as-of join; this is the broadcast variant (orders are
+    the small side): per-custkey orders sorted by date once per actor, events
+    batches resolved by binary search. Partitioning assumption at scale:
+    orders-per-key fits in memory — else hash-partition both sides on the key
+    and run the same merge inside groupby().map_groups.
+    """
+    import bisect
+
+    import ray
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    by_cust: dict[int, tuple[list, list, list]] = {}
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    for custkey, group in orders.groupby("o_custkey"):
+        by_cust[int(custkey)] = (
+            group["o_orderdate"].tolist(),
+            group["o_orderkey"].tolist(),
+            group["o_totalprice"].tolist(),
+        )
+    ref = ray.put(by_cust)
+
+    class AsofJoiner:
+        def __init__(self, orders_ref):
+            self._by_cust = ray.get(orders_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            event_ids, orderkeys, prices = [], [], []
+            for event_id, user_id, ts in zip(
+                batch["event_id"], batch["user_id"], batch["ts"]
+            ):
+                entry = self._by_cust.get(int(user_id))
+                if entry is None:
+                    continue
+                dates, keys, totals = entry
+                pos = bisect.bisect_right(dates, ts) - 1
+                if pos < 0:
+                    continue
+                # ties on date resolve to the largest orderkey (sort order)
+                event_ids.append(event_id)
+                orderkeys.append(keys[pos])
+                prices.append(totals[pos])
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(event_ids, dtype="int64"),
+                    "o_orderkey": pd.Series(orderkeys, dtype="int64"),
+                    "o_totalprice": pd.Series(prices, dtype="float64"),
+                }
+            )
+
+    from .stages.pipeline import _default_concurrency
+
+    out = (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+        .map_batches(
+            AsofJoiner,
+            fn_constructor_kwargs={"orders_ref": ref},
+            batch_format="pandas",
+            concurrency=_default_concurrency(),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def part_type_stats(sf_dir: str):
+    """Plain groupby-aggregate over part (min/max/avg)."""
+    ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice", "p_size"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("p_type", as_index=False).agg(
+            n_parts=("p_size", "count"),
+            sum_price=("p_retailprice", "sum"),
+            max_size=("p_size", "max"),
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_type")
+        .map_groups(
+            lambda g: g.groupby("p_type", as_index=False).agg(
+                n_parts=("n_parts", "sum"),
+                sum_price=("sum_price", "sum"),
+                max_size=("max_size", "max"),
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["max_size"] = out["max_size"].astype("int32")
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir: str):
+    """Vectorized text stats (token counting + quality counters)."""
+    from .ops.text import add_text_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_text_stats(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str):
+    from .ops.text import fingerprint_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fingerprint_documents(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_exact_dedup(sf_dir: str):
+    """Exact dedup keyed on content hash; emits survivor id + dup count."""
+    from .ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["dup_count"] = out["dup_count"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_lang_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("lang", as_index=False).size()
+        return out.rename(columns={"size": "n_docs"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(
+            lambda g: g.groupby("lang", as_index=False).agg(n_docs=("n_docs", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def doc_lang_detect(sf_dir: str):
+    """Heuristic language ID (no SQL oracle — rows-only check)."""
+    from .ops.text import detect_language
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return detect_language(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs (rows-only check)."""
+    from .ops.dedup import minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_dedup_pairs(ds, jaccard_threshold=0.7).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def doc_simhash(sf_dir: str):
+    """SimHash signatures + band keys (rows-only check)."""
+    from .ops.dedup import simhash_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(simhash_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def embedding_topk(sf_dir: str):
+    """Brute-force cosine top-k ANN for the first 5 vectors as queries."""
+    from .ops.ann import brute_force_topk
+
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = queries[queries["vec_id"] < 5].sort_values("vec_id")
+    query_ids = queries["vec_id"].tolist()
+    matrix = np.asarray([np.asarray(v) for v in queries["embedding"]])
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, query_ids, matrix, k=10)
+    out = out[["query_id", "vec_id", "rank"]].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label centroid norm — vectorized partial mean over list column."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, group in batch.groupby("label"):
+            vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in group["embedding"]])
+            rows.append(
+                {"label": int(label), "n_vecs": len(vecs), "sum0": float(vecs[:, 0].sum())}
+            )
+        return pd.DataFrame(rows)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("label")
+        .map_groups(
+            lambda g: g.groupby("label", as_index=False).agg(
+                n_vecs=("n_vecs", "sum"), sum0=("sum0", "sum")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (column names must match the Ray outputs exactly)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               count(*) AS count_order,
+               sum(l_quantity) / count(*) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q6_revenue": """
+        SELECT coalesce(sum(l_extendedprice * l_discount), 0.0) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               sum(o_totalprice) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS bucket,
+               event_type,
+               count(*) AS n_events,
+               sum(value) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "events_asof_orders": """
+        SELECT event_id, o_orderkey, o_totalprice
+        FROM (
+            SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        WHERE rn = 1
+        ORDER BY event_id
+    """,
+    "part_type_stats": """
+        SELECT p_type,
+               count(*) AS n_parts,
+               sum(p_retailprice) AS sum_price,
+               max(p_size) AS max_size
+        FROM part
+        GROUP BY p_type
+        ORDER BY p_type
+    """,
+    "doc_token_stats": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tokens,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                   AS n_alpha,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digit,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS n_punct,
+               CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS DOUBLE) / nullif(length(text), 0) AS alpha_ratio
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id, md5(text) AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "doc_exact_dedup": """
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM documents
+        GROUP BY text
+        ORDER BY 1
+    """,
+    "doc_lang_counts": """
+        SELECT lang, count(*) AS n_docs
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "embedding_topk": """
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 5
+        )
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    "embedding_label_centroids": """
+        SELECT label,
+               count(*) AS n_vecs,
+               sum(embedding[1]) AS sum0
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+}

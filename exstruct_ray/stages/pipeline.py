@@ -1,0 +1,212 @@
+"""Dataset pipeline builders: extract, giant-doc explode/reassemble.
+
+Design for 100 TB: the pipeline is a pure streaming chain —
+``read_parquet → map_batches(ExtractActor) → write_parquet`` — with no
+materialization and only one optional shuffle (the giant-doc reassembly
+groupby, which touches exploded documents only). Partitioning key is
+``doc_id`` everywhere.
+
+Skew handling: documents whose span payload exceeds ``explode_threshold``
+bytes are split into per-sheet rows (workbook-level parts duplicated, sheet
+parts isolated), extracted sheet-wise in parallel, then reassembled with
+``groupby(doc_id).map_groups`` sorted by sheet order — restoring the exact
+per-document span order and dense offsets. Small documents bypass the
+shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import ExtractOptions
+from ..datagen.corpus import SPAN_TYPE
+from .actor import ExtractActor
+
+_EXPLODED_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", SPAN_TYPE),
+        ("sheet_idx", pa.int32()),
+    ]
+)
+
+# Workbook-level parts every exploded sheet row needs a copy of.
+_SHARED_PART_PREFIXES = (
+    "xl/workbook.xml",
+    "xl/_rels/workbook.xml.rels",
+    "xl/styles.xml",
+    "xl/sharedStrings.xml",
+)
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster's CPUs.
+
+    A (1, N) range rather than a fixed N: pipelines that run several actor
+    pools concurrently (e.g. the explode path's small/exploded branches)
+    would deadlock with fixed pools each demanding every CPU.
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    if cpus <= 0:
+        import os
+
+        cpus = os.cpu_count() or 4
+    return (1, max(1, cpus))
+
+
+def build_extraction_pipeline(
+    ds: "ray.data.Dataset",
+    options: ExtractOptions | None = None,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 64,
+    explode_threshold: int | None = None,
+) -> "ray.data.Dataset":
+    """Wire the extraction stage(s) onto an input document Dataset."""
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    if explode_threshold is None:
+        return ds.map_batches(
+            ExtractActor,
+            fn_constructor_kwargs={"options": options},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    small, exploded = explode_giant_docs(ds, threshold_bytes=explode_threshold)
+    small_out = small.map_batches(
+        ExtractActor,
+        fn_constructor_kwargs={"options": options},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    exploded_out = exploded.map_batches(
+        _ExplodedExtractActor,
+        fn_constructor_kwargs={"options": options},
+        batch_format="pyarrow",
+        batch_size=max(1, batch_size // 8),
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    reassembled = reassemble_exploded(exploded_out)
+    return small_out.union(reassembled)
+
+
+def _doc_payload_bytes(spans: list[dict]) -> int:
+    return sum(len(s.get("text") or "") for s in spans)
+
+
+def _split_doc_by_sheet(doc_id: str, spans: list[dict]) -> list[dict]:
+    """Split a document's parts into per-sheet rows + shared parts."""
+    import re
+
+    shared: list[dict] = []
+    by_sheet: dict[str, list[dict]] = {}
+    sheet_order: list[str] = []
+
+    def sheet_key(ref: str) -> str | None:
+        m = re.match(r"xl/(?:worksheets|drawings|charts|tables)(?:/_rels)?/"
+                     r"(?:sheet|drawing|chart|table)(\d+)", ref)
+        return m.group(1) if m else None
+
+    for span in spans:
+        ref = span.get("media_ref") or ""
+        if ref.startswith(_SHARED_PART_PREFIXES):
+            shared.append(span)
+            continue
+        key = sheet_key(ref)
+        if key is None:
+            shared.append(span)
+            continue
+        if key not in by_sheet:
+            by_sheet[key] = []
+            sheet_order.append(key)
+        by_sheet[key].append(span)
+
+    if not by_sheet:
+        return [{"doc_id": doc_id, "spans": spans, "sheet_idx": 0}]
+    rows = []
+    for idx, key in enumerate(sorted(sheet_order, key=int)):
+        rows.append(
+            {"doc_id": doc_id, "spans": shared + by_sheet[key], "sheet_idx": idx}
+        )
+    return rows
+
+
+def explode_giant_docs(
+    ds: "ray.data.Dataset", threshold_bytes: int = 8 * 1024 * 1024
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Split the dataset into (small whole docs, exploded per-sheet rows)."""
+
+    def splitter(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        rows: list[dict] = []
+        for doc_id, spans in zip(doc_ids, spans_col):
+            spans = spans or []
+            if _doc_payload_bytes(spans) >= threshold_bytes:
+                rows.extend(_split_doc_by_sheet(doc_id, spans))
+            else:
+                rows.append({"doc_id": doc_id, "spans": spans, "sheet_idx": -1})
+        return pa.Table.from_pylist(rows, schema=_EXPLODED_SCHEMA)
+
+    tagged = ds.map_batches(splitter, batch_format="pyarrow", batch_size=32)
+    small = tagged.filter(expr="sheet_idx == -1").drop_columns(["sheet_idx"])
+    exploded = tagged.filter(expr="sheet_idx >= 0")
+    return small, exploded
+
+
+class _ExplodedExtractActor(ExtractActor):
+    """Extract per-sheet rows, carrying sheet_idx through for reassembly."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        sheet_idx = batch.column("sheet_idx")
+        out = super().__call__(batch.drop_columns(["sheet_idx"]))
+        return out.append_column("sheet_idx", sheet_idx)
+
+
+def reassemble_exploded(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """groupby(doc_id) → concatenate sheet span lists in sheet order."""
+
+    def assemble(group: pa.Table) -> pa.Table:
+        order = sorted(
+            range(group.num_rows), key=lambda i: group.column("sheet_idx")[i].as_py()
+        )
+        doc_id = group.column("doc_id")[0].as_py()
+        spans: list[dict] = []
+        n_errors = 0
+        parse_ms = 0.0
+        for i in order:
+            for span in group.column("spans")[i].as_py() or []:
+                span = dict(span)
+                span["offset"] = len(spans)
+                spans.append(span)
+            n_errors += group.column("n_errors")[i].as_py()
+            parse_ms += group.column("parse_ms")[i].as_py()
+        from .actor import OUTPUT_SCHEMA
+
+        return pa.Table.from_pylist(
+            [
+                {
+                    "doc_id": doc_id,
+                    "spans": spans,
+                    "n_spans": len(spans),
+                    "n_errors": n_errors,
+                    "parse_ms": parse_ms,
+                }
+            ],
+            schema=OUTPUT_SCHEMA,
+        )
+
+    return ds.groupby("doc_id").map_groups(assemble, batch_format="pyarrow")

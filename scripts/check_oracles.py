@@ -1,0 +1,113 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every queries() callable at a given sf and compares row count + sorted
+values against the matching oracle_sql() DuckDB result.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[col]):
+            df[col] = df[col].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[col]):
+            df[col] = df[col].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+    if set(ray_df.columns) != set(sql_df.columns):
+        return f"SCHEMA MISMATCH ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
+    if len(ray_df) != len(sql_df):
+        return f"ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}"
+    a, b = normalize(ray_df), normalize(sql_df)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            both_nan = av.isna() & bv.isna()
+            close = np.isclose(av.fillna(0), bv.fillna(0), rtol=1e-9, atol=1e-12)
+            if not (both_nan | close).all():
+                bad = (~(both_nan | close)).idxmax()
+                return f"VALUE MISMATCH col={col} row={bad} ray={av[bad]} sql={bv[bad]}"
+        else:
+            if not (av.astype(str) == bv.astype(str)).all():
+                bad = (av.astype(str) != bv.astype(str)).idxmax()
+                return f"VALUE MISMATCH col={col} row={bad} ray={av[bad]!r} sql={bv[bad]!r}"
+    return "OK"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+
+    import __ray_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            result = fn(sf_dir)
+            if not isinstance(result, pd.DataFrame):
+                try:
+                    result = result.to_pandas()
+                except AttributeError:
+                    import pyarrow as pa
+
+                    if isinstance(result, pa.Table):
+                        result = result.to_pandas()
+            if name in oracles:
+                sql_df = con.execute(oracles[name]).df()
+                verdict = compare(name, result, sql_df)
+            else:
+                verdict = f"rows-only ({len(result)} rows)"
+        except Exception as exc:
+            verdict = f"ERROR {exc!r}"
+        status = "PASS" if verdict == "OK" or verdict.startswith("rows-only") else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status:4s} {name:28s} {verdict}")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Cell grid, merged cells, links, formulas, colors extraction tests."""
+
+import datetime as dt
+
+from exstruct_ray.config import ExtractOptions
+from exstruct_ray.datagen.builder import StyleSpec, WorkbookBuilder
+from exstruct_ray.extract.document import extract_workbook
+from exstruct_ray.ooxml.package import VirtualPackage
+
+
+def make_package(wb: WorkbookBuilder) -> VirtualPackage:
+    spans = wb.build_parts()
+    return VirtualPackage.from_spans(
+        [s["kind"] for s in spans],
+        [s["text"] for s in spans],
+        [s["media_ref"] for s in spans],
+    )
+
+
+def extract(wb: WorkbookBuilder, **opts):
+    return extract_workbook(make_package(wb), ExtractOptions(**opts).resolved())
+
+
+class TestCells:
+    def test_blank_skipping_and_coercion(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.set(1, 0, "123").set(1, 1, "1.50").set(1, 2, "  ").set(1, 3, "")
+        sh.set(3, 2, "x")
+        out = extract(wb)
+        rows = out.sheets["S"].rows
+        assert len(rows) == 2
+        assert rows[0].r == 1 and rows[0].c == {"0": 123, "1": 1.5}
+        assert rows[1].r == 3 and rows[1].c == {"2": "x"}
+
+    def test_numbers_bools_dates(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.set(1, 0, 120)
+        sh.set(1, 1, 1.5)
+        sh.set(1, 2, True)
+        sh.set(1, 3, dt.datetime(2025, 1, 1))
+        sh.set(1, 4, dt.datetime(2025, 3, 15, 12, 30, 45))
+        out = extract(wb)
+        row = out.sheets["S"].rows[0]
+        assert row.c == {
+            "0": 120,
+            "1": 1.5,
+            "2": "True",
+            "3": "2025-01-01 00:00:00",
+            "4": "2025-03-15 12:30:45",
+        }
+
+    def test_shared_strings(self):
+        wb = WorkbookBuilder()
+        wb.use_shared_strings = True
+        sh = wb.sheet("S")
+        sh.set(1, 0, "hello")
+        sh.set(2, 0, "hello")
+        sh.set(3, 0, "世界")
+        out = extract(wb)
+        rows = out.sheets["S"].rows
+        assert [r.c["0"] for r in rows] == ["hello", "hello", "世界"]
+
+    def test_sheet_order_is_workbook_order(self):
+        wb = WorkbookBuilder()
+        wb.sheet("Zed").set(1, 0, 1)
+        wb.sheet("Alpha").set(1, 0, 2)
+        out = extract(wb)
+        assert list(out.sheets) == ["Zed", "Alpha"]
+
+    def test_hyperlinks_only_in_verbose(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.set(1, 0, "x").link(1, 0, "https://example.com")
+        light = extract(wb)
+        assert light.sheets["S"].rows[0].links is None
+        verbose = extract(wb, mode="verbose")
+        assert verbose.sheets["S"].rows[0].links == {"0": "https://example.com"}
+
+
+class TestMerged:
+    def _form(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.set(1, 0, "title")
+        sh.merge("A1:C1")
+        sh.set(2, 0, "a").set(2, 1, "b")
+        sh.merge("D2:E3")  # empty-valued merge
+        return wb
+
+    def test_merged_items_and_empty_value(self):
+        out = extract(self._form(), include_merged_cells=True)
+        merged = out.sheets["S"].merged_cells
+        assert [(m.r1, m.c1, m.r2, m.c2, m.v) for m in merged] == [
+            (1, 0, 1, 2, "title"),
+            (2, 3, 3, 4, " "),
+        ]
+
+    def test_light_mode_excludes_merged(self):
+        out = extract(self._form())
+        assert out.sheets["S"].merged_cells is None
+
+    def test_merged_value_filter(self):
+        # include_merged_values_in_rows=False removes cells under merges
+        out = extract(self._form(), include_merged_values_in_rows=False)
+        rows = out.sheets["S"].rows
+        # row 1: "title" at col 0 is inside merge A1:C1 -> dropped entirely
+        # row 2: "a","b" at cols 0,1 not inside D2:E3 -> kept
+        assert len(rows) == 1
+        assert rows[0].r == 2 and rows[0].c == {"0": "a", "1": "b"}
+
+
+class TestFormulasColors:
+    def test_formulas_map(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.set(1, 0, 2, formula="A9*2")
+        sh.set(2, 0, 4, formula="A9*2")
+        sh.set(3, 0, 6, formula="=SUM(A1:A2)")
+        out = extract(wb, include_formulas_map=True)
+        fm = out.sheets["S"].formulas_map
+        assert fm == {"=A9*2": [(1, 0), (2, 0)], "=SUM(A1:A2)": [(3, 0)]}
+        # formula cells still render their cached values as row data
+        assert [r.c["0"] for r in out.sheets["S"].rows] == [2, 4, 6]
+
+    def test_colors_map_keys(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.set(1, 0, "r", style=StyleSpec(fill_rgb="FFFF0000"))
+        sh.set(1, 1, "t", style=StyleSpec(fill_theme=2))
+        sh.set(1, 2, "tt", style=StyleSpec(fill_theme=2, fill_tint=-0.25))
+        sh.set(1, 3, "plain")
+        out = extract(wb, include_colors_map=True)
+        cm = out.sheets["S"].colors_map
+        assert cm == {
+            "FF0000": [(1, 0)],
+            "theme:2": [(1, 1)],
+            "theme:2:-0.25": [(1, 2)],
+        }
+
+    def test_white_fill_needs_default_flag(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.set(1, 0, "w", style=StyleSpec(fill_rgb="FFFFFFFF"))
+        sh.set(1, 1, "x")
+        out = extract(wb, include_colors_map=True)
+        assert out.sheets["S"].colors_map == {}
+        out2 = extract(wb, include_colors_map=True, include_default_background=True)
+        # both the explicit white fill and the unstyled cell report white
+        assert out2.sheets["S"].colors_map == {"FFFFFF": [(1, 0), (1, 1)]}
+
+    def test_ignore_colors(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.set(1, 0, "r", style=StyleSpec(fill_rgb="FFFF0000"))
+        sh.set(1, 1, "g", style=StyleSpec(fill_rgb="FF00FF00"))
+        out = extract(
+            wb, include_colors_map=True, ignore_colors=frozenset({"#ff0000"})
+        )
+        assert out.sheets["S"].colors_map == {"00FF00": [(1, 1)]}
+
+
+class TestPrintAreas:
+    def test_multi_range_print_areas(self):
+        wb = WorkbookBuilder()
+        wb.sheet("A").set(1, 0, 1)
+        wb.sheet("B").set(1, 0, 1)
+        wb.print_area("A", "$A$1:$D$10")
+        wb.print_area("B", "$A$1:$B$2,$E$5:$F$9")
+        out = extract(wb)
+        pa_a = out.sheets["A"].print_areas
+        assert [(p.r1, p.c1, p.r2, p.c2) for p in pa_a] == [(1, 0, 10, 3)]
+        pa_b = out.sheets["B"].print_areas
+        assert [(p.r1, p.c1, p.r2, p.c2) for p in pa_b] == [
+            (1, 0, 2, 1),
+            (5, 4, 9, 5),
+        ]
+
+
+class TestAlphaProjection:
+    def test_alpha_keys_and_merged_ranges(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.set(1, 0, "a").set(1, 26, "z")
+        sh.merge("A3:B4")
+        sh.set(3, 0, "m")
+        out = extract(wb, alpha_col=True, include_merged_cells=True)
+        sheet = out.sheets["S"]
+        assert sheet.rows[0].c == {"A": "a", "AA": "z"}
+        assert sheet.merged_cells is None
+        assert sheet.merged_ranges == ["A3:B4"]

@@ -1,0 +1,72 @@
+"""Ray Data pipeline tests: actor-pool extraction, explode/reassemble, parity
+across parallelism levels."""
+
+import pyarrow as pa
+import pytest
+
+from exstruct_ray.config import ExtractOptions
+from exstruct_ray.datagen.corpus import build_document, generate_corpus_table
+from exstruct_ray.extract.document import extract_document_spans
+from exstruct_ray.stages.pipeline import build_extraction_pipeline
+
+
+@pytest.fixture(scope="module")
+def corpus_table():
+    return generate_corpus_table(30, seed=42)
+
+
+def _spans_by_doc(rows):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+class TestPipeline:
+    def test_extraction_matches_local(self, ray_session, corpus_table):
+        import ray.data
+
+        ds = ray.data.from_arrow(corpus_table)
+        out = build_extraction_pipeline(ds, ExtractOptions(), batch_size=8)
+        rows = out.take_all()
+        assert len(rows) == 30
+        got = _spans_by_doc(rows)
+        for i in range(30):
+            doc = build_document(i, seed=42)
+            expected = extract_document_spans(
+                [s["kind"] for s in doc["spans"]],
+                [s["text"] for s in doc["spans"]],
+                [s["media_ref"] for s in doc["spans"]],
+            )
+            assert got[doc["doc_id"]] == [
+                (s.kind, s.text, s.media_ref, s.offset) for s in expected
+            ], doc["doc_id"]
+
+    def test_metrics_columns(self, ray_session, corpus_table):
+        import ray.data
+
+        ds = ray.data.from_arrow(corpus_table)
+        out = build_extraction_pipeline(ds, batch_size=16)
+        schema = out.schema()
+        assert set(schema.names) >= {"doc_id", "spans", "n_spans", "n_errors", "parse_ms"}
+        total_errors = sum(r["n_errors"] for r in out.take_all())
+        assert total_errors == 0
+
+    def test_explode_reassemble_matches_whole_doc(self, ray_session):
+        """Giant-doc explode path must produce identical span sequences."""
+        import ray.data
+
+        docs = [build_document(i, seed=42) for i in range(10)]
+        table = pa.Table.from_pylist(docs)
+        ds = ray.data.from_arrow(table)
+        # threshold=0 forces the explode path for every document
+        out = build_extraction_pipeline(ds, explode_threshold=0, batch_size=4)
+        got = _spans_by_doc(out.take_all())
+
+        plain = build_extraction_pipeline(ray.data.from_arrow(table), batch_size=4)
+        expected = _spans_by_doc(plain.take_all())
+        assert got.keys() == expected.keys()
+        for doc_id in expected:
+            assert got[doc_id] == expected[doc_id], doc_id
