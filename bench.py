@@ -31,8 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# Extraction corpus sizing: docs scale with sf so steady-state dominates.
-_DOCS_BY_SF = {"0.001": 120, "0.01": 600, "0.1": 2400}
+# Extraction corpus sizing: docs scale with sf so the 32-CPU steady state
+# dominates startup (≈2 ms/doc average with the 1/97 giant-doc mix).
+_DOCS_BY_SF = {"0.001": 2_000, "0.01": 20_000, "0.1": 250_000}
 CORPUS_DIR_TEMPLATE = "/tmp/exstruct_ray_corpus_sf{sf}"
 
 
@@ -44,14 +45,42 @@ def _sf_of(sf_dir: str) -> str:
 
 
 def _ensure_corpus(sf: str, n_docs: int) -> str:
-    """Materialize the synthetic corpus to parquet once (excluded from timing)."""
-    path = CORPUS_DIR_TEMPLATE.format(sf=sf)
-    marker = os.path.join(path, f".complete-{n_docs}")
-    if not os.path.exists(marker):
-        from exstruct_ray.datagen.corpus import write_corpus_parquet
+    """Materialize the synthetic corpus to parquet once (excluded from timing).
 
-        write_corpus_parquet(path, n_docs, seed=42, include_giant=True, rows_per_file=100)
-        open(marker, "w").close()
+    Generation itself is Ray-parallel: shard indices fan out over tasks, each
+    task builds its documents deterministically from (seed, index) and writes
+    one parquet file — the same build-once layout a real ingest would use.
+    """
+    path = CORPUS_DIR_TEMPLATE.format(sf=sf) + f"_n{n_docs}"
+    marker = os.path.join(path, ".complete")
+    if os.path.exists(marker):
+        return path
+
+    import ray
+
+    os.makedirs(path, exist_ok=True)
+    rows_per_file = 500
+
+    @ray.remote
+    def build_shard(shard: int, start: int, stop: int) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from exstruct_ray.datagen.corpus import DOC_SCHEMA, build_document
+
+        rows = [
+            build_document(i, seed=42, include_giant=True)
+            for i in range(start, stop)
+        ]
+        out = os.path.join(path, f"part-{shard:05d}.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=DOC_SCHEMA), out)
+        return out
+
+    refs = []
+    for shard, start in enumerate(range(0, n_docs, rows_per_file)):
+        refs.append(build_shard.remote(shard, start, min(start + rows_per_file, n_docs)))
+    ray.get(refs)
+    open(marker, "w").close()
     return path
 
 
@@ -63,7 +92,7 @@ def bench_extraction(sf: str, n_docs: int) -> dict:
     corpus = _ensure_corpus(sf, n_docs)
     start = time.perf_counter()
     ds = ray.data.read_parquet(corpus)
-    out = build_extraction_pipeline(ds, batch_size=16)
+    out = build_extraction_pipeline(ds, batch_size=256)
     total_docs = 0
     total_spans = 0
     total_errors = 0
@@ -108,7 +137,7 @@ def run_main() -> None:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     sf = _sf_of(SF_DIR)
-    n_docs = _DOCS_BY_SF.get(sf, 600)
+    n_docs = _DOCS_BY_SF.get(sf, 2_000)
     extraction = bench_extraction(sf, n_docs)
     queries = bench_queries(SF_DIR)
     queries["extract"] = round(extraction["sec"], 3)
@@ -134,7 +163,7 @@ def run_single(num_cpus: int) -> None:
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     sf = _sf_of(SF_DIR)
-    n_docs = _DOCS_BY_SF.get(sf, 600)
+    n_docs = _DOCS_BY_SF.get(sf, 2_000)
     result = bench_extraction(sf, n_docs)
     result["num_cpus"] = num_cpus
     ray.shutdown()
@@ -142,9 +171,13 @@ def run_single(num_cpus: int) -> None:
 
 
 def run_scaling() -> None:
-    # Pre-build the corpus so neither run pays generation cost.
+    # Pre-build the corpus (Ray-parallel) so neither run pays generation cost.
+    import ray
+
     sf = _sf_of(SF_DIR)
-    _ensure_corpus(sf, _DOCS_BY_SF.get(sf, 600))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    _ensure_corpus(sf, _DOCS_BY_SF.get(sf, 2_000))
+    ray.shutdown()
     results = {}
     for cpus in (8, 32):
         proc = subprocess.run(
@@ -188,7 +221,7 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         run_scaling()
     elif "--quick" in sys.argv:
-        _DOCS_BY_SF[_sf_of(SF_DIR)] = 100
+        _DOCS_BY_SF[_sf_of(SF_DIR)] = 1_000
         run_main()
     else:
         run_main()

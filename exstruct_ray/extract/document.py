@@ -416,9 +416,20 @@ def workbook_to_spans(workbook: WorkbookData, opts: ResolvedOptions) -> list[Spa
         spans.append(Span(kind=kind, text=text, media_ref=media_ref, offset=offset))
         offset += 1
 
+    import json as _json
+
     for sheet_name, sheet in workbook.sheets.items():
         for row in sheet.rows:
-            emit("cell_row", canonical_json(row.to_payload()), sheet_name)
+            # Fast path: cell rows contain no empty values by construction
+            # (blank cells are stripped at parse), so the canonical
+            # empty-stripping pass is an identity — plain compact dumps.
+            emit(
+                "cell_row",
+                _json.dumps(
+                    row.to_payload(), ensure_ascii=False, separators=(",", ":")
+                ),
+                sheet_name,
+            )
         for shape in sheet.shapes:
             emit(
                 shape.kind,

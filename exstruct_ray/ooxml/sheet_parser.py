@@ -173,46 +173,84 @@ def parse_sheet(
     min_r = min_c = None
     max_r = max_c = 0
     if sheet_data is not None:
-        for row_el in sheet_data.findall(f"{_MAIN_NS}row"):
-            r_attr = _int_attr(row_el, "r")
-            ht = _float_attr(row_el, "ht")
-            if r_attr is not None and r_attr > 0 and ht is not None and ht > 0:
-                metrics.row_height_points[r_attr - 1] = ht
+        cell_tag = f"{_MAIN_NS}c"
+        row_tag = f"{_MAIN_NS}row"
+        f_tag = f"{_MAIN_NS}f"
+        v_tag = f"{_MAIN_NS}v"
+        match_ref = _CELL_REF_RE.match
+        cells = grid.cells
+        date_styles = styles.date_style_ids()
+        for row_el in sheet_data:
+            if row_el.tag != row_tag:
+                continue
+            attrs = row_el.attrib
+            if "ht" in attrs:
+                r_attr = _int_attr(row_el, "r")
+                ht = _float_attr(row_el, "ht")
+                if r_attr is not None and r_attr > 0 and ht is not None and ht > 0:
+                    metrics.row_height_points[r_attr - 1] = ht
             for c_el in row_el:
-                if c_el.tag != f"{_MAIN_NS}c":
+                if c_el.tag != cell_tag:
                     continue
-                ref = c_el.attrib.get("r")
+                c_attrs = c_el.attrib
+                ref = c_attrs.get("r")
                 if not ref:
                     continue
-                m = _CELL_REF_RE.match(ref)
+                m = match_ref(ref)
                 if not m:
                     continue
                 col0 = _col_letters_to_index(m.group(1))
                 row1 = int(m.group(2))
-                style_idx = _int_attr(c_el, "s")
-                cell_type = c_el.attrib.get("t", "n")
+                s_raw = c_attrs.get("s")
+                style_idx = None
+                if s_raw is not None:
+                    try:
+                        style_idx = int(s_raw)
+                    except ValueError:
+                        style_idx = None
+                cell_type = c_attrs.get("t", "n")
 
                 formula: str | None = None
-                f_el = c_el.find(f"{_MAIN_NS}f")
-                if f_el is not None:
-                    f_text = f_el.text or ""
-                    si = f_el.attrib.get("si")
-                    if f_el.attrib.get("t") == "shared" and si is not None:
-                        if f_text:
-                            shared_formulas[si] = f_text
-                        else:
-                            f_text = shared_formulas.get(si, "")
-                    formula = f_text
+                v_text = ""
+                for child in c_el:
+                    tag = child.tag
+                    if tag == v_tag:
+                        if child.text is not None:
+                            v_text = child.text
+                    elif tag == f_tag:
+                        f_text = child.text or ""
+                        si = child.attrib.get("si")
+                        if child.attrib.get("t") == "shared" and si is not None:
+                            if f_text:
+                                shared_formulas[si] = f_text
+                            else:
+                                f_text = shared_formulas.get(si, "")
+                        formula = f_text
 
-                v_el = c_el.find(f"{_MAIN_NS}v")
-                v_text = v_el.text if v_el is not None and v_el.text is not None else ""
-                value = _render_value(
-                    cell_type, v_text, c_el, style_idx, shared_strings, styles
-                )
+                # Inline fast path for the two dominant cases.
+                if cell_type == "n":
+                    if v_text == "":
+                        value = ""
+                    elif style_idx is not None and style_idx in date_styles:
+                        try:
+                            value = _render_date(float(v_text))
+                        except ValueError:
+                            value = v_text
+                    else:
+                        value = _render_number(v_text)
+                elif cell_type == "s":
+                    try:
+                        value = shared_strings[int(v_text)]
+                    except (ValueError, IndexError):
+                        value = ""
+                else:
+                    value = _render_value(
+                        cell_type, v_text, c_el, style_idx, shared_strings, styles
+                    )
 
                 if value == "" and style_idx is None and formula is None:
                     continue
-                grid.cells[(row1, col0)] = Cell(
+                cells[(row1, col0)] = Cell(
                     value=value, style=style_idx, formula=formula
                 )
                 c1 = col0 + 1

@@ -62,6 +62,16 @@ class Stylesheet:
 
     styles: list[CellStyle] = field(default_factory=list)
 
+    def date_style_ids(self) -> frozenset[int]:
+        """Indices of date-formatted cellXfs (cached for the hot parse loop)."""
+        cached = getattr(self, "_date_ids", None)
+        if cached is None:
+            cached = frozenset(
+                i for i, s in enumerate(self.styles) if s.is_date
+            )
+            object.__setattr__(self, "_date_ids", cached)
+        return cached
+
     def style(self, idx: int | None) -> CellStyle:
         if idx is None or idx < 0 or idx >= len(self.styles):
             return _DEFAULT_STYLE

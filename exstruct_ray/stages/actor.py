@@ -39,46 +39,70 @@ class ExtractActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
 
-        out_doc_ids: list[str] = []
-        out_spans: list[list[dict]] = []
+        # Decode the list<struct> column via flat child arrays + offsets —
+        # no per-span Python dicts on either side of the actor.
+        spans_col = batch.column("spans")
+        if spans_col.num_chunks == 0:
+            list_arr = pa.array([], type=batch.schema.field("spans").type)
+        else:
+            list_arr = spans_col.combine_chunks()
+        offsets = list_arr.offsets.to_pylist()
+        values = list_arr.values
+        all_kinds = values.field("kind").to_pylist()
+        all_texts = values.field("text").to_pylist()
+        all_refs = values.field("media_ref").to_pylist()
+
+        out_kinds: list[str] = []
+        out_texts: list[str] = []
+        out_refs: list[str] = []
+        out_offs: list[int] = []
+        out_list_offsets: list[int] = [0]
         out_n_spans: list[int] = []
         out_n_errors: list[int] = []
         out_ms: list[float] = []
 
-        for doc_id, spans in zip(doc_ids, spans_col):
+        for i in range(len(doc_ids)):
+            lo, hi = offsets[i], offsets[i + 1]
             start = time.perf_counter()
-            spans = spans or []
             result = extract_document_spans(
-                [s["kind"] for s in spans],
-                [s["text"] for s in spans],
-                [s["media_ref"] for s in spans],
+                all_kinds[lo:hi],
+                all_texts[lo:hi],
+                all_refs[lo:hi],
                 self._opts,
             )
-            out_doc_ids.append(doc_id)
-            out_spans.append(
-                [
-                    {
-                        "kind": s.kind,
-                        "text": s.text,
-                        "media_ref": s.media_ref,
-                        "offset": s.offset,
-                    }
-                    for s in result
-                ]
-            )
+            n_err = 0
+            for s in result:
+                out_kinds.append(s.kind)
+                out_texts.append(s.text)
+                out_refs.append(s.media_ref)
+                out_offs.append(s.offset)
+                if s.kind == "error":
+                    n_err += 1
+            out_list_offsets.append(len(out_kinds))
             out_n_spans.append(len(result))
-            out_n_errors.append(sum(1 for s in result if s.kind == "error"))
+            out_n_errors.append(n_err)
             out_ms.append((time.perf_counter() - start) * 1000.0)
 
-        return pa.Table.from_pydict(
-            {
-                "doc_id": out_doc_ids,
-                "spans": out_spans,
-                "n_spans": out_n_spans,
-                "n_errors": out_n_errors,
-                "parse_ms": out_ms,
-            },
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(out_kinds, pa.string()),
+                pa.array(out_texts, pa.string()),
+                pa.array(out_refs, pa.string()),
+                pa.array(out_offs, pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans_out = pa.ListArray.from_arrays(
+            pa.array(out_list_offsets, pa.int32()), span_struct
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                spans_out,
+                pa.array(out_n_spans, pa.int32()),
+                pa.array(out_n_errors, pa.int32()),
+                pa.array(out_ms, pa.float32()),
+            ],
             schema=OUTPUT_SCHEMA,
         )

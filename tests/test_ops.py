@@ -1,0 +1,173 @@
+"""Training-data operator tests: dedup, text analysis, ANN, media plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from exstruct_ray.ops.dedup import (
+    char_shingles,
+    minhash_signature,
+    ngram_jaccard,
+    simhash_64,
+    word_ngrams,
+    _hash_params,
+)
+from exstruct_ray.ops.text import _detect_lang_one, rolling_fingerprints
+
+
+class TestSketchPrimitives:
+    def test_shingles_deterministic(self):
+        a = char_shingles("hello world", 5)
+        b = char_shingles("hello world", 5)
+        assert sorted(a.tolist()) == sorted(b.tolist())
+        assert char_shingles("", 5).tolist() == [0]
+
+    def test_minhash_similarity_estimate(self):
+        a_params = _hash_params(128)
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        near = base[:-30] + "and runs far away quickly today"
+        far = "completely different content about databases and queries " * 15
+        sig_base = minhash_signature(char_shingles(base), *a_params)
+        sig_near = minhash_signature(char_shingles(near), *a_params)
+        sig_far = minhash_signature(char_shingles(far), *a_params)
+        est_near = (sig_base == sig_near).mean()
+        est_far = (sig_base == sig_far).mean()
+        assert est_near > 0.6
+        assert est_far < 0.2
+
+    def test_simhash_hamming(self):
+        a = simhash_64("the quick brown fox jumps over the lazy dog")
+        b = simhash_64("the quick brown fox jumps over the lazy cat")
+        c = simhash_64("totally unrelated words appear here instead")
+        def hamming(x, y):
+            return bin(x ^ y).count("1")
+        assert hamming(a, b) < hamming(a, c)
+        assert simhash_64("") == 0
+
+    def test_ngram_jaccard(self):
+        assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+        assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+        mid = ngram_jaccard("a b c d e f", "a b c d x y")
+        assert 0.0 < mid < 1.0
+        assert word_ngrams("", 3) == set()
+
+    def test_rolling_fingerprints(self):
+        fps = rolling_fingerprints("abcdefghij" * 10, window=16)
+        assert len(fps) == 100 - 16 + 1
+        assert fps == rolling_fingerprints("abcdefghij" * 10, window=16)
+        assert rolling_fingerprints("short", window=32) == []
+
+    def test_lang_detect(self):
+        assert _detect_lang_one("the cat and the dog sat in the house") == "en"
+        assert _detect_lang_one("der Hund und die Katze ist nicht da") == "de"
+        assert _detect_lang_one("le chat est dans la maison pour le moment") == "fr"
+        assert _detect_lang_one("12345 67890") == "unknown"
+        assert _detect_lang_one("") == "unknown"
+
+
+class TestRayOps:
+    @pytest.fixture(scope="class")
+    def docs_ds(self, ray_session):
+        import ray.data
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+            "the quick brown fox jumps over the lazy cat today",  # near dup
+            "completely different content about engines",
+            "",
+        ]
+        return ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+
+    def test_exact_dedup(self, docs_ds):
+        from exstruct_ray.ops.dedup import exact_dedup
+
+        out = exact_dedup(docs_ds).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == [0, 2, 3, 4]
+        assert out.set_index("doc_id")["dup_count"].to_dict() == {0: 2, 2: 1, 3: 1, 4: 1}
+
+    def test_minhash_pairs(self, docs_ds):
+        from exstruct_ray.ops.dedup import minhash_dedup_pairs
+
+        pairs = minhash_dedup_pairs(
+            docs_ds, jaccard_threshold=0.5, concurrency=2
+        ).to_pandas()
+        pair_set = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+        assert (0, 1) in pair_set  # exact dup must be found
+        assert all((3 not in p) for p in pair_set)  # unrelated doc never pairs
+
+    def test_text_stats(self, docs_ds):
+        from exstruct_ray.ops.text import add_text_stats
+
+        out = add_text_stats(docs_ds).to_pandas().sort_values("doc_id")
+        first = out.iloc[0]
+        assert first["n_tokens"] == 9
+        assert first["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+        empty = out.iloc[-1]
+        assert empty["n_tokens"] == 0 and pd.isna(empty["alpha_ratio"])
+
+    def test_ann_topk_matches_numpy(self, ray_session):
+        import ray.data
+
+        from exstruct_ray.ops.ann import brute_force_topk
+
+        rng = np.random.RandomState(0)
+        vecs = rng.standard_normal((200, 16)).astype(np.float32)
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+        )
+        queries = vecs[:3].astype(np.float64)
+        out = brute_force_topk(ds, [0, 1, 2], queries, k=5, concurrency=2)
+        # Exact reference: full cosine matrix
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qnorm = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = norm @ qnorm.T
+        for qi in range(3):
+            expected = np.argsort(-sims[:, qi], kind="stable")[:5].tolist()
+            got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+            assert got[0] == qi  # self is the top hit
+            assert set(got) == set(expected)
+
+    def test_lsh_buckets_group_similar(self, ray_session):
+        import ray.data
+
+        from exstruct_ray.ops.ann import lsh_buckets
+
+        rng = np.random.RandomState(1)
+        base = rng.standard_normal(32)
+        near = base + rng.standard_normal(32) * 0.01
+        far = -base
+        ds = ray.data.from_items(
+            [
+                {"vec_id": 0, "embedding": base.tolist()},
+                {"vec_id": 1, "embedding": near.tolist()},
+                {"vec_id": 2, "embedding": far.tolist()},
+            ]
+        )
+        out = lsh_buckets(ds, dim=32, num_planes=8, concurrency=1).to_pandas()
+        buckets = out.set_index("vec_id")["bucket"].to_dict()
+        assert buckets[0] == buckets[1]
+        assert buckets[0] != buckets[2]
+
+    def test_media_feature_plumbing(self, ray_session):
+        import ray.data
+
+        from exstruct_ray.ops.media import extract_media_features
+
+        ds = ray.data.from_items(
+            [
+                {"media_id": i, "payload": bytes([i]) * 100, "media_type": "image"}
+                for i in range(8)
+            ]
+        )
+        out = extract_media_features(ds, batch_size=4, concurrency=2).to_pandas()
+        assert len(out) == 8
+        assert all(len(f) == 3 for f in out["feature"])
+        # deterministic stub: same payload -> same feature
+        out2 = extract_media_features(ds, batch_size=4, concurrency=2).to_pandas()
+        merged = out.merge(out2, on="media_id")
+        assert all(
+            list(a) == list(b) for a, b in zip(merged["feature_x"], merged["feature_y"])
+        )
