@@ -143,8 +143,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_detect": q.doc_lang_detect,
         "doc_minhash_pairs": q.doc_minhash_pairs,
         "doc_simhash": q.doc_simhash,
+        "doc_ngram_verified_pairs": q.doc_ngram_verified_pairs,
         "embedding_topk": q.embedding_topk,
         "embedding_label_centroids": q.embedding_label_centroids,
+        "embedding_neardup_pairs": q.embedding_neardup_pairs,
+        # Joins / windows / sessions
+        "lineitem_join_orders": q.lineitem_join_orders,
+        "supplier_balance_by_region": q.supplier_balance_by_region,
+        "orders_running_total": q.orders_running_total,
+        "events_sessionize": q.events_sessionize,
+        "doc_quality_filter": q.doc_quality_filter,
     }
 
 

@@ -122,51 +122,69 @@ def minhash_dedup_pairs(
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k,
                               concurrency=concurrency)
-    # Keep signatures joined to band rows so bucket verification is local.
+
+    # Band rows carry the signature as fixed-width bytes (cheap ser/de).
+    # The shuffle key is a COARSE hash bucket (band_key % n_shuffle_buckets):
+    # micro-groups kill a per-exact-key groupby, so exact-band grouping
+    # happens vectorized inside each shuffled group instead.
+    n_shuffle_buckets = 1024
+
     def band_with_sig(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        doc_ids: list = []
+        band_keys: list[int] = []
+        shuffle_keys: list[int] = []
+        sig_bytes: list[bytes] = []
         for doc_id, sig in zip(batch["doc_id"], batch["signature"]):
             arr = np.asarray(sig, dtype=np.uint32)
+            raw = arr.tobytes()
             banded = arr.reshape(bands, rows_per_band)
             for band_idx in range(bands):
-                rows.append(
-                    {
-                        "band_key": int(
-                            zlib.crc32(banded[band_idx].tobytes()) ^ (band_idx << 32)
-                        ),
-                        "doc_id": doc_id,
-                        "signature": arr.tolist(),
-                    }
-                )
-        return pd.DataFrame(rows)
+                key = zlib.crc32(banded[band_idx].tobytes()) ^ (band_idx << 32)
+                doc_ids.append(doc_id)
+                band_keys.append(key)
+                shuffle_keys.append(key % n_shuffle_buckets)
+                sig_bytes.append(raw)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "band_key": band_keys,
+                "shuffle_key": shuffle_keys,
+                "signature": sig_bytes,
+            }
+        )
 
     banded = sigs.map_batches(band_with_sig, batch_format="pandas")
 
-    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        docs = list(zip(group["doc_id"], group["signature"]))
-        pairs = []
-        for (ida, siga), (idb, sigb) in itertools.combinations(docs, 2):
-            if ida == idb:
-                continue
-            a, b = np.asarray(siga), np.asarray(sigb)
-            est = float((a == b).mean())
-            if est >= jaccard_threshold:
-                lo, hi = sorted((ida, idb))
-                pairs.append({"doc_a": lo, "doc_b": hi, "est_jaccard": est})
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        pairs: list[dict] = []
+        # Only band keys with ≥2 members can produce candidates.
+        counts = group["band_key"].value_counts()
+        hot = counts[counts >= 2].index
+        sub = group[group["band_key"].isin(hot)]
+        for _, bucket in sub.groupby("band_key"):
+            docs = list(zip(bucket["doc_id"], bucket["signature"]))
+            for (ida, siga), (idb, sigb) in itertools.combinations(docs, 2):
+                if ida == idb:
+                    continue
+                a = np.frombuffer(siga, dtype=np.uint32)
+                b = np.frombuffer(sigb, dtype=np.uint32)
+                est = float((a == b).mean())
+                if est >= jaccard_threshold:
+                    lo, hi = sorted((ida, idb))
+                    pairs.append({"doc_a": lo, "doc_b": hi, "est_jaccard": est})
         return pd.DataFrame(pairs, columns=["doc_a", "doc_b", "est_jaccard"])
 
-    pairs = banded.groupby("band_key").map_groups(verify_bucket, batch_format="pandas")
-
-    def dedup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates(subset=["doc_a", "doc_b"])
-
-    # Same pair may surface from several bands → one more keyed dedup.
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = banded.groupby("shuffle_key").map_groups(
+        verify_group, batch_format="pandas"
     )
+
+    # Same pair may surface from several bands. Dedup with ONE groupby on
+    # doc_a (duplicates always share doc_a) — far fewer, larger groups than
+    # a (doc_a, doc_b) keyed shuffle of micro-groups.
+    def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["doc_a", "doc_b"])
+
+    return pairs.groupby("doc_a").map_groups(dedup_group, batch_format="pandas")
 
 
 def exact_dedup(ds, key_column: str = "text", id_column: str = "doc_id"):

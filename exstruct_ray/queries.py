@@ -475,6 +475,225 @@ def embedding_label_centroids(sf_dir: str):
     return out.sort_values("label").reset_index(drop=True)
 
 
+def lineitem_join_orders(sf_dir: str):
+    """Distributed hash join (Dataset.join): revenue per order priority.
+
+    The one genuinely large⋈large join in the suite — demonstrates the
+    engine's shuffle-join operator (lineitem ⋈ orders on orderkey), followed
+    by in-batch partial aggregation.
+    """
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "revenue": batch["l_extendedprice"] * (1 - batch["l_discount"]),
+                "n_items": 1,
+            }
+        )
+        return tmp.groupby("o_orderpriority", as_index=False).sum()
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(
+            lambda g: g.groupby("o_orderpriority", as_index=False).sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def supplier_balance_by_region(sf_dir: str):
+    """Broadcast dimension chain supplier → nation → region."""
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation_to_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    region_names = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((nation_to_region, region_names))
+
+    def agg(batch: pd.DataFrame) -> pd.DataFrame:
+        n2r, rnames = ray.get(ref)
+        r_name = batch["s_nationkey"].map(n2r).map(rnames)
+        tmp = pd.DataFrame(
+            {"r_name": r_name, "total_balance": batch["s_acctbal"], "n_suppliers": 1}
+        )
+        return tmp.groupby("r_name", as_index=False).sum()
+
+    out = (
+        _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+        .map_batches(agg, batch_format="pandas")
+        .groupby("r_name")
+        .map_groups(
+            lambda g: g.groupby("r_name", as_index=False).sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def orders_running_total(sf_dir: str):
+    """Windowed aggregate: per-customer running revenue ordered by date.
+
+    Ray Data has no window operator — expressed as groupby(key).map_groups
+    with an in-group sort + cumsum (the documented partitioning assumption:
+    one customer's orders fit in one group).
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def window(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["o_orderdate", "o_orderkey"])
+        out = group[["o_orderkey", "o_custkey"]].copy()
+        out["running_total"] = group["o_totalprice"].cumsum()
+        return out
+
+    out = ds.groupby("o_custkey").map_groups(window, batch_format="pandas").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def events_sessionize(sf_dir: str):
+    """Sessionization: per-user session count with a 30-minute idle gap.
+
+    Streaming-window analogue over a batch table; same groupby(key) +
+    in-group sort pattern as the running total.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].sort_values()
+        n_sessions = int((ts.diff() > gap).sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "n_events": [len(ts)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def doc_quality_filter(sf_dir: str):
+    """Quality gate: keep docs by alpha-ratio and token-count bounds."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_chars = text.str.len()
+        n_alpha = text.str.count(r"[A-Za-z]")
+        n_tokens = text.str.split().str.len().fillna(0).astype("int64")
+        ratio = n_alpha / n_chars.replace(0, np.nan)
+        keep = (ratio >= 0.5) & (n_tokens >= 5)
+        out = batch.loc[keep, ["doc_id"]].copy()
+        out["n_tokens"] = n_tokens[keep]
+        return out
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def embedding_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (ids only, threshold 0.38).
+
+    Per-batch matmul against the broadcast full matrix — O(n²) work split
+    row-block-wise across tasks; the broadcast side ships once via ray.put.
+    (At true scale the LSH-bucketed variant prunes candidates first.)
+    """
+    import ray
+
+    table = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = np.asarray(table.column("vec_id").to_pylist())
+    matrix = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in table.column("embedding").to_pylist()]
+    )
+    norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    normalized = matrix / norms
+    ref = ray.put({"ids": all_ids, "matrix": normalized})
+
+    class PairFinder:
+        def __init__(self, broadcast_ref):
+            data = ray.get(broadcast_ref)
+            self._ids = data["ids"]
+            self._matrix = data["matrix"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (vecs / n) @ self._matrix.T
+            rows_a, rows_b = [], []
+            batch_ids = np.asarray(batch["vec_id"])
+            for i, vid in enumerate(batch_ids):
+                hits = self._ids[(sims[i] >= 0.38) & (self._ids > vid)]
+                rows_a.extend([vid] * len(hits))
+                rows_b.extend(hits.tolist())
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(rows_a, dtype="int64"),
+                    "vec_b": pd.Series(rows_b, dtype="int64"),
+                }
+            )
+
+    from .stages.pipeline import _default_concurrency
+
+    out = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(
+            PairFinder,
+            fn_constructor_kwargs={"broadcast_ref": ref},
+            batch_format="pandas",
+            concurrency=_default_concurrency(),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def doc_ngram_verified_pairs(sf_dir: str):
+    """MinHash candidates verified by exact word-3-gram Jaccard (rows-only)."""
+    from .ops.dedup import minhash_dedup_pairs, ngram_jaccard
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    text_by_id = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    candidates = minhash_dedup_pairs(ds, jaccard_threshold=0.5).to_pandas()
+    rows = []
+    for a, b in zip(candidates["doc_a"], candidates["doc_b"]):
+        jac = ngram_jaccard(text_by_id.get(a, ""), text_by_id.get(b, ""), n=3)
+        if jac >= 0.5:
+            rows.append({"doc_a": int(a), "doc_b": int(b), "jaccard": round(jac, 6)})
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (column names must match the Ray outputs exactly)
 # ---------------------------------------------------------------------------
@@ -611,5 +830,69 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings
         GROUP BY label
         ORDER BY label
+    """,
+    "lineitem_join_orders": """
+        SELECT o_orderpriority,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "supplier_balance_by_region": """
+        SELECT r_name,
+               sum(s_acctbal) AS total_balance,
+               count(*) AS n_suppliers
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    "orders_running_total": """
+        SELECT o_orderkey, o_custkey,
+               sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS running_total
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    "events_sessionize": """
+        SELECT user_id,
+               count(*) AS n_events,
+               1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                   AS n_sessions
+        FROM (
+            SELECT user_id, ts,
+                   ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+            FROM events
+        )
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "doc_quality_filter": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents
+        WHERE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                   AS DOUBLE) / nullif(length(text), 0) >= 0.5
+          AND (CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+               END) >= 5
+        ORDER BY doc_id
+    """,
+    "embedding_neardup_pairs": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) >= 0.38
+        ORDER BY vec_a, vec_b
     """,
 }
