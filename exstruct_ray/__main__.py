@@ -1,0 +1,100 @@
+"""CLI: extract one workbook to structured JSON (reference CLI parity).
+
+    python -m exstruct_ray input.xlsx --mode light -o out.json
+    python -m exstruct_ray input.xlsx --spans            # span-sequence JSONL
+
+Mirrors /root/reference/src/exstruct/cli/main.py's extraction surface
+(light/verbose modes, include flags, alpha columns, per-sheet export);
+COM-only flags are intentionally absent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="exstruct_ray", description="Extract an .xlsx/.xlsm workbook"
+    )
+    p.add_argument("input", help="workbook path (.xlsx/.xlsm)")
+    p.add_argument("-o", "--output", default=None, help="output file (default stdout)")
+    p.add_argument("--mode", default="light", choices=["light", "verbose"])
+    p.add_argument("--pretty", action="store_true")
+    p.add_argument("--alpha-col", action="store_true")
+    p.add_argument("--spans", action="store_true", help="emit span JSONL instead")
+    p.add_argument("--include-links", action="store_true", default=None)
+    p.add_argument("--include-colors-map", action="store_true", default=None)
+    p.add_argument("--include-formulas-map", action="store_true", default=None)
+    p.add_argument("--include-merged-cells", action="store_true", default=None)
+    p.add_argument(
+        "--exclude-merged-values", action="store_true",
+        help="drop cell values that fall inside merged ranges",
+    )
+    p.add_argument("--sheets-dir", default=None, help="write one file per sheet")
+    p.add_argument("--print-areas-dir", default=None)
+    p.add_argument("--include-backend-metadata", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .api import ExtractEngine
+    from .config import ExtractOptions
+
+    options = ExtractOptions(
+        mode=args.mode,
+        include_cell_links=args.include_links,
+        include_colors_map=args.include_colors_map,
+        include_formulas_map=args.include_formulas_map,
+        include_merged_cells=args.include_merged_cells,
+        include_merged_values_in_rows=not args.exclude_merged_values,
+        alpha_col=args.alpha_col,
+        include_backend_metadata=args.include_backend_metadata,
+    )
+    engine = ExtractEngine(options)
+
+    if args.spans:
+        spans = engine.extract_spans(args.input)
+        lines = "\n".join(
+            json.dumps(
+                {
+                    "kind": s.kind,
+                    "text": s.text,
+                    "media_ref": s.media_ref,
+                    "offset": s.offset,
+                },
+                ensure_ascii=False,
+            )
+            for s in spans
+        )
+        if args.output:
+            open(args.output, "w", encoding="utf-8").write(lines + "\n")
+        else:
+            print(lines)
+        return 0
+
+    workbook = engine.extract(args.input)
+    from .extract.serialize import serialize_workbook, save_sheets
+
+    text = serialize_workbook(
+        workbook,
+        pretty=args.pretty,
+        include_backend_metadata=args.include_backend_metadata,
+    )
+    if args.output:
+        open(args.output, "w", encoding="utf-8").write(text)
+    else:
+        print(text)
+    if args.sheets_dir:
+        save_sheets(workbook, args.sheets_dir)
+    if args.print_areas_dir:
+        engine.export_print_area_views(workbook, args.print_areas_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,6 +92,12 @@ class _Shape:
     flip_h: bool = False
     flip_v: bool = False
     text_box: bool = False
+    # anchor: "absolute" (pos+ext), "oneCell" (from marker + ext) or
+    # "twoCell" (from + to markers); markers are (col, colOff, row, rowOff).
+    anchor: str = "absolute"
+    from_marker: tuple[int, int, int, int] | None = None
+    to_marker: tuple[int, int, int, int] | None = None
+    with_xfrm: bool = True
 
 
 @dataclass
@@ -209,6 +215,36 @@ class SheetBuilder:
                 flip_h=flip_h,
                 flip_v=flip_v,
                 text_box=text_box,
+            )
+        )
+        return len(self.shapes) + len(self.connectors)
+
+    def add_cell_anchored_shape(
+        self,
+        text: str,
+        prst: str = "rect",
+        anchor: str = "oneCell",
+        from_marker: tuple[int, int, int, int] = (0, 0, 0, 0),
+        to_marker: tuple[int, int, int, int] | None = None,
+        w_pt: float = 80,
+        h_pt: float = 40,
+        with_xfrm: bool = False,
+    ) -> int:
+        """Add a one/two-cell-anchored shape; markers are (col, colOffEmu,
+        row, rowOffEmu). With ``with_xfrm=False`` geometry comes purely from
+        the anchor + sheet metrics (exercises the marker→points path)."""
+        self.shapes.append(
+            _Shape(
+                text=text,
+                prst=prst,
+                x_emu=0,
+                y_emu=0,
+                cx_emu=int(w_pt * EMU_PER_POINT),
+                cy_emu=int(h_pt * EMU_PER_POINT),
+                anchor=anchor,
+                from_marker=from_marker,
+                to_marker=to_marker,
+                with_xfrm=with_xfrm,
             )
         )
         return len(self.shapes) + len(self.connectors)
@@ -639,17 +675,37 @@ class WorkbookBuilder:
                 ' flipV="1"' if shp.flip_v else ""
             )
             tx_box = ' txBox="1"' if shp.text_box else ""
+            xfrm = ""
+            if shp.with_xfrm:
+                xfrm = (
+                    f"<a:xfrm{rot_attr}{flips}>"
+                    f'<a:off x="{shp.x_emu}" y="{shp.y_emu}"/>'
+                    f'<a:ext cx="{shp.cx_emu}" cy="{shp.cy_emu}"/></a:xfrm>'
+                )
             body = (
                 f'<xdr:sp><xdr:nvSpPr><xdr:cNvPr id="{drawing_id}" '
                 f'name="Shape {drawing_id}"/><xdr:cNvSpPr{tx_box}/></xdr:nvSpPr>'
-                f"<xdr:spPr><a:xfrm{rot_attr}{flips}>"
-                f'<a:off x="{shp.x_emu}" y="{shp.y_emu}"/>'
-                f'<a:ext cx="{shp.cx_emu}" cy="{shp.cy_emu}"/></a:xfrm>'
+                f"<xdr:spPr>{xfrm}"
                 f'<a:prstGeom prst="{shp.prst}"/></xdr:spPr>'
                 f"<xdr:txBody><a:bodyPr/><a:p><a:r><a:t>{escape(shp.text)}</a:t>"
                 f"</a:r></a:p></xdr:txBody></xdr:sp>"
             )
-            anchors.append(self._absolute_anchor(shp.x_emu, shp.y_emu, shp.cx_emu, shp.cy_emu, body))
+            if shp.anchor == "oneCell" and shp.from_marker is not None:
+                anchors.append(
+                    self._one_cell_anchor(shp.from_marker, shp.cx_emu, shp.cy_emu, body)
+                )
+            elif shp.anchor == "twoCell" and shp.from_marker is not None:
+                anchors.append(
+                    self._two_cell_anchor(
+                        shp.from_marker, shp.to_marker or shp.from_marker, body
+                    )
+                )
+            else:
+                anchors.append(
+                    self._absolute_anchor(
+                        shp.x_emu, shp.y_emu, shp.cx_emu, shp.cy_emu, body
+                    )
+                )
         for conn in sb.connectors:
             drawing_id += 1
             rot_attr = f' rot="{int(conn.rot * 60000)}"' if conn.rot is not None else ""
@@ -709,6 +765,37 @@ class WorkbookBuilder:
             f"{''.join(anchors)}</xdr:wsDr>"
         )
         return xml, chart_parts
+
+    @staticmethod
+    def _marker_xml(tag: str, marker: tuple[int, int, int, int]) -> str:
+        col, col_off, row, row_off = marker
+        return (
+            f"<xdr:{tag}><xdr:col>{col}</xdr:col><xdr:colOff>{col_off}</xdr:colOff>"
+            f"<xdr:row>{row}</xdr:row><xdr:rowOff>{row_off}</xdr:rowOff></xdr:{tag}>"
+        )
+
+    @classmethod
+    def _one_cell_anchor(
+        cls, from_marker: tuple[int, int, int, int], cx: int, cy: int, body: str
+    ) -> str:
+        return (
+            f"<xdr:oneCellAnchor>{cls._marker_xml('from', from_marker)}"
+            f'<xdr:ext cx="{cx}" cy="{cy}"/>{body}'
+            f"<xdr:clientData/></xdr:oneCellAnchor>"
+        )
+
+    @classmethod
+    def _two_cell_anchor(
+        cls,
+        from_marker: tuple[int, int, int, int],
+        to_marker: tuple[int, int, int, int],
+        body: str,
+    ) -> str:
+        return (
+            f"<xdr:twoCellAnchor>{cls._marker_xml('from', from_marker)}"
+            f"{cls._marker_xml('to', to_marker)}{body}"
+            f"<xdr:clientData/></xdr:twoCellAnchor>"
+        )
 
     @staticmethod
     def _absolute_anchor(x: int, y: int, cx: int, cy: int, body: str) -> str:

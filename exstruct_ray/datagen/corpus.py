@@ -223,6 +223,25 @@ def _family_giant(rng: random.Random, sheets: int = 8, rows: int = 1200) -> Work
     return wb
 
 
+def _family_anchored(rng: random.Random) -> WorkbookBuilder:
+    """F12: one/two-cell-anchored shapes resolved via sheet metrics."""
+    wb = WorkbookBuilder()
+    sh = wb.sheet("Anchored")
+    sh.col_widths[0] = 18.0
+    sh.col_widths[2] = 6.0
+    sh.row_heights[2] = 28.0
+    sh.set(1, 0, "anchored sheet")
+    sh.add_cell_anchored_shape(
+        "note", anchor="oneCell",
+        from_marker=(1 + rng.randint(0, 2), 6350, 1, 0), w_pt=60, h_pt=30,
+    )
+    sh.add_cell_anchored_shape(
+        "span", anchor="twoCell",
+        from_marker=(0, 0, 0, 0), to_marker=(3, 0, 4, 0),
+    )
+    return wb
+
+
 FAMILIES = [
     ("basic", _family_basic),
     ("coercion", _family_coercion),
@@ -234,6 +253,7 @@ FAMILIES = [
     ("border_clusters", _family_border_clusters),
     ("empty_edge", _family_empty_edge),
     ("links_formulas_colors", _family_links_formulas_colors),
+    ("anchored", _family_anchored),
 ]
 
 

@@ -482,6 +482,18 @@ def _findtext(node: ET.Element, path: str) -> str | None:
     return node.findtext(path, default=None)
 
 
+def _find_int_text(node: ET.Element | None, path: str) -> int | None:
+    if node is None:
+        return None
+    raw = node.findtext(path, default=None)
+    if raw is None:
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        return None
+
+
 def _first_text(node: ET.Element, *paths: str) -> str | None:
     for path in paths:
         value = node.findtext(path, default=None)

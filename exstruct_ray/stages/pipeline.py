@@ -75,6 +75,35 @@ def _single_pool_concurrency() -> int:
     return max(1, _cluster_cpus() - 2)
 
 
+def read_documents(
+    path: str | list[str],
+    *,
+    fmt: str = "parquet",
+    columns: list[str] | None = None,
+    **read_kwargs,
+) -> "ray.data.Dataset":
+    """Read the interleaved-document table (doc_id, spans).
+
+    ``fmt="lance"`` uses ray.data.read_lance for Lance-backed corpora (the
+    BASELINE.json storage target); this sandbox has no lance wheel, so
+    parquet is the tested path and lance is import-gated — a drop-in swap
+    on a real cluster.
+    """
+    import ray.data
+
+    cols = columns or ["doc_id", "spans"]
+    if fmt == "parquet":
+        return ray.data.read_parquet(path, columns=cols, **read_kwargs)
+    if fmt == "lance":
+        try:
+            return ray.data.read_lance(path, columns=cols, **read_kwargs)
+        except ImportError as exc:  # pragma: no cover - no lance wheel here
+            raise RuntimeError(
+                "lance is not installed in this environment; use fmt='parquet'"
+            ) from exc
+    raise ValueError(f"Unsupported corpus format: {fmt}")
+
+
 def _make_task_udf(options: ExtractOptions | None):
     """Per-process-cached extractor for task-based map_batches.
 

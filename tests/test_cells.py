@@ -190,3 +190,88 @@ class TestAlphaProjection:
         assert sheet.rows[0].c == {"A": "a", "AA": "z"}
         assert sheet.merged_cells is None
         assert sheet.merged_ranges == ["A3:B4"]
+
+
+class TestStylesEdgeCases:
+    """Hand-crafted styles.xml parts probing paths the builder doesn't emit."""
+
+    @staticmethod
+    def _package(styles_xml: str, sheet_xml: str):
+        from exstruct_ray.ooxml.package import VirtualPackage
+
+        main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+        rel = "http://schemas.openxmlformats.org/package/2006/relationships"
+        parts = {
+            "xl/workbook.xml": (
+                f'<workbook xmlns="{main}" xmlns:r="{r}"><sheets>'
+                f'<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+            ),
+            "xl/_rels/workbook.xml.rels": (
+                f'<Relationships xmlns="{rel}"><Relationship Id="rId1" '
+                f'Type="{r}/worksheet" Target="worksheets/sheet1.xml"/></Relationships>'
+            ),
+            "xl/styles.xml": styles_xml,
+            "xl/worksheets/sheet1.xml": sheet_xml,
+        }
+        return VirtualPackage(parts)
+
+    def test_custom_date_numfmt_and_indexed_fill(self):
+        from exstruct_ray.config import ExtractOptions
+        from exstruct_ray.extract.document import extract_workbook
+
+        main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        styles = (
+            f'<styleSheet xmlns="{main}">'
+            '<numFmts count="2">'
+            '<numFmt numFmtId="164" formatCode="yyyy/mm/dd"/>'
+            '<numFmt numFmtId="165" formatCode="0.00&quot;y&quot;"/>'  # not a date
+            "</numFmts>"
+            '<fills count="3">'
+            '<fill><patternFill patternType="none"/></fill>'
+            '<fill><patternFill patternType="solid">'
+            '<fgColor indexed="64"/></patternFill></fill>'
+            '<fill><patternFill patternType="solid">'
+            '<bgColor rgb="FF123456"/></patternFill></fill>'
+            "</fills>"
+            "<cellXfs count=\"4\">"
+            '<xf numFmtId="0" fillId="0" borderId="0"/>'
+            '<xf numFmtId="164" fillId="0" borderId="0"/>'   # custom date
+            '<xf numFmtId="165" fillId="1" borderId="0"/>'   # indexed fill
+            '<xf numFmtId="0" fillId="2" borderId="0"/>'     # bgColor fallback
+            "</cellXfs></styleSheet>"
+        )
+        sheet = (
+            f'<worksheet xmlns="{main}"><sheetData>'
+            '<row r="1">'
+            '<c r="A1" s="1"><v>45658</v></c>'      # 2025-01-01 via custom fmt
+            '<c r="B1" s="2"><v>42.5</v></c>'       # NOT a date (quoted y)
+            '<c r="C1" s="2" t="inlineStr"><is><t>idx</t></is></c>'
+            '<c r="D1" s="3" t="inlineStr"><is><t>bg</t></is></c>'
+            "</row></sheetData></worksheet>"
+        )
+        wb = extract_workbook(
+            self._package(styles, sheet),
+            ExtractOptions(mode="verbose").resolved(),
+        )
+        sheet_data = wb.sheets["S"]
+        row = sheet_data.rows[0]
+        assert row.c["0"] == "2025-01-01 00:00:00"
+        assert row.c["1"] == 42.5  # quoted 'y' must not trigger date detection
+        assert sheet_data.colors_map == {
+            "indexed:64": [(1, 1), (1, 2)],
+            "123456": [(1, 3)],
+        }
+
+    def test_missing_styles_part_is_fine(self):
+        from exstruct_ray.config import ExtractOptions
+        from exstruct_ray.extract.document import extract_workbook
+
+        main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        sheet = (
+            f'<worksheet xmlns="{main}"><sheetData>'
+            '<row r="1"><c r="A1"><v>7</v></c></row></sheetData></worksheet>'
+        )
+        pkg = self._package("<broken", sheet)  # malformed styles degrade
+        wb = extract_workbook(pkg, ExtractOptions().resolved())
+        assert wb.sheets["S"].rows[0].c == {"0": 7}

@@ -159,3 +159,61 @@ class TestCharts:
         assert len(out.sheets["Good"].shapes) == 1
         assert out.sheets["Bad"].shapes == []
         assert out.sheets["Bad"].rows[0].c == {"0": "cells survive"}
+
+
+class TestAnchorVariants:
+    """one/two-cell anchors resolved through sheet metrics (prefix sums)."""
+
+    def test_one_cell_anchor_default_metrics(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        # col 2, +12700 EMU (1pt); row 3, +25400 EMU (2pt); defaults 48x15pt
+        sh.add_cell_anchored_shape(
+            "one", anchor="oneCell", from_marker=(2, 12700, 3, 25400),
+            w_pt=100, h_pt=50,
+        )
+        out = extract(wb, mode="verbose")
+        s = out.sheets["S"].shapes[0]
+        assert (s.l, s.t) == (2 * 48 + 1, 3 * 15 + 2)
+        assert (s.w, s.h) == (100, 50)
+
+    def test_two_cell_anchor_size_from_markers(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.add_cell_anchored_shape(
+            "two", anchor="twoCell", from_marker=(1, 0, 1, 0), to_marker=(4, 0, 5, 0),
+        )
+        out = extract(wb, mode="verbose")
+        s = out.sheets["S"].shapes[0]
+        assert (s.l, s.t) == (48, 15)
+        assert (s.w, s.h) == (3 * 48, 4 * 15)
+
+    def test_markers_use_explicit_col_widths_row_heights(self):
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.col_widths[0] = 20.0   # width attr -> (20*7+5)*0.75 = 108.75pt
+        sh.col_widths[1] = 10.0   # (10*7+5)*0.75 = 56.25pt
+        sh.row_heights[1] = 30.0  # row 1 -> 30pt
+        sh.default_row_height = 12.0
+        sh.set(1, 0, "x")
+        sh.add_cell_anchored_shape(
+            "m", anchor="oneCell", from_marker=(2, 0, 2, 0), w_pt=10, h_pt=10,
+        )
+        out = extract(wb, mode="verbose")
+        s = out.sheets["S"].shapes[0]
+        assert s.l == int(round(108.75 + 56.25))
+        assert s.t == int(round(30.0 + 12.0))
+
+    def test_xfrm_position_preferred_when_sized(self):
+        # child xfrm has full geometry -> anchor only fills missing values
+        wb = WorkbookBuilder()
+        sh = wb.sheet("S")
+        sh.add_cell_anchored_shape(
+            "x", anchor="oneCell", from_marker=(5, 0, 5, 0),
+            w_pt=60, h_pt=30, with_xfrm=True,
+        )
+        # with_xfrm=True emits off=(0,0) ext=(60,30)pt -> transform position
+        # (0,0) wins over the anchor marker because the shape is fully sized
+        out = extract(wb, mode="verbose")
+        s = out.sheets["S"].shapes[0]
+        assert (s.l, s.t, s.w, s.h) == (0, 0, 60, 30)
