@@ -146,7 +146,7 @@ def parse_sheet(
     root = package.read_xml(sheet_path)
     grid = SheetGrid(name=sheet_name)
     metrics = grid.metrics
-    shared_formulas: dict[str, str] = {}
+    shared_formulas: dict[str, tuple[str, int, int]] = {}
 
     fmt = root.find(f"{_MAIN_NS}sheetFormatPr")
     if fmt is not None:
@@ -222,9 +222,17 @@ def parse_sheet(
                         si = child.attrib.get("si")
                         if child.attrib.get("t") == "shared" and si is not None:
                             if f_text:
-                                shared_formulas[si] = f_text
+                                shared_formulas[si] = (f_text, row1, col0)
                             else:
-                                f_text = shared_formulas.get(si, "")
+                                master = shared_formulas.get(si)
+                                if master is not None:
+                                    from ..functions.formulas import translate_formula
+
+                                    f_text = translate_formula(
+                                        master[0],
+                                        row1 - master[1],
+                                        col0 - master[2],
+                                    )
                         formula = f_text
 
                 # Inline fast path for the two dominant cases.
@@ -311,7 +319,7 @@ def _render_value(
         is_el = c_el.find(f"{_MAIN_NS}is")
         if is_el is None:
             return ""
-        return "".join(t.text or "" for t in is_el.iter(f"{_MAIN_NS}t"))
+        return _rich_text(is_el)
     if cell_type == "str":
         return v_text
     if cell_type == "b":
@@ -329,16 +337,32 @@ def _render_value(
     return _render_number(v_text)
 
 
+def _rich_text(container: ET.Element) -> str:
+    """Text of an <si>/<is> element: plain <t> or rich <r><t> runs only.
+
+    Phonetic ruby runs (<rPh>) and <phoneticPr> are metadata, not cell text —
+    openpyxl (and therefore the reference's pandas reader) excludes them.
+    """
+    t_tag = f"{_MAIN_NS}t"
+    r_tag = f"{_MAIN_NS}r"
+    parts: list[str] = []
+    for child in container:
+        if child.tag == t_tag:
+            parts.append(child.text or "")
+        elif child.tag == r_tag:
+            run_t = child.find(t_tag)
+            if run_t is not None and run_t.text:
+                parts.append(run_t.text)
+    return "".join(parts)
+
+
 def parse_shared_strings(package: VirtualPackage) -> list[str]:
     """Parse xl/sharedStrings.xml into an indexed string table."""
     path = "xl/sharedStrings.xml"
     if path not in package:
         return []
     root = package.read_xml(path)
-    out: list[str] = []
-    for si in root.findall(f"{_MAIN_NS}si"):
-        out.append("".join(t.text or "" for t in si.iter(f"{_MAIN_NS}t")))
-    return out
+    return [_rich_text(si) for si in root.findall(f"{_MAIN_NS}si")]
 
 
 def _int_attr(node: ET.Element, attr: str) -> int | None:

@@ -153,6 +153,10 @@ def _components_bboxes(
     h, w = grid.shape
     if h == 0 or w == 0 or not grid.any():
         return []
+    if grid.size <= 64:
+        # Tiny grids: the vectorized run extraction's fixed numpy overhead
+        # exceeds a direct scan; fall back to a cell BFS.
+        return _components_bboxes_small(grid, min_size)
 
     parent: list[int] = []
 
@@ -225,6 +229,42 @@ def _components_bboxes(
         if st[4] >= min_size
     ]
     return out
+
+
+def _components_bboxes_small(
+    grid: np.ndarray, min_size: int
+) -> list[tuple[int, int, int, int]]:
+    h, w = grid.shape
+    cells = grid.tolist()
+    seen = [[False] * w for _ in range(h)]
+    rects: list[tuple[int, int, int, int]] = []
+    for i in range(h):
+        for j in range(w):
+            if not cells[i][j] or seen[i][j]:
+                continue
+            stack = [(i, j)]
+            seen[i][j] = True
+            min_y = max_y = i
+            min_x = max_x = j
+            size = 0
+            while stack:
+                y, x = stack.pop()
+                size += 1
+                if y < min_y:
+                    min_y = y
+                elif y > max_y:
+                    max_y = y
+                if x < min_x:
+                    min_x = x
+                elif x > max_x:
+                    max_x = x
+                for ny, nx in ((y + 1, x), (y - 1, x), (y, x + 1), (y, x - 1)):
+                    if 0 <= ny < h and 0 <= nx < w and cells[ny][nx] and not seen[ny][nx]:
+                        seen[ny][nx] = True
+                        stack.append((ny, nx))
+            if size >= min_size:
+                rects.append((min_y, min_x, max_y, max_x))
+    return rects
 
 
 def detect_border_clusters(

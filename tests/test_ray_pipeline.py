@@ -70,3 +70,49 @@ class TestPipeline:
         assert got.keys() == expected.keys()
         for doc_id in expected:
             assert got[doc_id] == expected[doc_id], doc_id
+
+
+class TestWideDocuments:
+    def test_200_sheet_document_explodes_and_reassembles(self, ray_session):
+        """A pathologically wide doc (200 sheets) through the explode path."""
+        import pyarrow as pa
+        import ray.data
+
+        from exstruct_ray.datagen.builder import WorkbookBuilder
+        from exstruct_ray.datagen.corpus import DOC_SCHEMA
+
+        wb = WorkbookBuilder()
+        for s in range(200):
+            wb.sheet(f"W{s}").set(1, 0, s).set(2, 0, f"v{s}")
+        doc = {"doc_id": "wide", "spans": wb.build_parts()}
+        table = pa.Table.from_pylist([doc], schema=DOC_SCHEMA)
+
+        plain = build_extraction_pipeline(
+            ray.data.from_arrow(table), batch_size=1
+        ).take_all()
+        exploded = build_extraction_pipeline(
+            ray.data.from_arrow(table), batch_size=1, explode_threshold=0
+        ).take_all()
+        assert len(plain) == len(exploded) == 1
+        p, e = plain[0], exploded[0]
+        assert p["n_spans"] == e["n_spans"] == 400
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in p["spans"]
+        ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]]
+        # sheet order preserved across the shuffle
+        refs = [s["media_ref"] for s in e["spans"]]
+        assert refs == [f"W{i}" for i in range(200) for _ in (0, 1)]
+
+    def test_run_job_with_explode(self, ray_session, tmp_path):
+        from exstruct_ray.datagen.corpus import write_corpus_parquet
+        from exstruct_ray.stages.manifest import run_extraction_job
+
+        write_corpus_parquet(str(tmp_path / "in"), 12, rows_per_file=6)
+        summary = run_extraction_job(
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            files_per_partition=1,
+            explode_threshold=1000,  # force most docs through the explode path
+        )
+        assert summary["docs"] == 12
+        assert summary["errors"] == 0
