@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": q.doc_lang_counts,
         "doc_lang_detect": q.doc_lang_detect,
         "doc_minhash_pairs": q.doc_minhash_pairs,
+        "doc_dedup_groups": q.doc_dedup_groups,
         "doc_simhash": q.doc_simhash,
         "doc_ngram_verified_pairs": q.doc_ngram_verified_pairs,
         "embedding_topk": q.embedding_topk,

@@ -17,6 +17,9 @@ import pyarrow as pa
 
 from .builder import BOX, StyleSpec, WorkbookBuilder
 
+# Bump when generator output changes so cached bench corpora regenerate.
+GENERATOR_VERSION = 2
+
 SPAN_TYPE = pa.list_(
     pa.struct(
         [

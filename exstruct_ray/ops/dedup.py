@@ -215,6 +215,52 @@ def exact_dedup(ds, key_column: str = "text", id_column: str = "doc_id"):
     return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
 
 
+def dedup_groups(pairs_df: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over near-dup pairs → dedup groups.
+
+    Input: (doc_a, doc_b) candidate pairs (the output of
+    minhash_dedup_pairs — already a tiny fraction of the corpus). Output:
+    one row per duplicated document, (doc_id, group_id, is_canonical) where
+    group_id is the minimum doc id in the component and the canonical
+    member is the kept survivor.
+
+    The pairs set is bounded by the near-dup rate, so a driver-side
+    union-find is the right tool even at corpus scale; if pairs themselves
+    exceeded driver memory the same union-find runs iteratively via
+    label-propagation rounds (groupby(min-neighbor) until fixpoint).
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        for node in (a, b):
+            if node not in parent:
+                parent[node] = node
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            try:
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            except TypeError:
+                lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+
+    rows = []
+    for node in parent:
+        group = find(node)
+        rows.append(
+            {"doc_id": node, "group_id": group, "is_canonical": node == group}
+        )
+    out = pd.DataFrame(rows, columns=["doc_id", "group_id", "is_canonical"])
+    return out.sort_values(["group_id", "doc_id"]).reset_index(drop=True)
+
+
 def simhash_64(text: str, seed_salt: bytes = b"sim") -> int:
     """64-bit SimHash over whitespace tokens (two CRC32 halves per token)."""
     tokens = text.lower().split()

@@ -676,6 +676,15 @@ def embedding_neardup_pairs(sf_dir: str):
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def doc_dedup_groups(sf_dir: str):
+    """Near-dup groups: MinHash pairs → connected components (rows-only)."""
+    from .ops.dedup import dedup_groups, minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.7).to_pandas()
+    return dedup_groups(pairs)
+
+
 def doc_ngram_verified_pairs(sf_dir: str):
     """MinHash candidates verified by exact word-3-gram Jaccard (rows-only)."""
     from .ops.dedup import minhash_dedup_pairs, ngram_jaccard

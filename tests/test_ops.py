@@ -171,3 +171,27 @@ class TestRayOps:
         assert all(
             list(a) == list(b) for a, b in zip(merged["feature_x"], merged["feature_y"])
         )
+
+
+class TestDedupGroups:
+    def test_union_find_groups(self):
+        import pandas as pd
+
+        from exstruct_ray.ops.dedup import dedup_groups
+
+        pairs = pd.DataFrame(
+            {"doc_a": [1, 2, 5, 7], "doc_b": [2, 3, 6, 1]}
+        )  # components {1,2,3,7} and {5,6}
+        out = dedup_groups(pairs)
+        groups = out.groupby("group_id")["doc_id"].apply(set).to_dict()
+        assert groups == {1: {1, 2, 3, 7}, 5: {5, 6}}
+        canon = out[out["is_canonical"]]["doc_id"].tolist()
+        assert canon == [1, 5]
+
+    def test_empty_pairs(self):
+        import pandas as pd
+
+        from exstruct_ray.ops.dedup import dedup_groups
+
+        out = dedup_groups(pd.DataFrame({"doc_a": [], "doc_b": []}))
+        assert out.empty
