@@ -40,18 +40,20 @@ _MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
 def extract_declared_table_refs(
-    package: VirtualPackage, sheet_path: str
+    package: VirtualPackage, sheet_path: str, grid: SheetGrid
 ) -> list[str]:
-    """Declared ListObject table refs (highest priority, taken verbatim)."""
+    """Declared ListObject table refs (highest priority, taken verbatim).
+
+    Uses the tablePart relationship ids collected during the sheet parse —
+    the sheet XML is never re-read (the reference re-opens the workbook per
+    artifact; we parse each part exactly once per document).
+    """
     refs: list[str] = []
-    root = package.read_xml(sheet_path)
-    table_parts = root.find(f"{_MAIN_NS}tableParts")
-    if table_parts is None:
+    if not grid.table_part_rids:
         return refs
     rel_map = package.relationships(sheet_path)
-    r_ns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
-    for part in table_parts.findall(f"{_MAIN_NS}tablePart"):
-        rel = rel_map.get(part.attrib.get(f"{r_ns}id", ""))
+    for rid in grid.table_part_rids:
+        rel = rel_map.get(rid)
         if rel is None or rel.relationship_type != _TABLE_REL_TYPE:
             continue
         if rel.target not in package:
@@ -454,7 +456,7 @@ def detect_tables(
     limits: TableScanLimits,
 ) -> list[str]:
     """Full T1–T6 chain for one sheet; returns A1 range candidates."""
-    tables = extract_declared_table_refs(package, sheet_path)
+    tables = extract_declared_table_refs(package, sheet_path, grid)
     has_border, top_edge, bottom_edge, left_edge, right_edge = load_border_maps(
         grid, styles, limits
     )

@@ -242,3 +242,51 @@ class TestSmartArtSample:
         sheet = mine["sheets"].get("Sheet1", {})
         assert sheet.get("shapes", []) == []
         assert sheet.get("rows", []) == []
+
+
+class TestFastParserDifferential:
+    """The regex fast scanner must agree byte-for-byte with the ElementTree
+    parser on every real Excel-produced worksheet (this differential caught
+    `<v xml:space="preserve">` being missed by the fast path)."""
+
+    def test_fast_equals_et_on_real_files(self):
+        from exstruct_ray.ooxml import sheet_parser as sp
+        from exstruct_ray.ooxml.package import VirtualPackage
+        from exstruct_ray.ooxml.styles import parse_styles
+        from exstruct_ray.ooxml.workbook_parser import parse_workbook
+
+        checked = 0
+        for f in (REF / "sample").rglob("*.xlsx"):
+            pkg = VirtualPackage.from_xlsx_bytes(f.read_bytes())
+            info = parse_workbook(pkg)
+            styles = (
+                parse_styles(pkg.read_xml("xl/styles.xml"))
+                if "xl/styles.xml" in pkg
+                else parse_styles(None)
+            )
+            shared = sp.parse_shared_strings(pkg)
+            for ref in info.sheets:
+                if ref.path not in pkg:
+                    continue
+                raw = pkg.read_text(ref.path)
+                fast = sp._parse_sheet_fast(
+                    pkg, ref.path, ref.name, raw, shared, styles
+                )
+                pkg2 = VirtualPackage.from_xlsx_bytes(f.read_bytes())
+                et = sp.parse_sheet(
+                    pkg2, ref.path, ref.name, shared, styles, allow_fast_path=False
+                )
+                if fast is None:
+                    continue  # legitimate fallback
+                checked += 1
+                assert dict(fast.cells) == dict(et.cells), (f.name, ref.name)
+                assert fast.merged_refs == et.merged_refs
+                assert dict(fast.hyperlinks) == dict(et.hyperlinks)
+                assert fast.table_part_rids == et.table_part_rids
+                assert (fast.min_row, fast.min_col, fast.max_row, fast.max_col) == (
+                    et.min_row,
+                    et.min_col,
+                    et.max_row,
+                    et.max_col,
+                )
+        assert checked >= 5
