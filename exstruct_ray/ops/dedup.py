@@ -1,6 +1,13 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup.
 
+Method references (public literature): MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997) with the
+standard banding LSH scheme (Indyk & Motwani 1998; Leskovec/Rajaraman/Ullman
+"Mining of Massive Datasets" ch. 3); SimHash (Charikar, "Similarity
+estimation techniques from rounding algorithms", 2002) as deployed for
+near-duplicate web detection (Manku, Jain & Das Sarma, WWW 2007).
+
 Scale notes (100 TB design):
   - exact_dedup: hash-partition groupby on the content hash; only the hash +
     doc_id move through the shuffle, never the text.
