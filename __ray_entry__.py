@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": q.part_type_stats,
         # Training-data ops
         "doc_token_stats": q.doc_token_stats,
+        "doc_vocabulary": q.doc_vocabulary,
+        "lineitem_pushdown": q.lineitem_pushdown,
         "doc_fingerprints": q.doc_fingerprints,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_lang_counts": q.doc_lang_counts,

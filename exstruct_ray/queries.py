@@ -676,6 +676,68 @@ def embedding_neardup_pairs(sf_dir: str):
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def doc_vocabulary(sf_dir: str):
+    """Corpus vocabulary: whitespace token → document-wide count.
+
+    The canonical training-data aggregation: tokens exploded and counted
+    per batch (vectorized pandas), partial counts shuffled by a coarse
+    token-hash bucket, exact per-token merge inside each group — same
+    micro-group-avoidance pattern as the MinHash banding.
+    """
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tokens = batch["text"].fillna("").str.split().explode().dropna()
+        if tokens.empty:
+            return pd.DataFrame({"token": [], "n": [], "bucket": []})
+        counts = tokens.value_counts()
+        out = pd.DataFrame({"token": counts.index, "n": counts.values})
+        out["bucket"] = [
+            zlib.crc32(t.encode("utf-8")) % 256 for t in out["token"]
+        ]
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("token", as_index=False).agg(n=("n", "sum"))
+
+    out = (
+        partials.groupby("bucket").map_groups(merge, batch_format="pandas").to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def lineitem_pushdown(sf_dir: str):
+    """Prune-at-the-read demonstration: row-group/row filter + column
+    projection pushed into the parquet scan (only two columns and the
+    selected rows ever leave storage)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+        filter=(pads.field("l_quantity") >= 49.0),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_rows": [len(batch)], "sum_qty": [float(batch["l_quantity"].sum())]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": [int(parts["n_rows"].sum())],
+            "sum_qty": [float(parts["sum_qty"].sum())],
+        }
+    )
+
+
 def doc_dedup_groups(sf_dir: str):
     """Near-dup groups: MinHash pairs → connected components (rows-only)."""
     from .ops.dedup import dedup_groups, minhash_dedup_pairs
@@ -894,6 +956,22 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE length(regexp_split_to_array(trim(text), '\\s+'))
                END) >= 5
         ORDER BY doc_id
+    """,
+    "doc_vocabulary": """
+        SELECT token, count(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents
+            WHERE trim(text) <> ''
+        )
+        GROUP BY token
+        ORDER BY token
+    """,
+    "lineitem_pushdown": """
+        SELECT count(*) AS n_rows,
+               coalesce(sum(l_quantity), 0.0) AS sum_qty
+        FROM lineitem
+        WHERE l_quantity >= 49.0
     """,
     "embedding_neardup_pairs": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -184,40 +184,71 @@ def _doc_payload_bytes(spans: list[dict]) -> int:
 
 
 def _split_doc_by_sheet(doc_id: str, spans: list[dict]) -> list[dict]:
-    """Split a document's parts into per-sheet rows + shared parts."""
-    import re
+    """Split a document's parts into per-sheet rows + shared parts.
+
+    Part→sheet membership is resolved through the OOXML relationship graph
+    (sheet → drawing → charts, sheet → tables), NOT filename patterns —
+    real workbooks number chart/table parts globally, so name-based
+    grouping would misassign them. Parts reachable from no sheet (styles,
+    sharedStrings, workbook, unreferenced media) replicate into every row.
+    """
+    from ..ooxml.package import VirtualPackage, rels_path
+    from ..ooxml.workbook_parser import parse_workbook
+
+    try:
+        package = VirtualPackage.from_spans(
+            [s.get("kind") or "" for s in spans],
+            [s.get("text") or "" for s in spans],
+            [s.get("media_ref") or "" for s in spans],
+        )
+        info = parse_workbook(package)
+    except Exception:
+        info = None
+
+    if info is None or not info.sheets:
+        return [{"doc_id": doc_id, "spans": spans, "sheet_idx": 0}]
+
+    # Build part-path -> sheet ordinal via the relationship graph.
+    owner: dict[str, int] = {}
+    for idx, sheet_ref in enumerate(info.sheets):
+        frontier = [sheet_ref.path]
+        seen = set()
+        while frontier:
+            part = frontier.pop()
+            if part in seen:
+                continue
+            seen.add(part)
+            owner.setdefault(part, idx)
+            owner.setdefault(rels_path(part), idx)
+            try:
+                rels = package.relationships(part)
+            except Exception:
+                continue
+            for rel in rels.values():
+                target = rel.target
+                if target in package and target not in seen:
+                    frontier.append(target)
 
     shared: list[dict] = []
-    by_sheet: dict[str, list[dict]] = {}
-    sheet_order: list[str] = []
-
-    def sheet_key(ref: str) -> str | None:
-        m = re.match(r"xl/(?:worksheets|drawings|charts|tables)(?:/_rels)?/"
-                     r"(?:sheet|drawing|chart|table)(\d+)", ref)
-        return m.group(1) if m else None
-
+    by_sheet: dict[int, list[dict]] = {}
     for span in spans:
         ref = span.get("media_ref") or ""
-        if ref.startswith(_SHARED_PART_PREFIXES):
+        idx = owner.get(ref.lstrip("/"))
+        if idx is None:
             shared.append(span)
-            continue
-        key = sheet_key(ref)
-        if key is None:
-            shared.append(span)
-            continue
-        if key not in by_sheet:
-            by_sheet[key] = []
-            sheet_order.append(key)
-        by_sheet[key].append(span)
+        else:
+            by_sheet.setdefault(idx, []).append(span)
 
     if not by_sheet:
         return [{"doc_id": doc_id, "spans": spans, "sheet_idx": 0}]
-    rows = []
-    for idx, key in enumerate(sorted(sheet_order, key=int)):
-        rows.append(
-            {"doc_id": doc_id, "spans": shared + by_sheet[key], "sheet_idx": idx}
-        )
-    return rows
+    return [
+        {
+            "doc_id": doc_id,
+            "spans": shared + by_sheet[sheet_idx],
+            "sheet_idx": sheet_idx,
+        }
+        for sheet_idx in sorted(by_sheet)
+    ]
 
 
 def explode_giant_docs(
