@@ -17,7 +17,9 @@ import pandas as pd
 def _stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
     text = batch["text"].fillna("")
     n_chars = text.str.len().astype("int64")
-    n_tokens = text.str.split().str.len().fillna(0).astype("int64")
+    # Token = maximal run of non-ASCII-whitespace (matches RE2 \s semantics
+    # in the SQL oracle; unicode whitespace like NBSP does not split).
+    n_tokens = text.str.count(r"(?a)\S+").astype("int64")
     n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
     n_digit = text.str.count(r"[0-9]").astype("int64")
     n_punct = text.str.count(r"[.,!?;:]").astype("int64")

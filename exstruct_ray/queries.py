@@ -603,7 +603,7 @@ def doc_quality_filter(sf_dir: str):
         text = batch["text"].fillna("")
         n_chars = text.str.len()
         n_alpha = text.str.count(r"[A-Za-z]")
-        n_tokens = text.str.split().str.len().fillna(0).astype("int64")
+        n_tokens = text.str.count(r"(?a)\S+").astype("int64")
         ratio = n_alpha / n_chars.replace(0, np.nan)
         keep = (ratio >= 0.5) & (n_tokens >= 5)
         out = batch.loc[keep, ["doc_id"]].copy()
@@ -688,15 +688,36 @@ def doc_vocabulary(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["text"])
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "token": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "bucket": pd.Series(dtype="int64"),
+            }
+        )
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        tokens = batch["text"].fillna("").str.split().explode().dropna()
+        # ASCII-whitespace tokenization with empty tokens dropped — the
+        # exact semantics the DuckDB oracle expresses (RE2 \s is ASCII-only;
+        # unicode whitespace like NBSP splits on neither side).
+        tokens = (
+            batch["text"]
+            .fillna("")
+            .str.split(r"(?a:\s)+", regex=True)
+            .explode()
+            .dropna()
+        )
+        tokens = tokens[tokens != ""]
         if tokens.empty:
-            return pd.DataFrame({"token": [], "n": [], "bucket": []})
+            return _empty()
         counts = tokens.value_counts()
         out = pd.DataFrame({"token": counts.index, "n": counts.values})
         out["bucket"] = [
             zlib.crc32(t.encode("utf-8")) % 256 for t in out["token"]
         ]
+        out["bucket"] = out["bucket"].astype("int64")
+        out["n"] = out["n"].astype("int64")
         return out
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -849,9 +870,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_token_stats": """
         SELECT doc_id,
                length(text) AS n_chars,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_split_to_array(trim(text), '\\s+'))
-               END AS n_tokens,
+               length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> '')) AS n_tokens,
                length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
                    AS n_alpha,
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
@@ -946,24 +966,22 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "doc_quality_filter": """
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_split_to_array(trim(text), '\\s+'))
-               END AS n_tokens
+               length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> '')) AS n_tokens
         FROM documents
         WHERE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
                    AS DOUBLE) / nullif(length(text), 0) >= 0.5
-          AND (CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_split_to_array(trim(text), '\\s+'))
-               END) >= 5
+          AND length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 t -> t <> '')) >= 5
         ORDER BY doc_id
     """,
     "doc_vocabulary": """
         SELECT token, count(*) AS n
         FROM (
-            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
             FROM documents
-            WHERE trim(text) <> ''
         )
+        WHERE token <> ''
         GROUP BY token
         ORDER BY token
     """,

@@ -32,15 +32,6 @@ _EXPLODED_SCHEMA = pa.schema(
     ]
 )
 
-# Workbook-level parts every exploded sheet row needs a copy of.
-_SHARED_PART_PREFIXES = (
-    "xl/workbook.xml",
-    "xl/_rels/workbook.xml.rels",
-    "xl/styles.xml",
-    "xl/sharedStrings.xml",
-)
-
-
 def _cluster_cpus() -> int:
     import ray
 
@@ -208,18 +199,21 @@ def _split_doc_by_sheet(doc_id: str, spans: list[dict]) -> list[dict]:
     if info is None or not info.sheets:
         return [{"doc_id": doc_id, "spans": spans, "sheet_idx": 0}]
 
-    # Build part-path -> sheet ordinal via the relationship graph.
-    owner: dict[str, int] = {}
+    # Build part-path -> owning sheet ordinals via the relationship graph.
+    # A part reachable from SEVERAL sheets (e.g. a chart shared by two
+    # drawings) must replicate into every reaching sheet's row — first-wins
+    # ownership would silently drop it from the other sheets.
+    owners: dict[str, set[int]] = {}
     for idx, sheet_ref in enumerate(info.sheets):
         frontier = [sheet_ref.path]
-        seen = set()
+        seen: set[str] = set()
         while frontier:
             part = frontier.pop()
             if part in seen:
                 continue
             seen.add(part)
-            owner.setdefault(part, idx)
-            owner.setdefault(rels_path(part), idx)
+            owners.setdefault(part, set()).add(idx)
+            owners.setdefault(rels_path(part), set()).add(idx)
             try:
                 rels = package.relationships(part)
             except Exception:
@@ -233,11 +227,12 @@ def _split_doc_by_sheet(doc_id: str, spans: list[dict]) -> list[dict]:
     by_sheet: dict[int, list[dict]] = {}
     for span in spans:
         ref = span.get("media_ref") or ""
-        idx = owner.get(ref.lstrip("/"))
-        if idx is None:
+        sheet_ids = owners.get(ref.lstrip("/"))
+        if not sheet_ids:
             shared.append(span)
         else:
-            by_sheet.setdefault(idx, []).append(span)
+            for idx in sheet_ids:
+                by_sheet.setdefault(idx, []).append(span)
 
     if not by_sheet:
         return [{"doc_id": doc_id, "spans": spans, "sheet_idx": 0}]

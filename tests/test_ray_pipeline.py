@@ -116,3 +116,41 @@ class TestWideDocuments:
         )
         assert summary["docs"] == 12
         assert summary["errors"] == 0
+
+    def test_part_shared_by_two_sheets_replicates(self, ray_session):
+        """A chart part referenced from two sheets' drawings must appear in
+        BOTH exploded rows (first-wins ownership silently dropped it)."""
+        import pyarrow as pa
+        import ray.data
+
+        from exstruct_ray.datagen.builder import WorkbookBuilder
+        from exstruct_ray.datagen.corpus import DOC_SCHEMA
+
+        wb = WorkbookBuilder()
+        a = wb.sheet("Alpha")
+        a.set(1, 0, "a")
+        a.add_chart("CA", chart_tag="lineChart")
+        b = wb.sheet("Beta")
+        b.set(1, 0, "b")
+        b.add_chart("CB", chart_tag="barChart", bar_dir="col")
+        spans = wb.build_parts()
+        # Point BOTH drawings' chart rels at the SAME chart part.
+        shared_target = "../charts/chart1_1.xml"
+        for s in spans:
+            if s["media_ref"] == "xl/drawings/_rels/drawing2.xml.rels":
+                s["text"] = s["text"].replace("../charts/chart2_1.xml", shared_target)
+        doc = {"doc_id": "shared", "spans": spans}
+        table = pa.Table.from_pylist([doc], schema=DOC_SCHEMA)
+
+        plain = build_extraction_pipeline(
+            ray.data.from_arrow(table), batch_size=1
+        ).take_all()[0]
+        exploded = build_extraction_pipeline(
+            ray.data.from_arrow(table), batch_size=1, explode_threshold=0
+        ).take_all()[0]
+        p = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in plain["spans"]]
+        e = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exploded["spans"]]
+        # whole-doc path: chart CA appears on BOTH sheets (same part)
+        chart_sheets = [s[2] for s in p if s[0] == "chart"]
+        assert chart_sheets == ["Alpha", "Beta"]
+        assert e == p
