@@ -65,11 +65,9 @@ class ExtractEngine:
         return extract(source, opts)
 
     def extract_spans(self, source, mode: str | None = None) -> list[Span]:
-        opts = (
-            self.options if mode is None else self.options.with_(mode=mode)
-        ).resolved()
-        workbook = extract(source, self.options if mode is None else self.options.with_(mode=mode))
-        return workbook_to_spans(workbook, opts)
+        options = self.options if mode is None else self.options.with_(mode=mode)
+        workbook = extract(source, options)
+        return workbook_to_spans(workbook, options.resolved())
 
     def serialize(
         self, workbook: WorkbookData, fmt: str = "json", **kwargs: object

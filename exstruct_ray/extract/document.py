@@ -91,7 +91,14 @@ def extract_workbook(
         if sheet_ref.path not in package:
             continue
         try:
-            grid = parse_sheet(package, sheet_ref.path, sheet_ref.name, shared, styles)
+            grid = parse_sheet(
+                package,
+                sheet_ref.path,
+                sheet_ref.name,
+                shared,
+                styles,
+                date1904=info.date1904,
+            )
         except Exception:
             # Malformed sheet XML: drop only this sheet's data (reference
             # drops the affected sheet's drawings; without cells there is
@@ -208,17 +215,14 @@ def _cells_to_rows(grid: SheetGrid, include_links: bool) -> list[CellRow]:
         if s.strip() == "":
             continue
         by_row.setdefault(r, {})[str(c0)] = coerce_numeric_preserve_format(s)
+    links_by_row: dict[int, dict[str, str]] = {}
+    if include_links:
+        for (lr, c0), target in sorted(grid.hyperlinks.items()):
+            links_by_row.setdefault(lr, {})[str(c0)] = target
     rows: list[CellRow] = []
     for r in sorted(by_row):
-        links: dict[str, str] | None = None
-        if include_links:
-            row_links = {
-                str(c0): target
-                for (lr, c0), target in sorted(grid.hyperlinks.items())
-                if lr == r
-            }
-            links = row_links or None
-        rows.append(CellRow(r=r, c=by_row[r], links=links))
+        links = links_by_row.get(r) if include_links else None
+        rows.append(CellRow(r=r, c=by_row[r], links=links or None))
     return rows
 
 

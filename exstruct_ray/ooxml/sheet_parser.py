@@ -31,7 +31,8 @@ _CELL_REF_RE = re.compile(r"^([A-Z]+)(\d+)$")
 DEFAULT_COLUMN_WIDTH_POINTS = 48.0
 DEFAULT_ROW_HEIGHT_POINTS = 15.0
 
-_EXCEL_EPOCH = _dt.datetime(1899, 12, 30)
+_EXCEL_EPOCH_1900 = _dt.datetime(1899, 12, 30)
+_EXCEL_EPOCH_1904 = _dt.datetime(1904, 1, 1)
 
 
 def _col_letters_to_index(letters: str) -> int:
@@ -123,10 +124,11 @@ def _render_number(text: str) -> str:
         return text
 
 
-def _render_date(serial: float) -> str:
+def _render_date(serial: float, date1904: bool = False) -> str:
     """Render an Excel date serial the way pandas' Timestamp str() does."""
     try:
-        dt = _EXCEL_EPOCH + _dt.timedelta(days=serial)
+        epoch = _EXCEL_EPOCH_1904 if date1904 else _EXCEL_EPOCH_1900
+        dt = epoch + _dt.timedelta(days=serial)
     except OverflowError:
         return str(serial)
     # Round to the nearest second to absorb float serial error.
@@ -163,6 +165,7 @@ def parse_sheet(
     styles: Stylesheet,
     *,
     allow_fast_path: bool = True,
+    date1904: bool = False,
 ) -> SheetGrid:
     """Parse one worksheet part into a SheetGrid.
 
@@ -178,11 +181,14 @@ def parse_sheet(
         # once the sheetData dominates the part.
         if len(raw) >= 8192:
             grid = _parse_sheet_fast(
-                package, sheet_path, sheet_name, raw, shared_strings, styles
+                package, sheet_path, sheet_name, raw, shared_strings, styles,
+                date1904=date1904,
             )
             if grid is not None:
                 return grid
-    return _parse_sheet_et(package, sheet_path, sheet_name, shared_strings, styles)
+    return _parse_sheet_et(
+        package, sheet_path, sheet_name, shared_strings, styles, date1904=date1904
+    )
 
 
 def _parse_sheet_fast(
@@ -192,6 +198,7 @@ def _parse_sheet_fast(
     raw: str,
     shared_strings: list[str],
     styles: Stylesheet,
+    date1904: bool = False,
 ) -> SheetGrid | None:
     """Regex scan of <sheetData>; None when preconditions fail."""
     root_at = raw.find("<worksheet")
@@ -222,7 +229,8 @@ def _parse_sheet_fast(
     # Metadata (format, cols, merges, links) parsed via ET on the remainder
     # — tiny compared to sheetData.
     grid = _parse_sheet_et_from_root(
-        package, sheet_path, sheet_name, ET.fromstring(remainder), shared_strings, styles
+        package, sheet_path, sheet_name, ET.fromstring(remainder), shared_strings,
+        styles, date1904=date1904,
     )
 
     for ht_match in _FAST_ROW_HT_RE.finditer(sheet_data):
@@ -296,7 +304,7 @@ def _parse_sheet_fast(
                 value = ""
             elif style_idx is not None and style_idx in date_styles:
                 try:
-                    value = _render_date(float(v_text))
+                    value = _render_date(float(v_text), date1904)
                 except ValueError:
                     value = v_text
             else:
@@ -350,10 +358,12 @@ def _parse_sheet_et(
     sheet_name: str,
     shared_strings: list[str],
     styles: Stylesheet,
+    date1904: bool = False,
 ) -> SheetGrid:
     root = package.read_xml(sheet_path)
     return _parse_sheet_et_from_root(
-        package, sheet_path, sheet_name, root, shared_strings, styles
+        package, sheet_path, sheet_name, root, shared_strings, styles,
+        date1904=date1904,
     )
 
 
@@ -364,6 +374,7 @@ def _parse_sheet_et_from_root(
     root: ET.Element,
     shared_strings: list[str],
     styles: Stylesheet,
+    date1904: bool = False,
 ) -> SheetGrid:
     """Full ElementTree worksheet parse (single pass)."""
     grid = SheetGrid(name=sheet_name)
@@ -463,7 +474,7 @@ def _parse_sheet_et_from_root(
                         value = ""
                     elif style_idx is not None and style_idx in date_styles:
                         try:
-                            value = _render_date(float(v_text))
+                            value = _render_date(float(v_text), date1904)
                         except ValueError:
                             value = v_text
                     else:
@@ -475,7 +486,8 @@ def _parse_sheet_et_from_root(
                         value = ""
                 else:
                     value = _render_value(
-                        cell_type, v_text, c_el, style_idx, shared_strings, styles
+                        cell_type, v_text, c_el, style_idx, shared_strings, styles,
+                        date1904,
                     )
 
                 if value == "" and style_idx is None and formula is None:
@@ -539,6 +551,7 @@ def _render_value(
     style_idx: int | None,
     shared_strings: list[str],
     styles: Stylesheet,
+    date1904: bool = False,
 ) -> str:
     if cell_type == "s":
         try:

@@ -29,6 +29,9 @@ class WorkbookInfo:
     sheets: list[SheetRef] = field(default_factory=list)
     # sheet name -> ordered print areas
     print_areas: dict[str, list[PrintArea]] = field(default_factory=dict)
+    # Mac-origin workbooks use the 1904 date system (workbookPr date1904);
+    # date serials are offset by 1462 days vs the default 1900 system.
+    date1904: bool = False
 
 
 def parse_workbook(package: VirtualPackage) -> WorkbookInfo:
@@ -37,6 +40,10 @@ def parse_workbook(package: VirtualPackage) -> WorkbookInfo:
         return info
     root = package.read_xml("xl/workbook.xml")
     rel_map = package.relationships("xl/workbook.xml")
+
+    wb_pr = root.find(f"{_MAIN_NS}workbookPr")
+    if wb_pr is not None:
+        info.date1904 = wb_pr.attrib.get("date1904", "").lower() in {"1", "true"}
 
     sheets_node = root.find(f"{_MAIN_NS}sheets")
     if sheets_node is not None:

@@ -102,18 +102,6 @@ def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 5, concurrency=N
     )
 
 
-def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
-    doc_ids: list = []
-    band_keys: list[int] = []
-    for doc_id, sig in zip(batch["doc_id"], batch["signature"]):
-        arr = np.asarray(sig, dtype=np.uint32).reshape(bands, rows_per_band)
-        for band_idx in range(bands):
-            key = zlib.crc32(arr[band_idx].tobytes()) ^ (band_idx << 32)
-            doc_ids.append(doc_id)
-            band_keys.append(key)
-    return pd.DataFrame({"doc_id": doc_ids, "band_key": band_keys})
-
-
 def minhash_dedup_pairs(
     ds,
     num_perm: int = 64,
@@ -201,10 +189,14 @@ def exact_dedup(ds, key_column: str = "text", id_column: str = "doc_id"):
     """
 
     def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         out = batch[[id_column]].copy()
+        # 128-bit content hash: collisions are negligible even at 10^12
+        # docs (a 32-bit hash would merge distinct texts by birthday
+        # collision around ~2^16 docs and silently drop one).
         out["content_hash"] = [
-            zlib.crc32((t or "").encode("utf-8"))
-            ^ (len((t or "").encode("utf-8")) << 32)
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
             for t in batch[key_column].tolist()
         ]
         return out

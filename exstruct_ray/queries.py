@@ -52,15 +52,17 @@ def q1_pricing_summary(sf_dir: str):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch["l_shipdate"] <= cutoff]
         if batch.empty:
+            # Explicit dtypes: an untyped empty frame yields null-typed
+            # Arrow columns that conflict with non-empty blocks' schema.
             return pd.DataFrame(
-                columns=[
-                    "l_returnflag",
-                    "l_linestatus",
-                    "sum_qty",
-                    "sum_base_price",
-                    "sum_disc_price",
-                    "count_order",
-                ]
+                {
+                    "l_returnflag": pd.Series(dtype="object"),
+                    "l_linestatus": pd.Series(dtype="object"),
+                    "sum_qty": pd.Series(dtype="float64"),
+                    "sum_base_price": pd.Series(dtype="float64"),
+                    "sum_disc_price": pd.Series(dtype="float64"),
+                    "count_order": pd.Series(dtype="int64"),
+                }
             )
         disc_price = batch["l_extendedprice"] * (1 - batch["l_discount"])
         tmp = pd.DataFrame(
@@ -221,29 +223,32 @@ def events_hourly(sf_dir: str):
 
 
 def distinct_users(sf_dir: str):
-    """count(distinct) via in-batch dedup → keyed dedup → count."""
+    """count(distinct) via in-batch dedup → coarse-bucket shuffle → exact
+    dedup inside each group — the full (event_type, user_id) key would
+    make one micro-group per user (the anti-pattern CLAUDE.md flags)."""
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def local_unique(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates()
+        out = batch.drop_duplicates()
+        out = out.copy()
+        out["bucket"] = (out["user_id"] % 64).astype("int64")
+        return out
 
-    deduped = (
-        ds.map_batches(local_unique, batch_format="pandas")
-        .groupby(["event_type", "user_id"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
-
-    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return (
-            batch.groupby("event_type", as_index=False)
-            .agg(n_users=("user_id", "count"))
+    def bucket_count(group: pd.DataFrame) -> pd.DataFrame:
+        uniq = group.drop_duplicates(subset=["event_type", "user_id"])
+        return uniq.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "count")
         )
 
     out = (
-        deduped.map_batches(count_partial, batch_format="pandas")
+        ds.map_batches(local_unique, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_count, batch_format="pandas")
         .groupby("event_type")
         .map_groups(
-            lambda g: g.groupby("event_type", as_index=False).sum(),
+            lambda g: g.groupby("event_type", as_index=False).agg(
+                n_users=("n_users", "sum")
+            ),
             batch_format="pandas",
         )
         .to_pandas()
@@ -527,17 +532,34 @@ def supplier_balance_by_region(sf_dir: str):
     region_names = dict(zip(region["r_regionkey"], region["r_name"]))
     ref = ray.put((nation_to_region, region_names))
 
-    def agg(batch: pd.DataFrame) -> pd.DataFrame:
-        n2r, rnames = ray.get(ref)
-        r_name = batch["s_nationkey"].map(n2r).map(rnames)
-        tmp = pd.DataFrame(
-            {"r_name": r_name, "total_balance": batch["s_acctbal"], "n_suppliers": 1}
-        )
-        return tmp.groupby("r_name", as_index=False).sum()
+    class RegionAgg:
+        """Broadcast dicts fetched once per actor, not per batch."""
+
+        def __init__(self, lookup_ref):
+            self._n2r, self._rnames = ray.get(lookup_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            r_name = batch["s_nationkey"].map(self._n2r).map(self._rnames)
+            tmp = pd.DataFrame(
+                {
+                    "r_name": r_name,
+                    "total_balance": batch["s_acctbal"],
+                    "n_suppliers": 1,
+                }
+            )
+            return tmp.groupby("r_name", as_index=False).sum()
+
+    from .stages.pipeline import _default_concurrency
 
     out = (
         _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
-        .map_batches(agg, batch_format="pandas")
+        .map_batches(
+            RegionAgg,
+            fn_constructor_kwargs={"lookup_ref": ref},
+            batch_format="pandas",
+            concurrency=_default_concurrency(),
+            num_cpus=1,
+        )
         .groupby("r_name")
         .map_groups(
             lambda g: g.groupby("r_name", as_index=False).sum(),

@@ -264,6 +264,11 @@ def explode_giant_docs(
         return pa.Table.from_pylist(rows, schema=_EXPLODED_SCHEMA)
 
     tagged = ds.map_batches(splitter, batch_format="pyarrow", batch_size=32)
+    # Two downstream branches would each re-execute the read+splitter
+    # lineage (Ray Data shares no common sub-plans); materialize the tagged
+    # rows once. Bounded: explode mode is meant to run inside partitioned
+    # jobs (stages/manifest.py), where a partition is a handful of files.
+    tagged = tagged.materialize()
     small = tagged.filter(expr="sheet_idx == -1").drop_columns(["sheet_idx"])
     exploded = tagged.filter(expr="sheet_idx >= 0")
     return small, exploded

@@ -275,3 +275,51 @@ class TestStylesEdgeCases:
         pkg = self._package("<broken", sheet)  # malformed styles degrade
         wb = extract_workbook(pkg, ExtractOptions().resolved())
         assert wb.sheets["S"].rows[0].c == {"0": 7}
+
+
+class TestDate1904:
+    def test_mac_1904_date_system(self):
+        """workbookPr date1904 shifts the serial epoch by 1462 days."""
+        from exstruct_ray.ooxml.package import VirtualPackage
+        from exstruct_ray.extract.document import extract_workbook
+
+        main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+        rel = "http://schemas.openxmlformats.org/package/2006/relationships"
+        sheet = (
+            f'<worksheet xmlns="{main}"><sheetData>'
+            '<row r="1"><c r="A1" s="1"><v>100</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+        styles = (
+            f'<styleSheet xmlns="{main}"><cellXfs count="2">'
+            '<xf numFmtId="0" fillId="0" borderId="0"/>'
+            '<xf numFmtId="14" fillId="0" borderId="0"/>'
+            "</cellXfs></styleSheet>"
+        )
+
+        def wb_xml(date1904: str) -> str:
+            return (
+                f'<workbook xmlns="{main}" xmlns:r="{r}">'
+                f'<workbookPr date1904="{date1904}"/>'
+                f'<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+                f"</workbook>"
+            )
+
+        rels = (
+            f'<Relationships xmlns="{rel}"><Relationship Id="rId1" '
+            f'Type="{r}/worksheet" Target="worksheets/sheet1.xml"/></Relationships>'
+        )
+        for flag, expected in [("1", "1904-04-10 00:00:00"), ("0", "1900-04-09 00:00:00")]:
+            pkg = VirtualPackage(
+                {
+                    "xl/workbook.xml": wb_xml(flag),
+                    "xl/_rels/workbook.xml.rels": rels,
+                    "xl/styles.xml": styles,
+                    "xl/worksheets/sheet1.xml": sheet,
+                }
+            )
+            from exstruct_ray.config import ExtractOptions
+
+            out = extract_workbook(pkg, ExtractOptions().resolved())
+            assert out.sheets["S"].rows[0].c["0"] == expected, flag
