@@ -20,5 +20,27 @@ Layout:
 from .config import ExtractOptions
 from .extract.document import extract_document_spans
 
-__all__ = ["ExtractOptions", "extract_document_spans"]
+
+def __getattr__(name):
+    # Lazy re-exports keep `import exstruct_ray` light for Ray workers.
+    # (The single-doc `extract()` function lives at exstruct_ray.api.extract
+    # — the top-level name is taken by the `extract` subpackage.)
+    if name in {"extract_spans", "ExtractEngine"}:
+        from . import api
+
+        return getattr(api, name)
+    if name == "build_extraction_pipeline":
+        from .stages.pipeline import build_extraction_pipeline
+
+        return build_extraction_pipeline
+    raise AttributeError(f"module 'exstruct_ray' has no attribute {name!r}")
+
+
+__all__ = [
+    "ExtractEngine",
+    "ExtractOptions",
+    "build_extraction_pipeline",
+    "extract_document_spans",
+    "extract_spans",
+]
 __version__ = "0.1.0"

@@ -107,3 +107,59 @@ class TestXlsxBytesParity:
             opts,
         )
         assert via_zip == via_spans
+
+
+class TestParserEdgeCases:
+    def test_self_closing_sheet_data(self):
+        from exstruct_ray.config import ExtractOptions
+        from exstruct_ray.extract.document import extract_workbook
+        from exstruct_ray.ooxml.package import VirtualPackage
+
+        main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+        rel = "http://schemas.openxmlformats.org/package/2006/relationships"
+        pkg = VirtualPackage(
+            {
+                "xl/workbook.xml": (
+                    f'<workbook xmlns="{main}" xmlns:r="{r}"><sheets>'
+                    f'<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+                ),
+                "xl/_rels/workbook.xml.rels": (
+                    f'<Relationships xmlns="{rel}"><Relationship Id="rId1" '
+                    f'Type="{r}/worksheet" Target="worksheets/sheet1.xml"/></Relationships>'
+                ),
+                "xl/worksheets/sheet1.xml": f'<worksheet xmlns="{main}"><sheetData/></worksheet>',
+            }
+        )
+        out = extract_workbook(pkg, ExtractOptions().resolved())
+        assert out.sheets["S"].rows == []
+
+    def test_workbook_without_rels_yields_no_sheets(self):
+        from exstruct_ray.config import ExtractOptions
+        from exstruct_ray.extract.document import extract_workbook
+        from exstruct_ray.ooxml.package import VirtualPackage
+
+        main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+        pkg = VirtualPackage(
+            {
+                "xl/workbook.xml": (
+                    f'<workbook xmlns="{main}" xmlns:r="{r}"><sheets>'
+                    f'<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+                )
+            }
+        )
+        out = extract_workbook(pkg, ExtractOptions().resolved())
+        assert out.sheets == {}
+
+    def test_lazy_public_exports(self):
+        import exstruct_ray
+
+        assert callable(exstruct_ray.extract_spans)
+        assert callable(exstruct_ray.build_extraction_pipeline)
+        assert exstruct_ray.ExtractEngine.from_defaults() is not None
+        try:
+            exstruct_ray.nope
+            raise AssertionError("should have raised")
+        except AttributeError:
+            pass
