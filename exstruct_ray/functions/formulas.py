@@ -63,7 +63,12 @@ def translate_formula(text: str, delta_rows: int, delta_cols: int) -> str:
             prev = text[i - 1] if i > 0 else ""
             next_ch = text[end] if end < n else ""
             is_function = next_ch == "("
-            is_identifier_part = prev.isalnum() or prev in "_."
+            # A token is part of a larger identifier (defined name like
+            # tbl1Col, or B2x) when flanked by identifier characters on
+            # EITHER side; position 0 has no preceding character.
+            is_identifier_part = bool(prev) and (prev.isalnum() or prev in "_.")
+            if next_ch and (next_ch.isalnum() or next_ch in "_."):
+                is_identifier_part = True
             col_idx = _col_to_index(m.group(2))
             row_idx = int(m.group(4))
             plausible = 1 <= col_idx <= _MAX_COL and 1 <= row_idx <= _MAX_ROW

@@ -125,9 +125,16 @@ def _render_number(text: str) -> str:
 
 
 def _render_date(serial: float, date1904: bool = False) -> str:
-    """Render an Excel date serial the way pandas' Timestamp str() does."""
+    """Render an Excel date serial the way pandas' Timestamp str() does.
+
+    1900 system: Excel pretends 1900-02-29 exists (serial 60), so serials
+    below 60 are shifted +1 day — matching openpyxl/pandas (the reference's
+    reader). The 1904 system has no such bug.
+    """
     try:
         epoch = _EXCEL_EPOCH_1904 if date1904 else _EXCEL_EPOCH_1900
+        if not date1904 and 1 <= serial < 60:
+            serial += 1
         dt = epoch + _dt.timedelta(days=serial)
     except OverflowError:
         return str(serial)
@@ -143,10 +150,14 @@ _FAST_CELL_RE = re.compile(
 )
 _FAST_ATTR_RE = re.compile(r'([a-zA-Z]+)="([^"]*)"')
 _FAST_ROW_HT_RE = re.compile(r'<row r="(\d+)"[^>]*?\sht="([0-9.]+)"')
+_FAST_ROW_R_RE = re.compile(r'<row[^>]*\br="')
 _FAST_F_RE = re.compile(r"<f(\s[^>]*)?(?:/>|>(.*?)</f>)", re.S)
 _FAST_V_RE = re.compile(r"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
 
-_ENTITY_CH = re.compile(r"&[#a-zA-Z0-9]+;")
+# Counts every cell opening regardless of attribute spacing — the guard
+# comparing this against the canonical-form matches must never share the
+# match regex's blind spots, or divergent inputs skip the ET fallback.
+_FAST_CELL_OPEN_RE = re.compile(r"<c[\s/>]")
 
 
 def _unescape(text: str) -> str:
@@ -222,8 +233,15 @@ def _parse_sheet_fast(
 
     # Precondition: every <c occurrence must be matched by the canonical
     # cell regex, else semantics could silently diverge → ET fallback.
+    # XML comments could hide (or fabricate) cells from the regex → ET.
+    if "<!--" in sheet_data:
+        return None
     matches = _FAST_CELL_RE.findall(sheet_data)
-    if len(matches) != sheet_data.count("<c "):
+    if len(matches) != len(_FAST_CELL_OPEN_RE.findall(sheet_data)):
+        return None
+    # Rows lacking an r attribute imply positions (and row heights) the
+    # fast regexes cannot see — let the ET path reconstruct them.
+    if sheet_data.count("<row") != len(_FAST_ROW_R_RE.findall(sheet_data)):
         return None
 
     # Metadata (format, cols, merges, links) parsed via ET on the remainder
@@ -360,7 +378,10 @@ def _parse_sheet_et(
     styles: Stylesheet,
     date1904: bool = False,
 ) -> SheetGrid:
-    root = package.read_xml(sheet_path)
+    # Parse uncached: a sheet part is consumed exactly once, and caching the
+    # full element tree in the package would pin every sheet's tree in
+    # worker memory for the document's lifetime.
+    root = ET.fromstring(package.read_text(sheet_path))
     return _parse_sheet_et_from_root(
         package, sheet_path, sheet_name, root, shared_strings, styles,
         date1904=date1904,
@@ -413,27 +434,36 @@ def _parse_sheet_et_from_root(
         match_ref = _CELL_REF_RE.match
         cells = grid.cells
         date_styles = styles.date_style_ids()
+        # OOXML allows implicit positions: a row without r continues after
+        # the previous row; a cell without r sits right of the previous cell
+        # (openpyxl — the reference's reader — reconstructs both).
+        implicit_row = 0
         for row_el in sheet_data:
             if row_el.tag != row_tag:
                 continue
             attrs = row_el.attrib
+            row_r = _int_attr(row_el, "r")
+            implicit_row = row_r if row_r is not None else implicit_row + 1
             if "ht" in attrs:
-                r_attr = _int_attr(row_el, "r")
                 ht = _float_attr(row_el, "ht")
-                if r_attr is not None and r_attr > 0 and ht is not None and ht > 0:
-                    metrics.row_height_points[r_attr - 1] = ht
+                if implicit_row > 0 and ht is not None and ht > 0:
+                    metrics.row_height_points[implicit_row - 1] = ht
+            implicit_col = -1
             for c_el in row_el:
                 if c_el.tag != cell_tag:
                     continue
                 c_attrs = c_el.attrib
                 ref = c_attrs.get("r")
-                if not ref:
-                    continue
-                m = match_ref(ref)
-                if not m:
-                    continue
-                col0 = _col_letters_to_index(m.group(1))
-                row1 = int(m.group(2))
+                if ref:
+                    m = match_ref(ref)
+                    if not m:
+                        continue
+                    col0 = _col_letters_to_index(m.group(1))
+                    row1 = int(m.group(2))
+                else:
+                    col0 = implicit_col + 1
+                    row1 = implicit_row
+                implicit_col = col0
                 s_raw = c_attrs.get("s")
                 style_idx = None
                 if s_raw is not None:
@@ -574,7 +604,7 @@ def _render_value(
         return ""
     if styles.style(style_idx).is_date:
         try:
-            return _render_date(float(v_text))
+            return _render_date(float(v_text), date1904)
         except ValueError:
             return v_text
     return _render_number(v_text)

@@ -71,15 +71,19 @@ def parse_workbook(package: VirtualPackage) -> WorkbookInfo:
                     local_sheet = info.sheets[int(local_id)].name
                 except (ValueError, IndexError):
                     local_sheet = None
-            for part in value.split(","):
+            for part in _split_destinations(value):
                 part = part.strip()
                 if not part:
                     continue
                 sheet_name = local_sheet
                 if "!" in part:
                     candidate = part.split("!", 1)[0].strip().strip("'")
+                    # quoted names escape ' as '' (Excel convention)
+                    candidate = candidate.replace("''", "'")
                     if candidate in sheet_names:
                         sheet_name = candidate
+                    # range parsing must not see the quoted sheet prefix
+                    part = part.split("!", 1)[1]
                 if sheet_name is None or sheet_name not in sheet_names:
                     continue
                 bounds = parse_range_zero_based(part)
@@ -91,3 +95,26 @@ def parse_workbook(package: VirtualPackage) -> WorkbookInfo:
                     )
                 )
     return info
+
+
+def _split_destinations(value: str) -> list[str]:
+    """Split a defined-name destination list on commas outside quotes.
+
+    Sheet names may contain commas and are then single-quoted
+    ('A,B'!$A$1:$B$2); a naive split would shear the reference apart.
+    """
+    parts: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    for ch in value:
+        if ch == "'":
+            in_quote = not in_quote
+            buf.append(ch)
+        elif ch == "," and not in_quote:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return parts

@@ -323,3 +323,142 @@ class TestDate1904:
 
             out = extract_workbook(pkg, ExtractOptions().resolved())
             assert out.sheets["S"].rows[0].c["0"] == expected, flag
+
+
+class TestThirdReviewFixes:
+    MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    REL = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+    def _pkg(self, sheet_xml, wb_extra=""):
+        from exstruct_ray.ooxml.package import VirtualPackage
+
+        return VirtualPackage(
+            {
+                "xl/workbook.xml": (
+                    f'<workbook xmlns="{self.MAIN}" xmlns:r="{self.R}">{wb_extra}'
+                    f'<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+                    f"</workbook>"
+                ),
+                "xl/_rels/workbook.xml.rels": (
+                    f'<Relationships xmlns="{self.REL}"><Relationship Id="rId1" '
+                    f'Type="{self.R}/worksheet" Target="worksheets/sheet1.xml"/>'
+                    f"</Relationships>"
+                ),
+                "xl/worksheets/sheet1.xml": sheet_xml,
+            }
+        )
+
+    def _rows(self, sheet_xml):
+        from exstruct_ray.config import ExtractOptions
+        from exstruct_ray.extract.document import extract_workbook
+
+        wb = extract_workbook(self._pkg(sheet_xml), ExtractOptions().resolved())
+        return wb.sheets["S"].rows
+
+    def test_translate_formula_first_token_and_suffix(self):
+        from exstruct_ray.functions.formulas import translate_formula
+
+        assert translate_formula("B2*C2", 1, 0) == "B3*C3"       # first token
+        assert translate_formula("A1+x", 2, 2) == "C3+x"
+        assert translate_formula("SUM(tbl1Col)", 1, 1) == "SUM(tbl1Col)"  # name
+        assert translate_formula("B2x+B2", 1, 0) == "B2x+B3"     # suffix guard
+
+    def test_fast_path_newline_attr_cells_fall_back(self):
+        # <c with a newline before attributes: legal XML the fast regex
+        # cannot see — must fall back to ET, never silently drop cells.
+        rows = "".join(
+            f'<row r="{r}"><c\n r="A{r}"><v>{r}</v></c></row>' for r in range(1, 300)
+        )
+        sheet = f'<worksheet xmlns="{self.MAIN}"><sheetData>{rows}</sheetData></worksheet>'
+        assert len(sheet) >= 8192
+        rows_out = self._rows(sheet)
+        assert len(rows_out) == 299
+        assert rows_out[0].c == {"0": 1}
+
+    def test_fast_path_commented_cell_not_phantom(self):
+        filler = "".join(
+            f'<row r="{r}"><c r="A{r}"><v>{r}</v></c></row>' for r in range(1, 300)
+        )
+        sheet = (
+            f'<worksheet xmlns="{self.MAIN}"><sheetData>{filler}'
+            '<!-- <c r="Z9"><v>999</v></c> -->'
+            "</sheetData></worksheet>"
+        )
+        rows_out = self._rows(sheet)
+        assert all("25" not in row.c for row in rows_out)  # col Z absent
+        assert len(rows_out) == 299
+
+    def test_implicit_cell_and_row_positions(self):
+        sheet = (
+            f'<worksheet xmlns="{self.MAIN}"><sheetData>'
+            '<row><c t="inlineStr"><is><t>a</t></is></c>'
+            '<c t="inlineStr"><is><t>b</t></is></c></row>'
+            '<row><c t="inlineStr"><is><t>c</t></is></c></row>'
+            '<row r="7"><c r="C7"><v>9</v></c>'
+            '<c t="inlineStr"><is><t>after</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+        rows = self._rows(sheet)
+        assert [(r.r, r.c) for r in rows] == [
+            (1, {"0": "a", "1": "b"}),
+            (2, {"0": "c"}),
+            (7, {"2": 9, "3": "after"}),
+        ]
+
+    def test_leap_bug_serials(self):
+        sheet = (
+            f'<worksheet xmlns="{self.MAIN}"><sheetData>'
+            '<row r="1"><c r="A1" s="1"><v>1</v></c>'
+            '<c r="B1" s="1"><v>59</v></c>'
+            '<c r="C1" s="1"><v>61</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+        from exstruct_ray.config import ExtractOptions
+        from exstruct_ray.extract.document import extract_workbook
+        from exstruct_ray.ooxml.package import VirtualPackage
+
+        pkg = self._pkg(sheet)
+        pkg._parts["xl/styles.xml"] = (
+            f'<styleSheet xmlns="{self.MAIN}"><cellXfs count="2">'
+            '<xf numFmtId="0" fillId="0" borderId="0"/>'
+            '<xf numFmtId="14" fillId="0" borderId="0"/></cellXfs></styleSheet>'
+        )
+        wb = extract_workbook(pkg, ExtractOptions().resolved())
+        row = wb.sheets["S"].rows[0]
+        assert row.c["0"] == "1900-01-01 00:00:00"  # serial 1 (+1 leap comp)
+        assert row.c["1"] == "1900-02-28 00:00:00"  # serial 59
+        assert row.c["2"] == "1900-03-01 00:00:00"  # serial 61 (no comp)
+
+    def test_print_area_quoted_sheet_name_with_comma(self):
+        from exstruct_ray.config import ExtractOptions
+        from exstruct_ray.extract.document import extract_workbook
+        from exstruct_ray.ooxml.package import VirtualPackage
+
+        main, r, rel = self.MAIN, self.R, self.REL
+        pkg = VirtualPackage(
+            {
+                "xl/workbook.xml": (
+                    f'<workbook xmlns="{main}" xmlns:r="{r}">'
+                    f'<sheets><sheet name="A,B" sheetId="1" r:id="rId1"/></sheets>'
+                    f'<definedNames><definedName name="_xlnm.Print_Area" '
+                    f"localSheetId=\"0\">'A,B'!$A$1:$B$2,'A,B'!$D$4:$E$5"
+                    f"</definedName></definedNames></workbook>"
+                ),
+                "xl/_rels/workbook.xml.rels": (
+                    f'<Relationships xmlns="{rel}"><Relationship Id="rId1" '
+                    f'Type="{r}/worksheet" Target="worksheets/sheet1.xml"/>'
+                    f"</Relationships>"
+                ),
+                "xl/worksheets/sheet1.xml": (
+                    f'<worksheet xmlns="{main}"><sheetData>'
+                    '<row r="1"><c r="A1"><v>1</v></c></row></sheetData></worksheet>'
+                ),
+            }
+        )
+        wb = extract_workbook(pkg, ExtractOptions().resolved())
+        areas = wb.sheets["A,B"].print_areas
+        assert [(a.r1, a.c1, a.r2, a.c2) for a in areas] == [
+            (1, 0, 2, 1),
+            (4, 3, 5, 4),
+        ]
