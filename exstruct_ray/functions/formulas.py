@@ -44,11 +44,14 @@ def translate_formula(text: str, delta_rows: int, delta_cols: int) -> str:
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
-        if ch == '"':
+        if ch == '"' or ch == "'":
+            # Skip string literals ("...", "" escape) and quoted sheet
+            # names ('A1 Data'!, '' escape) — cell-like tokens inside
+            # either must not be shifted (openpyxl Translator parity).
             j = i + 1
             while j < n:
-                if text[j] == '"':
-                    if j + 1 < n and text[j + 1] == '"':
+                if text[j] == ch:
+                    if j + 1 < n and text[j + 1] == ch:
                         j += 2
                         continue
                     j += 1

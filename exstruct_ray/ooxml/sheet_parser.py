@@ -149,7 +149,7 @@ _FAST_CELL_RE = re.compile(
     r'<c r="([A-Z]+)(\d+)"((?:\s+[a-zA-Z]+="[^"]*")*)\s*(?:/>|>(.*?)</c>)', re.S
 )
 _FAST_ATTR_RE = re.compile(r'([a-zA-Z]+)="([^"]*)"')
-_FAST_ROW_HT_RE = re.compile(r'<row r="(\d+)"[^>]*?\sht="([0-9.]+)"')
+_FAST_ROW_OPEN_RE = re.compile(r"<row\b([^>]*?)/?>")
 _FAST_ROW_R_RE = re.compile(r'<row[^>]*\br="')
 _FAST_F_RE = re.compile(r"<f(\s[^>]*)?(?:/>|>(.*?)</f>)", re.S)
 _FAST_V_RE = re.compile(r"<v(?:\s[^>]*)?>(.*?)</v>", re.S)
@@ -251,13 +251,24 @@ def _parse_sheet_fast(
         styles, date1904=date1904,
     )
 
-    for ht_match in _FAST_ROW_HT_RE.finditer(sheet_data):
-        try:
-            row_idx = int(ht_match.group(1))
-            ht = float(ht_match.group(2))
-        except ValueError:
+    # Row heights: attributes may appear in any order within <row ...>, so
+    # scan every row open tag and decode attrs with the generic attr regex
+    # (the ET path reads attrib dicts and is likewise order-independent).
+    for row_match in _FAST_ROW_OPEN_RE.finditer(sheet_data):
+        attrs_str = row_match.group(1)
+        if 'ht="' not in attrs_str:
             continue
-        if row_idx > 0 and ht > 0:
+        row_idx: int | None = None
+        ht: float | None = None
+        for attr_name, attr_value in _FAST_ATTR_RE.findall(attrs_str):
+            try:
+                if attr_name == "r":
+                    row_idx = int(attr_value)
+                elif attr_name == "ht":
+                    ht = float(attr_value)
+            except ValueError:
+                pass
+        if row_idx is not None and row_idx > 0 and ht is not None and ht > 0:
             grid.metrics.row_height_points[row_idx - 1] = ht
 
     cells = grid.cells

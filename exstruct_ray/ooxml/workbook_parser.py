@@ -45,10 +45,14 @@ def parse_workbook(package: VirtualPackage) -> WorkbookInfo:
     if wb_pr is not None:
         info.date1904 = wb_pr.attrib.get("date1904", "").lower() in {"1", "true"}
 
+    # localSheetId indexes the FULL <sheets> order (chartsheets included),
+    # not the worksheet-only list we keep in info.sheets.
+    all_sheet_names: list[str | None] = []
     sheets_node = root.find(f"{_MAIN_NS}sheets")
     if sheets_node is not None:
         for sheet in sheets_node.findall(f"{_MAIN_NS}sheet"):
             name = sheet.attrib.get("name")
+            all_sheet_names.append(name)
             rel_id = sheet.attrib.get(f"{_R_NS}id")
             if not name or not rel_id or rel_id not in rel_map:
                 continue
@@ -68,7 +72,7 @@ def parse_workbook(package: VirtualPackage) -> WorkbookInfo:
             local_id = dn.attrib.get("localSheetId")
             if local_id is not None:
                 try:
-                    local_sheet = info.sheets[int(local_id)].name
+                    local_sheet = all_sheet_names[int(local_id)]
                 except (ValueError, IndexError):
                     local_sheet = None
             for part in _split_destinations(value):

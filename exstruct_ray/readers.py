@@ -41,7 +41,14 @@ class Cursor:
 
 def _doc_spans(ds, doc_id: str) -> list[dict]:
     """Fetch one document's spans (point lookup; predicate-pushed filter)."""
-    rows = ds.filter(expr=f"doc_id == '{doc_id}'").take(1)
+    if "'" in doc_id or "\\" in doc_id:
+        # Quotes/backslashes would break (or change) the expression string —
+        # use a callable predicate instead of interpolating.
+        wanted = doc_id
+        filtered = ds.filter(lambda row: row["doc_id"] == wanted)
+    else:
+        filtered = ds.filter(expr=f"doc_id == '{doc_id}'")
+    rows = filtered.take(1)
     if not rows:
         raise KeyError(f"doc_id not found: {doc_id}")
     return sorted(rows[0]["spans"], key=lambda s: s["offset"])

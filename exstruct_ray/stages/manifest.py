@@ -119,6 +119,12 @@ def run_extraction_job(
             continue
         part_dir = os.path.join(output_dir, f"partition={pid:05d}")
         start = time.perf_counter()
+        # A leftover dir from a crashed (uncommitted) earlier attempt must
+        # not leak stale files into this attempt's output.
+        if os.path.exists(part_dir):
+            import shutil
+
+            shutil.rmtree(part_dir)
         ds = ray.data.read_parquet(part_files)
         out = build_extraction_pipeline(
             ds,
@@ -127,28 +133,22 @@ def run_extraction_job(
             concurrency=concurrency,
             explode_threshold=explode_threshold,
         )
-        # Stream the partition to its own parquet directory; metrics come
-        # back through the same pass (no second read).
+        # Distributed writers: every worker streams its own blocks straight
+        # to the partition directory — nothing funnels through the driver.
+        out.write_parquet(part_dir)
+        # Metrics via a column-pruned read-back of the two int64 metric
+        # columns (row counts come from parquet metadata) — O(docs) ints,
+        # not O(spans) payload, and still distributed.
         docs = spans = errors = 0
-        import pyarrow.parquet as pq
-
-        os.makedirs(part_dir, exist_ok=True)
-        writer = None
-        file_idx = 0
-        try:
-            for batch in out.iter_batches(batch_format="pyarrow", batch_size=4096):
-                docs += batch.num_rows
-                spans += sum(batch.column("n_spans").to_pylist())
-                errors += sum(batch.column("n_errors").to_pylist())
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(part_dir, f"out-{file_idx:05d}.parquet"),
-                        batch.schema,
-                    )
-                writer.write_table(batch)
-        finally:
-            if writer is not None:
-                writer.close()
+        if any(f.endswith(".parquet") for f in os.listdir(part_dir)):
+            metrics_ds = ray.data.read_parquet(
+                part_dir, columns=["n_spans", "n_errors"]
+            )
+            docs = metrics_ds.count()
+            sums = metrics_ds.sum(["n_spans", "n_errors"]) if docs else None
+            if sums:
+                spans = int(sums["sum(n_spans)"])
+                errors = int(sums["sum(n_errors)"])
         wall = time.perf_counter() - start
         record = PartitionRecord(
             partition_id=pid,

@@ -363,6 +363,15 @@ class TestThirdReviewFixes:
         assert translate_formula("A1+x", 2, 2) == "C3+x"
         assert translate_formula("SUM(tbl1Col)", 1, 1) == "SUM(tbl1Col)"  # name
         assert translate_formula("B2x+B2", 1, 0) == "B2x+B3"     # suffix guard
+        # Quoted sheet names must not be shifted (openpyxl Translator parity).
+        assert (
+            translate_formula("SUM('A1 Data'!B2:B9)", 1, 0)
+            == "SUM('A1 Data'!B3:B10)"
+        )
+        assert (
+            translate_formula("'It''s A1'!A1+\"A1\"", 1, 1)
+            == "'It''s A1'!B2+\"A1\""
+        )
 
     def test_fast_path_newline_attr_cells_fall_back(self):
         # <c with a newline before attributes: legal XML the fast regex
@@ -429,6 +438,72 @@ class TestThirdReviewFixes:
         assert row.c["0"] == "1900-01-01 00:00:00"  # serial 1 (+1 leap comp)
         assert row.c["1"] == "1900-02-28 00:00:00"  # serial 59
         assert row.c["2"] == "1900-03-01 00:00:00"  # serial 61 (no comp)
+
+    def test_fast_path_row_ht_attr_order_independent(self):
+        # <row spans="1:2" r="3" ht="45.5"> — ht must be captured on the fast
+        # path regardless of attribute order (differential vs ET path).
+        from exstruct_ray.ooxml.sheet_parser import parse_sheet
+        from exstruct_ray.ooxml.styles import Stylesheet
+
+        filler = "".join(
+            f'<row r="{r}"><c r="A{r}"><v>{r}</v></c></row>' for r in range(4, 300)
+        )
+        sheet = (
+            f'<worksheet xmlns="{self.MAIN}"><sheetData>'
+            '<row r="1" ht="20.5" customHeight="1"><c r="A1"><v>1</v></c></row>'
+            '<row spans="1:2" r="3" ht="45.5"><c r="A3"><v>3</v></c></row>'
+            f"{filler}</sheetData></worksheet>"
+        )
+        assert len(sheet) >= 8192  # fast path eligible
+        pkg = self._pkg(sheet)
+        styles = Stylesheet()
+        grids = {}
+        for fast in (True, False):
+            grids[fast] = parse_sheet(
+                pkg, "xl/worksheets/sheet1.xml", "S", [], styles,
+                allow_fast_path=fast,
+            )
+        assert grids[True].metrics.row_height_points == {0: 20.5, 2: 45.5}
+        assert (
+            grids[True].metrics.row_height_points
+            == grids[False].metrics.row_height_points
+        )
+        assert grids[True].cells.keys() == grids[False].cells.keys()
+
+    def test_print_area_local_sheet_id_counts_chartsheets(self):
+        # localSheetId indexes the full <sheets> order; with a chartsheet at
+        # index 0, localSheetId=1 must resolve to the worksheet "W".
+        from exstruct_ray.config import ExtractOptions
+        from exstruct_ray.extract.document import extract_workbook
+        from exstruct_ray.ooxml.package import VirtualPackage
+
+        main, r, rel = self.MAIN, self.R, self.REL
+        pkg = VirtualPackage(
+            {
+                "xl/workbook.xml": (
+                    f'<workbook xmlns="{main}" xmlns:r="{r}"><sheets>'
+                    f'<sheet name="Chart1" sheetId="1" r:id="rId1"/>'
+                    f'<sheet name="W" sheetId="2" r:id="rId2"/></sheets>'
+                    f'<definedNames><definedName name="_xlnm.Print_Area" '
+                    f'localSheetId="1">$A$1:$B$2</definedName>'
+                    f"</definedNames></workbook>"
+                ),
+                "xl/_rels/workbook.xml.rels": (
+                    f'<Relationships xmlns="{rel}">'
+                    f'<Relationship Id="rId1" Type="{r}/chartsheet" '
+                    f'Target="chartsheets/sheet1.xml"/>'
+                    f'<Relationship Id="rId2" Type="{r}/worksheet" '
+                    f'Target="worksheets/sheet1.xml"/></Relationships>'
+                ),
+                "xl/worksheets/sheet1.xml": (
+                    f'<worksheet xmlns="{main}"><sheetData>'
+                    '<row r="1"><c r="A1"><v>1</v></c></row></sheetData></worksheet>'
+                ),
+            }
+        )
+        wb = extract_workbook(pkg, ExtractOptions().resolved())
+        areas = wb.sheets["W"].print_areas
+        assert [(a.r1, a.c1, a.r2, a.c2) for a in areas] == [(1, 0, 2, 1)]
 
     def test_print_area_quoted_sheet_name_with_comma(self):
         from exstruct_ray.config import ExtractOptions

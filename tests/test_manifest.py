@@ -66,3 +66,31 @@ class TestResumableJob:
         )
         assert summary["skipped"] == 2
         assert summary["executed"] == 1
+
+    def test_stale_partition_files_cleared_on_rerun(self, ray_session, tmp_path):
+        """A crashed attempt's leftover files must not pollute the re-run."""
+        input_dir = tmp_path / "input"
+        write_corpus_parquet(str(input_dir), 20, seed=42, rows_per_file=10)
+        out_dir = tmp_path / "out"
+        run_extraction_job(str(input_dir), str(out_dir), files_per_partition=1)
+        # simulate: partition 1 crashed after writing a file but before its
+        # manifest commit — stale file present, manifest line missing
+        manifest_path = out_dir / "_manifest.jsonl"
+        lines = manifest_path.read_text().strip().splitlines()
+        manifest_path.write_text(lines[0] + "\n")
+        part1 = out_dir / "partition=00001"
+        stale = part1 / "stale-leftover.parquet"
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"n_spans": [999], "n_errors": [999]}), str(stale)
+        )
+        summary = run_extraction_job(
+            str(input_dir), str(out_dir), files_per_partition=1
+        )
+        assert summary["executed"] == 1
+        assert not stale.exists()
+        manifest = load_manifest(str(out_dir))
+        assert manifest[1].docs == 10
+        assert manifest[1].errors == 0
