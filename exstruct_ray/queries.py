@@ -58,20 +58,25 @@ def q1_pricing_summary(sf_dir: str):
                 {
                     "l_returnflag": pd.Series(dtype="object"),
                     "l_linestatus": pd.Series(dtype="object"),
-                    "sum_qty": pd.Series(dtype="float64"),
-                    "sum_base_price": pd.Series(dtype="float64"),
-                    "sum_disc_price": pd.Series(dtype="float64"),
+                    "qty100": pd.Series(dtype="int64"),
+                    "bp100": pd.Series(dtype="int64"),
+                    "dp10000": pd.Series(dtype="int64"),
                     "count_order": pd.Series(dtype="int64"),
                 }
             )
+        # Money sums accumulate as exact integer cents (int64) — integer
+        # addition is order-independent, so distributed partial order can
+        # never diverge from the oracle's single-stream accumulation. The
+        # inputs are exact 2-decimal values, so *100 (or *10000 for the
+        # 4-decimal product) sits within 1e-7 of an integer on both sides.
         disc_price = batch["l_extendedprice"] * (1 - batch["l_discount"])
         tmp = pd.DataFrame(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "sum_qty": batch["l_quantity"],
-                "sum_base_price": batch["l_extendedprice"],
-                "sum_disc_price": disc_price,
+                "qty100": np.rint(batch["l_quantity"] * 100).astype("int64"),
+                "bp100": np.rint(batch["l_extendedprice"] * 100).astype("int64"),
+                "dp10000": np.rint(disc_price * 10000).astype("int64"),
                 "count_order": 1,
             }
         )
@@ -84,6 +89,9 @@ def q1_pricing_summary(sf_dir: str):
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         out = group.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        out["sum_qty"] = out.pop("qty100") / 100.0
+        out["sum_base_price"] = out.pop("bp100") / 100.0
+        out["sum_disc_price"] = out.pop("dp10000") / 10000.0
         out["avg_qty"] = out["sum_qty"] / out["count_order"]
         return out
 
@@ -115,15 +123,15 @@ def q6_revenue(sf_dir: str):
             & (batch["l_quantity"] < 24)
         )
         sel = batch[m]
+        rev4 = np.rint((sel["l_extendedprice"] * sel["l_discount"]) * 10000)
         return pd.DataFrame(
-            {"revenue": [(sel["l_extendedprice"] * sel["l_discount"]).sum()],
-             "n_rows": [int(m.sum())]}
+            {"rev10000": [int(rev4.sum())], "n_rows": [int(m.sum())]}
         )
 
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
     return pd.DataFrame(
         {
-            "revenue": [float(partials["revenue"].sum())],
+            "revenue": [int(partials["rev10000"].sum()) / 10000.0],
             "n_rows": [int(partials["n_rows"].sum())],
         }
     )
@@ -163,7 +171,11 @@ def revenue_by_nation(sf_dir: str):
             nk = batch["o_custkey"].map(self._cust_to_nation)
             names = nk.map(self._nation_names)
             tmp = pd.DataFrame(
-                {"n_name": names, "revenue": batch["o_totalprice"], "n_orders": 1}
+                {
+                    "n_name": names,
+                    "rev100": np.rint(batch["o_totalprice"] * 100).astype("int64"),
+                    "n_orders": 1,
+                }
             )
             tmp = tmp.dropna(subset=["n_name"])
             return tmp.groupby("n_name", as_index=False).sum()
@@ -183,6 +195,7 @@ def revenue_by_nation(sf_dir: str):
 
     out = partials.groupby("n_name").map_groups(final, batch_format="pandas").to_pandas()
     out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out.pop("rev100") / 100.0
     return out.sort_values("n_name").reset_index(drop=True)
 
 
@@ -203,7 +216,7 @@ def events_hourly(sf_dir: str):
                 "bucket": batch["ts"].dt.floor("h"),
                 "event_type": batch["event_type"],
                 "n_events": 1,
-                "sum_value": batch["value"],
+                "val100": np.rint(batch["value"] * 100).astype("int64"),
             }
         )
         return tmp.groupby(["bucket", "event_type"], as_index=False).sum()
@@ -219,6 +232,7 @@ def events_hourly(sf_dir: str):
         .to_pandas()
     )
     out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out.pop("val100") / 100.0
     return out.sort_values(["bucket", "event_type"]).reset_index(drop=True)
 
 
@@ -333,9 +347,11 @@ def part_type_stats(sf_dir: str):
     ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice", "p_size"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("p_type", as_index=False).agg(
+        tmp = batch[["p_type", "p_size"]].copy()
+        tmp["price100"] = np.rint(batch["p_retailprice"] * 100).astype("int64")
+        return tmp.groupby("p_type", as_index=False).agg(
             n_parts=("p_size", "count"),
-            sum_price=("p_retailprice", "sum"),
+            price100=("price100", "sum"),
             max_size=("p_size", "max"),
         )
 
@@ -345,7 +361,7 @@ def part_type_stats(sf_dir: str):
         .map_groups(
             lambda g: g.groupby("p_type", as_index=False).agg(
                 n_parts=("n_parts", "sum"),
-                sum_price=("sum_price", "sum"),
+                price100=("price100", "sum"),
                 max_size=("max_size", "max"),
             ),
             batch_format="pandas",
@@ -354,6 +370,7 @@ def part_type_stats(sf_dir: str):
     )
     out["n_parts"] = out["n_parts"].astype("int64")
     out["max_size"] = out["max_size"].astype("int32")
+    out["sum_price"] = out.pop("price100") / 100.0
     return out.sort_values("p_type").reset_index(drop=True)
 
 
@@ -500,10 +517,11 @@ def lineitem_join_orders(sf_dir: str):
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        disc_price = batch["l_extendedprice"] * (1 - batch["l_discount"])
         tmp = pd.DataFrame(
             {
                 "o_orderpriority": batch["o_orderpriority"],
-                "revenue": batch["l_extendedprice"] * (1 - batch["l_discount"]),
+                "rev10000": np.rint(disc_price * 10000).astype("int64"),
                 "n_items": 1,
             }
         )
@@ -519,6 +537,7 @@ def lineitem_join_orders(sf_dir: str):
         .to_pandas()
     )
     out["n_items"] = out["n_items"].astype("int64")
+    out["revenue"] = out.pop("rev10000") / 10000.0
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
@@ -543,7 +562,7 @@ def supplier_balance_by_region(sf_dir: str):
             tmp = pd.DataFrame(
                 {
                     "r_name": r_name,
-                    "total_balance": batch["s_acctbal"],
+                    "bal100": np.rint(batch["s_acctbal"] * 100).astype("int64"),
                     "n_suppliers": 1,
                 }
             )
@@ -568,6 +587,7 @@ def supplier_balance_by_region(sf_dir: str):
         .to_pandas()
     )
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["total_balance"] = out.pop("bal100") / 100.0
     return out.sort_values("r_name").reset_index(drop=True)
 
 
@@ -583,7 +603,8 @@ def orders_running_total(sf_dir: str):
     def window(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(["o_orderdate", "o_orderkey"])
         out = group[["o_orderkey", "o_custkey"]].copy()
-        out["running_total"] = group["o_totalprice"].cumsum()
+        cents = np.rint(group["o_totalprice"] * 100).astype("int64")
+        out["running_total"] = cents.cumsum() / 100.0
         return out
 
     out = ds.groupby("o_custkey").map_groups(window, batch_format="pandas").to_pandas()
@@ -814,19 +835,28 @@ def doc_ngram_verified_pairs(sf_dir: str):
 
 ORACLE_SQL: dict[str, str] = {
     "q1_pricing_summary": """
+        WITH t AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty100,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS bp100,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT) AS dp10000
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        )
         SELECT l_returnflag, l_linestatus,
-               sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_base_price,
-               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               sum(qty100) / 100.0 AS sum_qty,
+               sum(bp100) / 100.0 AS sum_base_price,
+               sum(dp10000) / 10000.0 AS sum_disc_price,
                count(*) AS count_order,
-               sum(l_quantity) / count(*) AS avg_qty
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+               (sum(qty100) / 100.0) / count(*) AS avg_qty
+        FROM t
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
     "q6_revenue": """
-        SELECT coalesce(sum(l_extendedprice * l_discount), 0.0) AS revenue,
+        SELECT coalesce(sum(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                                 AS BIGINT)), 0) / 10000.0 AS revenue,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -836,7 +866,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "revenue_by_nation": """
         SELECT n_name,
-               sum(o_totalprice) AS revenue,
+               sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
                count(*) AS n_orders
         FROM orders
         JOIN customer ON c_custkey = o_custkey
@@ -854,7 +884,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS bucket,
                event_type,
                count(*) AS n_events,
-               sum(value) AS sum_value
+               sum(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
@@ -883,7 +913,7 @@ ORACLE_SQL: dict[str, str] = {
     "part_type_stats": """
         SELECT p_type,
                count(*) AS n_parts,
-               sum(p_retailprice) AS sum_price,
+               sum(CAST(ROUND(p_retailprice * 100) AS BIGINT)) / 100.0 AS sum_price,
                max(p_size) AS max_size
         FROM part
         GROUP BY p_type
@@ -946,7 +976,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "lineitem_join_orders": """
         SELECT o_orderpriority,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) / 10000.0 AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders ON o_orderkey = l_orderkey
@@ -955,7 +986,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "supplier_balance_by_region": """
         SELECT r_name,
-               sum(s_acctbal) AS total_balance,
+               sum(CAST(ROUND(s_acctbal * 100) AS BIGINT)) / 100.0 AS total_balance,
                count(*) AS n_suppliers
         FROM supplier
         JOIN nation ON n_nationkey = s_nationkey
@@ -965,19 +996,19 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "orders_running_total": """
         SELECT o_orderkey, o_custkey,
-               sum(o_totalprice) OVER (
+               sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS UNBOUNDED PRECEDING
-               ) AS running_total
+               ) / 100.0 AS running_total
         FROM orders
         ORDER BY o_orderkey
     """,
     "events_sessionize": """
         SELECT user_id,
                count(*) AS n_events,
-               1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
-                   AS n_sessions
+               CAST(1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sessions
         FROM (
             SELECT user_id, ts,
                    ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap

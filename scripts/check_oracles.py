@@ -50,10 +50,20 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
             av = av.astype("float64")
             bv = bv.astype("float64")
             both_nan = av.isna() & bv.isna()
+            exact = av.fillna(0).to_numpy() == bv.fillna(0).to_numpy()
+            if (both_nan | exact).all():
+                continue
             close = np.isclose(av.fillna(0), bv.fillna(0), rtol=1e-9, atol=1e-12)
             if not (both_nan | close).all():
                 bad = (~(both_nan | close)).idxmax()
                 return f"VALUE MISMATCH col={col} row={bad} ray={av[bad]} sql={bv[bad]}"
+            # The driver hash-compares exact bytes — close-but-not-equal
+            # floats are a hash miss there, so they fail here too.
+            bad = (~(both_nan | pd.Series(exact, index=av.index))).idxmax()
+            return (
+                f"HASH-ONLY MISMATCH col={col} row={bad} "
+                f"ray={av[bad]!r} sql={bv[bad]!r}"
+            )
         else:
             if not (av.astype(str) == bv.astype(str)).all():
                 bad = (av.astype(str) != bv.astype(str)).idxmax()
