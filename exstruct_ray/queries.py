@@ -1054,3 +1054,24 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY vec_a, vec_b
     """,
 }
+
+# Golden-span oracles for the flagship extraction pipeline. The corpus is
+# deterministic (seed=42, sized by sf) and the span payloads are byte-stable
+# (FIXTURES.md contract + reference-sample parity tests), so the expected
+# flattened span table is pinned once per (variant, sf) as parquet
+# (scripts/gen_golden_spans.py) and read back for an exact hash compare.
+# The driver evaluates oracles at sf0.01; check_oracles.py rewrites the sf
+# token when simulating other scales.
+_GOLDEN_DIR = "/root/repo/data/golden"
+for _name in (
+    "extract_light",
+    "extract_verbose",
+    "extract_alpha_col",
+    "extract_no_merged_values",
+    "extract_exploded",
+):
+    ORACLE_SQL[_name] = f"""
+        SELECT doc_id, "offset", kind, media_ref, text
+        FROM read_parquet('{_GOLDEN_DIR}/{_name}_sf0.01.parquet')
+        ORDER BY doc_id, "offset"
+    """

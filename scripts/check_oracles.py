@@ -105,7 +105,13 @@ def main() -> None:
                     if isinstance(result, pa.Table):
                         result = result.to_pandas()
             if name in oracles:
-                sql_df = con.execute(oracles[name]).df()
+                sql = oracles[name]
+                # Golden-span oracles are pinned to the driver's sf0.01;
+                # substitute when simulating another scale locally.
+                sf_token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+                if sf_token != "sf0.01":
+                    sql = sql.replace("_sf0.01.parquet", f"_{sf_token}.parquet")
+                sql_df = con.execute(sql).df()
                 verdict = compare(name, result, sql_df)
             else:
                 verdict = f"rows-only ({len(result)} rows)"
