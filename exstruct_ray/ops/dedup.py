@@ -51,12 +51,22 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
 
 
 def word_ngrams(text: str, n: int = 3) -> set[int]:
-    """CRC32 hashes of word n-grams (n-gram Jaccard building block)."""
+    """64-bit hashes of word n-grams (n-gram Jaccard building block).
+
+    64 bits keep within-document collision probability negligible
+    (~1e-15 per doc at 10^3 grams), so set cardinalities — and therefore
+    Jaccard values — equal the true string-set computation the DuckDB
+    oracle runs.
+    """
+
+    def h64(data: bytes) -> int:
+        return (zlib.crc32(data) << 32) | zlib.crc32(b"ng" + data)
+
     words = text.lower().split()
     if len(words) < n:
-        return {zlib.crc32(" ".join(words).encode())} if words else set()
+        return {h64(" ".join(words).encode())} if words else set()
     return {
-        zlib.crc32(" ".join(words[i : i + n]).encode())
+        h64(" ".join(words[i : i + n]).encode())
         for i in range(len(words) - n + 1)
     }
 
@@ -260,20 +270,32 @@ def dedup_groups(pairs_df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(["group_id", "doc_id"]).reset_index(drop=True)
 
 
-def simhash_64(text: str, seed_salt: bytes = b"sim") -> int:
-    """64-bit SimHash over whitespace tokens (two CRC32 halves per token)."""
+_BIT_INDICES = np.arange(64, dtype=np.uint64)
+
+
+def simhash_64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5-top-64-bit token hash).
+
+    Token hash = big-endian first 8 bytes of md5(token), chosen so the
+    DuckDB oracle reproduces it exactly via
+    CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT). Bit i of the output
+    is set when the i-th hash bit's +1/-1 vote sum is strictly positive.
+    """
+    import hashlib
+
     tokens = text.lower().split()
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
+    one = np.uint64(1)
     for tok in tokens:
-        data = tok.encode("utf-8", "ignore")
-        h = (zlib.crc32(data) << 32) | zlib.crc32(seed_salt + data)
-        bits = np.frombuffer(
-            np.uint64(h).tobytes(), dtype=np.uint8
+        h = np.uint64(
+            int.from_bytes(
+                hashlib.md5(tok.encode("utf-8", "ignore")).digest()[:8], "big"
+            )
         )
-        bit_arr = np.unpackbits(bits)[:64]
-        acc += np.where(bit_arr > 0, 1, -1)
+        bits = (h >> _BIT_INDICES) & one
+        acc += np.where(bits > 0, 1, -1)
     out = 0
     for i, v in enumerate(acc):
         if v > 0:

@@ -138,22 +138,16 @@ def q6_revenue(sf_dir: str):
 
 
 def revenue_by_nation(sf_dir: str):
-    """Broadcast join: orders ⋈ customer ⋈ nation with ray.put'd small sides.
+    """orders ⋈ customer via distributed hash join; nation broadcast only.
 
-    The customer→nation map is built once on the driver, put in the object
-    store, and read once per task — never re-shipped per batch, no shuffle.
+    customer scales with sf (1.5M rows at sf10) so it is NOT a broadcast
+    dimension — it rides the shuffle join. Only the 25-row nation map is
+    built on the driver and ray.put once.
     """
     import ray
 
-    customer = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    cust_to_nation = dict(
-        zip(
-            customer.column("c_custkey").to_pylist(),
-            customer.column("c_nationkey").to_pylist(),
-        )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
     nation_names = dict(
         zip(
@@ -161,18 +155,28 @@ def revenue_by_nation(sf_dir: str):
             nation.column("n_name").to_pylist(),
         )
     )
-    lookup_ref = ray.put((cust_to_nation, nation_names))
+    lookup_ref = ray.put(nation_names)
 
-    class Joiner:
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    class NationAgg:
+        """Broadcast nation dict fetched once per actor, not per batch."""
+
         def __init__(self, ref):
-            self._cust_to_nation, self._nation_names = ray.get(ref)
+            self._names = ray.get(ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            nk = batch["o_custkey"].map(self._cust_to_nation)
-            names = nk.map(self._nation_names)
             tmp = pd.DataFrame(
                 {
-                    "n_name": names,
+                    "n_name": batch["c_nationkey"].map(self._names),
                     "rev100": np.rint(batch["o_totalprice"] * 100).astype("int64"),
                     "n_orders": 1,
                 }
@@ -182,8 +186,8 @@ def revenue_by_nation(sf_dir: str):
 
     from .stages.pipeline import _default_concurrency
 
-    partials = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        Joiner,
+    partials = joined.map_batches(
+        NationAgg,
         fn_constructor_kwargs={"ref": lookup_ref},
         batch_format="pandas",
         concurrency=_default_concurrency(),
@@ -274,69 +278,87 @@ def distinct_users(sf_dir: str):
 def events_asof_orders(sf_dir: str):
     """As-of join: each event matched to the user's latest prior order.
 
-    Ray Data lacks an as-of join; this is the broadcast variant (orders are
-    the small side): per-custkey orders sorted by date once per actor, events
-    batches resolved by binary search. Partitioning assumption at scale:
-    orders-per-key fits in memory — else hash-partition both sides on the key
-    and run the same merge inside groupby().map_groups.
+    Hash-partitioned merge variant: both sides bucket on the key
+    (user_id/o_custkey % B), union into one tagged stream, and each bucket
+    group runs a vectorized pandas merge_asof (orders sorted by date with
+    orderkey tie-break). Nothing materializes on the driver; a bucket only
+    needs its own slice of both tables in memory — the documented
+    partitioning assumption at 100 TB is per-bucket fit, tunable via B.
     """
-    import bisect
+    n_buckets = 32
 
-    import ray
-
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet",
+    orders = _read(
+        sf_dir,
+        "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-    ).to_pandas()
-    by_cust: dict[int, tuple[list, list, list]] = {}
-    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-    for custkey, group in orders.groupby("o_custkey"):
-        by_cust[int(custkey)] = (
-            group["o_orderdate"].tolist(),
-            group["o_orderkey"].tolist(),
-            group["o_totalprice"].tolist(),
+    )
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (batch["o_custkey"] % n_buckets).astype("int64"),
+                "key": batch["o_custkey"].astype("int64"),
+                "t": batch["o_orderdate"],
+                "event_id": np.int64(-1),
+                "o_orderkey": batch["o_orderkey"].astype("int64"),
+                "o_totalprice": batch["o_totalprice"].astype("float64"),
+                "is_order": True,
+            }
         )
-    ref = ray.put(by_cust)
 
-    class AsofJoiner:
-        def __init__(self, orders_ref):
-            self._by_cust = ray.get(orders_ref)
+    def tag_events(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (batch["user_id"] % n_buckets).astype("int64"),
+                "key": batch["user_id"].astype("int64"),
+                "t": batch["ts"],
+                "event_id": batch["event_id"].astype("int64"),
+                "o_orderkey": np.int64(-1),
+                "o_totalprice": np.float64(0.0),
+                "is_order": False,
+            }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            event_ids, orderkeys, prices = [], [], []
-            for event_id, user_id, ts in zip(
-                batch["event_id"], batch["user_id"], batch["ts"]
-            ):
-                entry = self._by_cust.get(int(user_id))
-                if entry is None:
-                    continue
-                dates, keys, totals = entry
-                pos = bisect.bisect_right(dates, ts) - 1
-                if pos < 0:
-                    continue
-                # ties on date resolve to the largest orderkey (sort order)
-                event_ids.append(event_id)
-                orderkeys.append(keys[pos])
-                prices.append(totals[pos])
+    tagged = orders.map_batches(tag_orders, batch_format="pandas").union(
+        events.map_batches(tag_events, batch_format="pandas")
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["is_order"]]
+        e = group[~group["is_order"]]
+        if o.empty or e.empty:
             return pd.DataFrame(
                 {
-                    "event_id": pd.Series(event_ids, dtype="int64"),
-                    "o_orderkey": pd.Series(orderkeys, dtype="int64"),
-                    "o_totalprice": pd.Series(prices, dtype="float64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "o_totalprice": pd.Series(dtype="float64"),
                 }
             )
-
-    from .stages.pipeline import _default_concurrency
+        # merge_asof(direction="backward") takes the LAST order row with
+        # t <= event t per key — sorting orders by (t, o_orderkey) makes
+        # date ties resolve to the largest orderkey (oracle semantics).
+        o = o.sort_values(["t", "o_orderkey"], kind="mergesort")
+        e = e.sort_values("t", kind="mergesort")
+        m = pd.merge_asof(
+            e[["t", "key", "event_id"]],
+            o[["t", "key", "o_orderkey", "o_totalprice"]],
+            on="t",
+            by="key",
+            direction="backward",
+        )
+        m = m.dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "o_totalprice": m["o_totalprice"].astype("float64"),
+            }
+        )
 
     out = (
-        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-        .map_batches(
-            AsofJoiner,
-            fn_constructor_kwargs={"orders_ref": ref},
-            batch_format="pandas",
-            concurrency=_default_concurrency(),
-            num_cpus=1,
-        )
+        tagged.groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
@@ -437,11 +459,18 @@ def doc_lang_detect(sf_dir: str):
 
 
 def doc_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs (rows-only check)."""
+    """MinHash+LSH near-dup pairs, oracle-checked against exact Jaccard.
+
+    The est_jaccard>=0.7 filter on 64-perm signatures selects, on this
+    corpus, exactly the pairs whose TRUE char-5-shingle Jaccard >= 0.7
+    (planted near-dups sit at >=0.92, the random background at ~0.05, and
+    banding recall at 0.92 is 1-3e-9) — so the DuckDB brute-force shingle
+    oracle is an exact check, not an approximation."""
     from .ops.dedup import minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = minhash_dedup_pairs(ds, jaccard_threshold=0.7).to_pandas()
+    out = out[["doc_a", "doc_b"]].astype("int64")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -812,21 +841,54 @@ def doc_dedup_groups(sf_dir: str):
 
 
 def doc_ngram_verified_pairs(sf_dir: str):
-    """MinHash candidates verified by exact word-3-gram Jaccard (rows-only)."""
+    """MinHash candidates verified by exact word-3-gram Jaccard.
+
+    Fully distributed: candidate pairs join their texts via two shuffle
+    joins on doc id (texts never materialize on the driver), then each
+    batch verifies its own pairs inside map_batches.
+    """
     from .ops.dedup import minhash_dedup_pairs, ngram_jaccard
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    text_by_id = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    candidates = minhash_dedup_pairs(ds, jaccard_threshold=0.5).to_pandas()
-    rows = []
-    for a, b in zip(candidates["doc_a"], candidates["doc_b"]):
-        jac = ngram_jaccard(text_by_id.get(a, ""), text_by_id.get(b, ""), n=3)
-        if jac >= 0.5:
-            rows.append({"doc_a": int(a), "doc_b": int(b), "jaccard": round(jac, 6)})
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).sort_values(
-        ["doc_a", "doc_b"]
-    ).reset_index(drop=True)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    candidates = minhash_dedup_pairs(docs, jaccard_threshold=0.5)
+
+    docs_a = _read(sf_dir, "documents", columns=["doc_id", "text"]).rename_columns(
+        {"doc_id": "a_key", "text": "text_a"}
+    )
+    docs_b = _read(sf_dir, "documents", columns=["doc_id", "text"]).rename_columns(
+        {"doc_id": "b_key", "text": "text_b"}
+    )
+    with_a = candidates.join(
+        docs_a, join_type="inner", num_partitions=8,
+        on=("doc_a",), right_on=("a_key",),
+    )
+    with_b = with_a.join(
+        docs_b, join_type="inner", num_partitions=8,
+        on=("doc_b",), right_on=("b_key",),
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for a, b, ta, tb in zip(
+            batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
+        ):
+            # Raw float jaccard: inter/union of identical integer
+            # cardinalities divides to the identical double in DuckDB.
+            jac = ngram_jaccard(ta or "", tb or "", n=3)
+            if jac >= 0.5:
+                rows["doc_a"].append(int(a))
+                rows["doc_b"].append(int(b))
+                rows["jaccard"].append(jac)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows["doc_a"], dtype="int64"),
+                "doc_b": pd.Series(rows["doc_b"], dtype="int64"),
+                "jaccard": pd.Series(rows["jaccard"], dtype="float64"),
+            }
+        )
+
+    out = with_b.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1075,3 +1137,153 @@ for _name in (
         FROM read_parquet('{_GOLDEN_DIR}/{_name}_sf0.01.parquet')
         ORDER BY doc_id, "offset"
     """
+
+# Sketch-pipeline oracles: DuckDB brute-force recomputation of the exact
+# similarity each sketch approximates. Valid as EXACT checks on this corpus
+# because planted near-dups (J >= 0.92) are far from both thresholds and the
+# random background (~0.05), so banding recall is 1 - 3e-9 — see the
+# per-query docstrings.
+
+# Distinct char-5 shingles per document, mirroring ops.dedup.char_shingles
+# (ASCII text, so byte and character shingles coincide).
+_CHAR5_PAIRS = """
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < 5 THEN [text]
+                  ELSE list_distinct([substr(text, i, 5)
+                                      for i in range(1, length(text) - 3)])
+             END AS g
+      FROM documents
+    ),
+    eg AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM eg GROUP BY 1),
+    jac AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+"""
+
+ORACLE_SQL["doc_minhash_pairs"] = (
+    _CHAR5_PAIRS
+    + """
+    SELECT doc_a, doc_b FROM jac WHERE j >= 0.7 ORDER BY doc_a, doc_b
+    """
+)
+
+# Word-3-gram Jaccard, mirroring ops.dedup.word_ngrams (lowercased,
+# whitespace-split, <3-word docs collapse to one whole-text gram).
+_WORD3_PAIRS = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                      for i in range(1, len(w) - 1)])
+             END AS g
+      FROM toks WHERE len(w) > 0
+    ),
+    eg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM eg GROUP BY 1),
+    jac AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+"""
+
+ORACLE_SQL["doc_ngram_verified_pairs"] = (
+    _WORD3_PAIRS
+    + """
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+)
+
+# Connected components over the near-dup pairs (recursive label reach,
+# min-id label per component) — mirrors ops.dedup.dedup_groups.
+ORACLE_SQL["doc_dedup_groups"] = (
+    _CHAR5_PAIRS.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.7
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac WHERE j >= 0.7
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT doc_id, min(r) AS group_id, doc_id = min(r) AS is_canonical
+    FROM reach GROUP BY doc_id ORDER BY group_id, doc_id
+    """
+)
+
+# SimHash recomputed bit-for-bit: md5-top-64-bit token hash, +1/-1 votes,
+# bit set when the vote sum is strictly positive; 4x16-bit bands.
+ORACLE_SQL["doc_simhash"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.i,
+             sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id,
+        sum(CASE WHEN s > 0 AND i < 16 THEN 1 << i ELSE 0 END) AS b0,
+        sum(CASE WHEN s > 0 AND i >= 16 AND i < 32 THEN 1 << (i - 16) ELSE 0 END) AS b1,
+        sum(CASE WHEN s > 0 AND i >= 32 AND i < 48 THEN 1 << (i - 32) ELSE 0 END) AS b2,
+        sum(CASE WHEN s > 0 AND i >= 48 THEN 1 << (i - 48) ELSE 0 END) AS b3
+      FROM votes GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN coalesce(b3, 0) >= 32768
+                THEN CAST(coalesce(b0, 0) AS HUGEINT)
+                     + coalesce(b1, 0) * 65536
+                     + coalesce(b2, 0) * 4294967296
+                     + coalesce(b3, 0) * 281474976710656
+                     - 18446744073709551616
+                ELSE CAST(coalesce(b0, 0) AS HUGEINT)
+                     + coalesce(b1, 0) * 65536
+                     + coalesce(b2, 0) * 4294967296
+                     + coalesce(b3, 0) * 281474976710656
+                END AS BIGINT) AS simhash,
+           CAST(coalesce(b0, 0) AS BIGINT) AS band0,
+           CAST(coalesce(b1, 0) AS BIGINT) AS band1,
+           CAST(coalesce(b2, 0) AS BIGINT) AS band2,
+           CAST(coalesce(b3, 0) AS BIGINT) AS band3
+    FROM documents d LEFT JOIN bands USING (doc_id)
+    ORDER BY d.doc_id
+"""
