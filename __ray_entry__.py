@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": q.embedding_topk,
         "embedding_label_centroids": q.embedding_label_centroids,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
+        "embedding_neardup_lsh": q.embedding_neardup_lsh,
         # Joins / windows / sessions
         "lineitem_join_orders": q.lineitem_join_orders,
         "supplier_balance_by_region": q.supplier_balance_by_region,

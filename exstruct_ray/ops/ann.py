@@ -98,8 +98,121 @@ def brute_force_topk(ds, query_ids, query_matrix, k: int = 10, concurrency=None)
     return pd.DataFrame(rows)
 
 
+LSH_SEED = 7
+LSH_BANDS = 4
+LSH_PLANES_PER_BAND = 8
+
+
+def lsh_plane_matrix(
+    dim: int,
+    n_planes: int = LSH_BANDS * LSH_PLANES_PER_BAND,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (dim × n_planes).
+
+    Seeded RandomState so every actor — and the DuckDB oracle, which embeds
+    these exact values as literals — sees the identical planes.
+    """
+    return np.random.RandomState(seed).standard_normal((dim, n_planes))
+
+
+def lsh_neardup_pairs(ds, dim: int, threshold: float = 0.38, concurrency=None):
+    """Banded-LSH near-duplicate pairs: the sublinear scale path.
+
+    Candidate generation: 4 bands × 8 hyperplane sign bits; vectors sharing
+    any band key become candidates (per-band collision prob for similarity
+    s is ((1 - acos(s)/π))^8, OR'd over bands). Verification: exact cosine
+    inside each bucket. Only (band_key, vec_id, embedding) rides the
+    shuffle — no O(n²) broadcast matmul, no driver materialization. The
+    recalled pair set is deterministic (seeded planes), so the whole
+    pipeline is oracle-checkable by re-deriving the same buckets in SQL.
+    """
+    import pandas as _pd
+
+    if concurrency is None:
+        from ..stages.pipeline import _default_concurrency
+
+        concurrency = _default_concurrency()
+
+    n_shuffle_buckets = 256
+
+    class BandKeys:
+        def __init__(self):
+            self._planes = lsh_plane_matrix(dim)
+
+        def __call__(self, batch: _pd.DataFrame) -> _pd.DataFrame:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            signs = (vecs @ self._planes) > 0
+            vec_ids = np.asarray(batch["vec_id"], dtype=np.int64)
+            rows = {
+                "shuffle_key": [],
+                "band_idx": [],
+                "band_key": [],
+                "vec_id": [],
+                "embedding": [],
+            }
+            emb_list = [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            for band in range(LSH_BANDS):
+                key = np.zeros(len(vecs), dtype=np.int64)
+                for bit in range(LSH_PLANES_PER_BAND):
+                    col = band * LSH_PLANES_PER_BAND + bit
+                    key |= signs[:, col].astype(np.int64) << bit
+                rows["shuffle_key"].extend(
+                    ((key * LSH_BANDS + band) % n_shuffle_buckets).tolist()
+                )
+                rows["band_idx"].extend([band] * len(vecs))
+                rows["band_key"].extend(key.tolist())
+                rows["vec_id"].extend(vec_ids.tolist())
+                rows["embedding"].extend(e.tolist() for e in emb_list)
+            return _pd.DataFrame(rows)
+
+    banded = ds.map_batches(
+        BandKeys,
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def verify_group(group: _pd.DataFrame) -> _pd.DataFrame:
+        pairs_a: list[int] = []
+        pairs_b: list[int] = []
+        for _, bucket in group.groupby(["band_idx", "band_key"]):
+            if len(bucket) < 2:
+                continue
+            ids = np.asarray(bucket["vec_id"], dtype=np.int64)
+            vecs = np.asarray([np.asarray(v) for v in bucket["embedding"]])
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (vecs / norms) @ (vecs / norms).T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            for i, j in zip(ii, jj):
+                lo, hi = sorted((int(ids[i]), int(ids[j])))
+                if lo != hi:
+                    pairs_a.append(lo)
+                    pairs_b.append(hi)
+        return _pd.DataFrame(
+            {
+                "vec_a": _pd.Series(pairs_a, dtype="int64"),
+                "vec_b": _pd.Series(pairs_b, dtype="int64"),
+            }
+        )
+
+    pairs = banded.groupby("shuffle_key").map_groups(
+        verify_group, batch_format="pandas"
+    )
+
+    # A pair can collide in several bands — dedup with one groupby on vec_a
+    # (duplicates always share vec_a).
+    def dedup_group(group: _pd.DataFrame) -> _pd.DataFrame:
+        return group.drop_duplicates(subset=["vec_a", "vec_b"])
+
+    return pairs.groupby("vec_a").map_groups(dedup_group, batch_format="pandas")
+
+
 class _LshBucketer:
-    """Random-hyperplane LSH signatures (the bucketed scale path)."""
+    """Random-hyperplane LSH signatures (single-signature bucketer)."""
 
     def __init__(self, dim: int, num_planes: int = 16, seed: int = 7):
         rng = np.random.RandomState(seed)

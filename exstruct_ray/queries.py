@@ -623,44 +623,79 @@ def supplier_balance_by_region(sf_dir: str):
 def orders_running_total(sf_dir: str):
     """Windowed aggregate: per-customer running revenue ordered by date.
 
-    Ray Data has no window operator — expressed as groupby(key).map_groups
-    with an in-group sort + cumsum (the documented partitioning assumption:
-    one customer's orders fit in one group).
+    Ray Data has no window operator — and a groupby on raw o_custkey makes
+    one micro-group per customer (the anti-pattern CLAUDE.md flags). The
+    shuffle key is a coarse 64-way key-hash bucket; inside each group a
+    single vectorized segmented cumsum handles every customer at once.
     """
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    n_buckets = 64
+    ds = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (batch["o_custkey"] % n_buckets).astype("int64")
+        return batch
 
     def window(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["o_orderdate", "o_orderkey"])
-        out = group[["o_orderkey", "o_custkey"]].copy()
+        group = group.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
         cents = np.rint(group["o_totalprice"] * 100).astype("int64")
-        out["running_total"] = cents.cumsum() / 100.0
+        out = group[["o_orderkey", "o_custkey"]].copy()
+        out["running_total"] = (
+            cents.groupby(group["o_custkey"].to_numpy()).cumsum() / 100.0
+        )
         return out
 
-    out = ds.groupby("o_custkey").map_groups(window, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
 def events_sessionize(sf_dir: str):
     """Sessionization: per-user session count with a 30-minute idle gap.
 
-    Streaming-window analogue over a batch table; same groupby(key) +
-    in-group sort pattern as the running total.
+    Same coarse-bucket shuffle as the running total: 64-way user-hash
+    buckets, then one vectorized pass per group (sorted diff + segmented
+    boundary detection) instead of a micro-group per user.
     """
+    n_buckets = 64
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=30)
 
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (batch["user_id"] % n_buckets).astype("int64")
+        return batch
+
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].sort_values()
-        n_sessions = int((ts.diff() > gap).sum()) + 1
-        return pd.DataFrame(
+        group = group.sort_values(["user_id", "ts"], kind="mergesort")
+        same_user = group["user_id"].eq(group["user_id"].shift())
+        gap_break = (group["ts"].diff() > gap) & same_user
+        tmp = pd.DataFrame(
             {
-                "user_id": [group["user_id"].iloc[0]],
-                "n_events": [len(ts)],
-                "n_sessions": [n_sessions],
+                "user_id": group["user_id"],
+                "brk": gap_break.astype("int64"),
             }
         )
+        agg = tmp.groupby("user_id", as_index=False).agg(
+            n_events=("brk", "count"), n_sessions=("brk", "sum")
+        )
+        agg["n_sessions"] = agg["n_sessions"] + 1
+        return agg
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
     out["user_id"] = out["user_id"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
@@ -745,6 +780,24 @@ def embedding_neardup_pairs(sf_dir: str):
         )
         .to_pandas()
     )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_lsh(sf_dir: str):
+    """Banded-LSH near-dup pairs — the sublinear scale path, oracle-checked.
+
+    The exact-threshold variant (embedding_neardup_pairs) is O(n²) by
+    definition; this one buckets by 4×8-bit random-hyperplane band keys and
+    verifies exact cosine only inside buckets. The recalled set is
+    deterministic (seeded planes), and the oracle re-derives the identical
+    buckets in SQL from the same plane literals — so even the sketch path
+    gets a hash-verified row, with its recall/threshold tradeoff explicit
+    in the band parameters rather than hidden.
+    """
+    from .ops.ann import lsh_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = lsh_neardup_pairs(ds, dim=64, threshold=0.38).to_pandas()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
@@ -1287,3 +1340,45 @@ ORACLE_SQL["doc_simhash"] = """
     FROM documents d LEFT JOIN bands USING (doc_id)
     ORDER BY d.doc_id
 """
+
+
+def _lsh_oracle_sql() -> str:
+    """SQL mirror of lsh_neardup_pairs: identical plane literals, identical
+    band keys, exact cosine verification."""
+    from .ops.ann import LSH_BANDS, LSH_PLANES_PER_BAND, lsh_plane_matrix
+
+    planes = lsh_plane_matrix(64)
+
+    def key_expr(band: int) -> str:
+        terms = []
+        for bit in range(LSH_PLANES_PER_BAND):
+            col = planes[:, band * LSH_PLANES_PER_BAND + bit]
+            lit = "[" + ", ".join(repr(float(x)) for x in col) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+                f"THEN {1 << bit} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    keys = ",\n           ".join(
+        f"{key_expr(b)} AS k{b}" for b in range(LSH_BANDS)
+    )
+    same_band = " OR ".join(f"a.k{b} = b.k{b}" for b in range(LSH_BANDS))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    k AS (SELECT vec_id, v,
+           {keys}
+          FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM k a JOIN k b ON a.vec_id < b.vec_id AND ({same_band})
+    )
+    SELECT vec_a, vec_b FROM cand
+    JOIN e ea ON ea.vec_id = cand.vec_a
+    JOIN e eb ON eb.vec_id = cand.vec_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.38
+    ORDER BY vec_a, vec_b
+    """
+
+
+ORACLE_SQL["embedding_neardup_lsh"] = _lsh_oracle_sql()
