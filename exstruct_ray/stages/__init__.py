@@ -1,9 +1,8 @@
 from .actor import ExtractActor
-from .pipeline import build_extraction_pipeline, explode_giant_docs, reassemble_exploded
+from .pipeline import build_extraction_pipeline, reassemble_mixed
 
 __all__ = [
     "ExtractActor",
     "build_extraction_pipeline",
-    "explode_giant_docs",
-    "reassemble_exploded",
+    "reassemble_mixed",
 ]

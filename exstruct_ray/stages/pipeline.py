@@ -24,10 +24,17 @@ from ..config import ExtractOptions
 from ..datagen.corpus import SPAN_TYPE
 from .actor import ExtractActor
 
-_EXPLODED_SCHEMA = pa.schema(
+# Mixed-stream schema for the single-pass explode pipeline: OUTPUT_SCHEMA
+# plus the routing column. sheet_idx == -1 marks a row whose spans are the
+# already-extracted whole-document output; sheet_idx >= 0 marks an
+# unextracted per-sheet slice awaiting the sheet-extract stage.
+_MIXED_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
         ("spans", SPAN_TYPE),
+        ("n_spans", pa.int32()),
+        ("n_errors", pa.int32()),
+        ("parse_ms", pa.float32()),
         ("sheet_idx", pa.int32()),
     ]
 )
@@ -146,28 +153,25 @@ def build_extraction_pipeline(
             concurrency=concurrency or _single_pool_concurrency(),
             num_cpus=1,
         )
-    if concurrency is None:
-        concurrency = _default_concurrency()
-
-    small, exploded = explode_giant_docs(ds, threshold_bytes=explode_threshold)
-    small_out = small.map_batches(
-        ExtractActor,
-        fn_constructor_kwargs={"options": options},
+    # Single-pass explode pipeline: one linear chain with no materialize()
+    # and no union() — small docs are extracted inline in the splitter task
+    # (work happens exactly once; Ray fuses it with the read), giant docs
+    # emit unextracted per-sheet rows that the next stage extracts in
+    # parallel across workers, and one groupby(doc_id) reassembles.
+    # Explode mode is the opt-in skew tool for corpora whose documents
+    # exceed worker memory; its cost is that the output rides the
+    # reassembly shuffle (small docs pass through as singleton groups).
+    mixed = ds.map_batches(
+        _make_split_extract_udf(options, explode_threshold),
         batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+        batch_size=32,
     )
-    exploded_out = exploded.map_batches(
-        _ExplodedExtractActor,
-        fn_constructor_kwargs={"options": options},
+    extracted = mixed.map_batches(
+        _make_sheet_extract_udf(options),
         batch_format="pyarrow",
         batch_size=max(1, batch_size // 8),
-        concurrency=concurrency,
-        num_cpus=1,
     )
-    reassembled = reassemble_exploded(exploded_out)
-    return small_out.union(reassembled)
+    return reassemble_mixed(extracted)
 
 
 def _doc_payload_bytes(spans: list[dict]) -> int:
@@ -246,47 +250,98 @@ def _split_doc_by_sheet(doc_id: str, spans: list[dict]) -> list[dict]:
     ]
 
 
-def explode_giant_docs(
-    ds: "ray.data.Dataset", threshold_bytes: int = 8 * 1024 * 1024
-) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
-    """Split the dataset into (small whole docs, exploded per-sheet rows)."""
+def _make_split_extract_udf(options: ExtractOptions | None, threshold_bytes: int):
+    """Splitter stage UDF: extract small docs inline, split giant docs.
 
-    def splitter(batch: pa.Table) -> pa.Table:
+    Small documents (payload < threshold) are extracted right here — their
+    rows leave this stage finished (sheet_idx=-1). Giant documents are
+    split into per-sheet rows (sheet_idx>=0, metrics sentinel n_spans=-1)
+    for the distributed sheet-extract stage.
+    """
+
+    def split_or_extract(batch: pa.Table) -> pa.Table:
+        cache_key = "_exstruct_extractor"
+        actor = getattr(split_or_extract, cache_key, None)
+        if actor is None:
+            actor = ExtractActor(options)
+            setattr(split_or_extract, cache_key, actor)
+
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
-        rows: list[dict] = []
-        for doc_id, spans in zip(doc_ids, spans_col):
+        sheet_rows: list[dict] = []
+        small_idx: list[int] = []
+        for i, (doc_id, spans) in enumerate(zip(doc_ids, spans_col)):
             spans = spans or []
             if _doc_payload_bytes(spans) >= threshold_bytes:
-                rows.extend(_split_doc_by_sheet(doc_id, spans))
+                for row in _split_doc_by_sheet(doc_id, spans):
+                    sheet_rows.append(
+                        {
+                            "doc_id": row["doc_id"],
+                            "spans": row["spans"],
+                            "n_spans": -1,
+                            "n_errors": 0,
+                            "parse_ms": 0.0,
+                            "sheet_idx": row["sheet_idx"],
+                        }
+                    )
             else:
-                rows.append({"doc_id": doc_id, "spans": spans, "sheet_idx": -1})
-        return pa.Table.from_pylist(rows, schema=_EXPLODED_SCHEMA)
+                small_idx.append(i)
 
-    tagged = ds.map_batches(splitter, batch_format="pyarrow", batch_size=32)
-    # Two downstream branches would each re-execute the read+splitter
-    # lineage (Ray Data shares no common sub-plans); materialize the tagged
-    # rows once. Bounded: explode mode is meant to run inside partitioned
-    # jobs (stages/manifest.py), where a partition is a handful of files.
-    tagged = tagged.materialize()
-    small = tagged.filter(expr="sheet_idx == -1").drop_columns(["sheet_idx"])
-    exploded = tagged.filter(expr="sheet_idx >= 0")
-    return small, exploded
+        parts: list[pa.Table] = []
+        if small_idx:
+            small = batch.take(pa.array(small_idx, pa.int64()))
+            out = actor(small)
+            out = out.append_column(
+                "sheet_idx", pa.array([-1] * out.num_rows, pa.int32())
+            )
+            parts.append(out.cast(_MIXED_SCHEMA))
+        if sheet_rows:
+            parts.append(pa.Table.from_pylist(sheet_rows, schema=_MIXED_SCHEMA))
+        if not parts:
+            return pa.Table.from_pylist([], schema=_MIXED_SCHEMA)
+        return pa.concat_tables(parts)
 
-
-class _ExplodedExtractActor(ExtractActor):
-    """Extract per-sheet rows, carrying sheet_idx through for reassembly."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
-        sheet_idx = batch.column("sheet_idx")
-        out = super().__call__(batch.drop_columns(["sheet_idx"]))
-        return out.append_column("sheet_idx", sheet_idx)
+    return split_or_extract
 
 
-def reassemble_exploded(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """groupby(doc_id) → concatenate sheet span lists in sheet order."""
+def _make_sheet_extract_udf(options: ExtractOptions | None):
+    """Second stage: extract per-sheet rows, pass finished rows through."""
+
+    def sheet_extract(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cache_key = "_exstruct_extractor"
+        actor = getattr(sheet_extract, cache_key, None)
+        if actor is None:
+            actor = ExtractActor(options)
+            setattr(sheet_extract, cache_key, actor)
+
+        mask = pc.greater_equal(batch.column("sheet_idx"), 0)
+        todo = batch.filter(mask)
+        done = batch.filter(pc.invert(mask))
+        parts: list[pa.Table] = []
+        if todo.num_rows:
+            out = actor(todo.select(["doc_id", "spans"]))
+            out = out.append_column("sheet_idx", todo.column("sheet_idx"))
+            parts.append(out.cast(_MIXED_SCHEMA))
+        if done.num_rows:
+            parts.append(done)
+        if not parts:
+            return pa.Table.from_pylist([], schema=_MIXED_SCHEMA)
+        return pa.concat_tables(parts)
+
+    return sheet_extract
+
+
+def reassemble_mixed(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """groupby(doc_id): singleton finished docs pass through; exploded
+    sheet rows concatenate in sheet order with dense re-offsets."""
 
     def assemble(group: pa.Table) -> pa.Table:
+        from .actor import OUTPUT_SCHEMA
+
+        if group.num_rows == 1 and group.column("sheet_idx")[0].as_py() == -1:
+            return group.drop_columns(["sheet_idx"]).cast(OUTPUT_SCHEMA)
         order = sorted(
             range(group.num_rows), key=lambda i: group.column("sheet_idx")[i].as_py()
         )
@@ -301,8 +356,6 @@ def reassemble_exploded(ds: "ray.data.Dataset") -> "ray.data.Dataset":
                 spans.append(span)
             n_errors += group.column("n_errors")[i].as_py()
             parse_ms += group.column("parse_ms")[i].as_py()
-        from .actor import OUTPUT_SCHEMA
-
         return pa.Table.from_pylist(
             [
                 {
