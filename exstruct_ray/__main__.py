@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input", help="workbook path (.xlsx/.xlsm)")
     p.add_argument("-o", "--output", default=None, help="output file (default stdout)")
     p.add_argument("--mode", default="light", choices=["light", "verbose"])
+    p.add_argument(
+        "--format", default="json", choices=["json", "yaml", "yml", "toon"],
+        help="output serialization format",
+    )
     p.add_argument("--pretty", action="store_true")
     p.add_argument("--alpha-col", action="store_true")
     p.add_argument("--spans", action="store_true", help="emit span JSONL instead")
@@ -82,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
 
     text = serialize_workbook(
         workbook,
+        fmt=args.format,
         pretty=args.pretty,
         include_backend_metadata=args.include_backend_metadata,
     )
@@ -90,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         print(text)
     if args.sheets_dir:
-        save_sheets(workbook, args.sheets_dir)
+        save_sheets(workbook, args.sheets_dir, fmt=args.format if args.format != "yml" else "yaml")
     if args.print_areas_dir:
         engine.export_print_area_views(workbook, args.print_areas_dir)
     return 0

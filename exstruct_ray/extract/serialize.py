@@ -1,4 +1,4 @@
-"""Workbook/sheet serialization: JSON / YAML payloads and file writers.
+"""Workbook/sheet serialization: JSON / YAML / TOON payloads and writers.
 
 Semantics parity: /root/reference/src/exstruct/io/__init__.py:92-178,539-664
 and io/serialize.py:52-91 — model_dump(exclude_none) → empty-value strip →
@@ -82,6 +82,10 @@ def serialize_workbook(
         return str(
             yaml.safe_dump(payload, allow_unicode=True, sort_keys=False, indent=2)
         )
+    if fmt == "toon":
+        from ..functions.toon import encode as toon_encode
+
+        return toon_encode(payload)
     raise ValueError(f"Unsupported export format: {fmt}")
 
 
@@ -124,6 +128,10 @@ def save_sheets(
                 yaml.safe_dump(payload, allow_unicode=True, sort_keys=False),
                 encoding="utf-8",
             )
+        elif fmt == "toon":
+            from ..functions.toon import encode as toon_encode
+
+            dest.write_text(toon_encode(payload), encoding="utf-8")
         else:
             raise ValueError(f"Unsupported export format: {fmt}")
         written.append(dest)
