@@ -92,9 +92,20 @@ def bench_extraction(sf: str, n_docs: int) -> dict:
     from exstruct_ray.stages.pipeline import build_extraction_pipeline
 
     corpus = _ensure_corpus(sf, n_docs)
+    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", "256"))
     start = time.perf_counter()
     ds = ray.data.read_parquet(corpus)
-    out = build_extraction_pipeline(ds, batch_size=256)
+    out = build_extraction_pipeline(ds, batch_size=batch_size)
+
+    # Consume: select_columns fuses a Project INTO the extract task, so only
+    # the two int32 metric columns ever reach the object store / driver —
+    # measured faster than both a Dataset.sum aggregate (extra AllToAll
+    # stage, −30%) and a partials map (extra operator, −10%) at 8 and 32
+    # CPUs. The spans themselves never leave the fused task in this
+    # metrics-only consume; the write path (manifest.py) streams them to
+    # parquet via distributed writers instead.
+    import pyarrow.compute as pc
+
     total_docs = 0
     total_spans = 0
     total_errors = 0
@@ -102,8 +113,8 @@ def bench_extraction(sf: str, n_docs: int) -> dict:
         batch_format="pyarrow"
     ):
         total_docs += batch.num_rows
-        total_spans += sum(batch.column("n_spans").to_pylist())
-        total_errors += sum(batch.column("n_errors").to_pylist())
+        total_spans += pc.sum(batch.column("n_spans")).as_py() or 0
+        total_errors += pc.sum(batch.column("n_errors")).as_py() or 0
     elapsed = time.perf_counter() - start
     return {
         "sec": elapsed,

@@ -128,59 +128,61 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k,
                               concurrency=concurrency)
 
-    # Band rows carry the signature as fixed-width bytes (cheap ser/de).
-    # The shuffle key is a COARSE hash bucket (band_key % n_shuffle_buckets):
-    # micro-groups kill a per-exact-key groupby, so exact-band grouping
-    # happens vectorized inside each shuffled group instead.
+    # Banding ships (shuffle_key, band_key, doc_id) triples ONLY — the
+    # signature does NOT replicate ×bands through the shuffle (~10× less
+    # exchange traffic than sig-carrying band rows); candidate pairs join
+    # their two signatures afterwards, and the pair set is a tiny fraction
+    # of the corpus. The shuffle key is a COARSE hash bucket
+    # (band_key % n_shuffle_buckets): micro-groups kill a per-exact-key
+    # groupby, so exact-band grouping happens inside each shuffled group.
     n_shuffle_buckets = 1024
 
-    def band_with_sig(batch: pd.DataFrame) -> pd.DataFrame:
+    def band_ids(batch: pd.DataFrame) -> pd.DataFrame:
         doc_ids: list = []
         band_keys: list[int] = []
         shuffle_keys: list[int] = []
-        sig_bytes: list[bytes] = []
         for doc_id, sig in zip(batch["doc_id"], batch["signature"]):
-            arr = np.asarray(sig, dtype=np.uint32)
-            raw = arr.tobytes()
-            banded = arr.reshape(bands, rows_per_band)
+            banded = np.asarray(sig, dtype=np.uint32).reshape(bands, rows_per_band)
             for band_idx in range(bands):
                 key = zlib.crc32(banded[band_idx].tobytes()) ^ (band_idx << 32)
                 doc_ids.append(doc_id)
                 band_keys.append(key)
                 shuffle_keys.append(key % n_shuffle_buckets)
-                sig_bytes.append(raw)
         return pd.DataFrame(
             {
                 "doc_id": doc_ids,
                 "band_key": band_keys,
                 "shuffle_key": shuffle_keys,
-                "signature": sig_bytes,
             }
         )
 
-    banded = sigs.map_batches(band_with_sig, batch_format="pandas")
+    banded = sigs.map_batches(band_ids, batch_format="pandas")
 
-    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
-        pairs: list[dict] = []
-        # Only band keys with ≥2 members can produce candidates.
+    def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows_a: list = []
+        rows_b: list = []
         counts = group["band_key"].value_counts()
         hot = counts[counts >= 2].index
         sub = group[group["band_key"].isin(hot)]
         for _, bucket in sub.groupby("band_key"):
-            docs = list(zip(bucket["doc_id"], bucket["signature"]))
-            for (ida, siga), (idb, sigb) in itertools.combinations(docs, 2):
+            for ida, idb in itertools.combinations(bucket["doc_id"], 2):
                 if ida == idb:
                     continue
-                a = np.frombuffer(siga, dtype=np.uint32)
-                b = np.frombuffer(sigb, dtype=np.uint32)
-                est = float((a == b).mean())
-                if est >= jaccard_threshold:
-                    lo, hi = sorted((ida, idb))
-                    pairs.append({"doc_a": lo, "doc_b": hi, "est_jaccard": est})
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b", "est_jaccard"])
+                lo, hi = sorted((ida, idb))
+                rows_a.append(lo)
+                rows_b.append(hi)
+        # Pin the id dtype: an empty group would otherwise emit object
+        # columns that break block-schema unification at the joins.
+        id_dtype = group["doc_id"].dtype
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype=id_dtype),
+                "doc_b": pd.Series(rows_b, dtype=id_dtype),
+            }
+        )
 
-    pairs = banded.groupby("shuffle_key").map_groups(
-        verify_group, batch_format="pandas"
+    cand = banded.groupby("shuffle_key").map_groups(
+        candidate_pairs, batch_format="pandas"
     )
 
     # Same pair may surface from several bands. Dedup with ONE groupby on
@@ -189,7 +191,168 @@ def minhash_dedup_pairs(
     def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(subset=["doc_a", "doc_b"])
 
-    return pairs.groupby("doc_a").map_groups(dedup_group, batch_format="pandas")
+    cand = cand.groupby("doc_a").map_groups(dedup_group, batch_format="pandas")
+
+    # Attach each candidate's two signatures with a tagged-union bucket
+    # merge — the engine's standard manual shuffle join. (Dataset.join is
+    # avoided here: its hash aggregator cannot finalize partitions that
+    # received no blocks, which tiny candidate sets produce routinely.)
+    # Note map_groups emits ZERO-COLUMN blocks for hash partitions that
+    # held no groups — every downstream UDF guards for missing columns.
+    import pyarrow as pa
+
+    id_type = ds.schema().base_schema.field("doc_id").type
+    id_dtype = id_type.to_pandas_dtype()
+    n_merge_buckets = 64
+
+    def _bucket_of(values: pd.Series) -> pd.Series:
+        hashed = pd.util.hash_array(values.to_numpy()) % n_merge_buckets
+        return pd.Series(hashed.astype("int64"), index=values.index)
+
+    def _empty(cols: list[tuple[str, object]]) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols})
+
+    PAIR_A_COLS = [
+        ("bucket", "int64"), ("key", id_dtype), ("doc_a", id_dtype),
+        ("doc_b", id_dtype), ("sig", object), ("is_sig", "bool"),
+    ]
+
+    def tag_pairs_a(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_a" not in batch.columns or batch.empty:
+            return _empty(PAIR_A_COLS)
+        return pd.DataFrame(
+            {
+                "bucket": _bucket_of(batch["doc_a"]),
+                "key": batch["doc_a"],
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "sig": b"",
+                "is_sig": False,
+            }
+        )
+
+    def tag_sigs_a(batch: pd.DataFrame) -> pd.DataFrame:
+        sig_raw = [
+            np.asarray(v, dtype=np.uint32).tobytes() for v in batch["signature"]
+        ]
+        return pd.DataFrame(
+            {
+                "bucket": _bucket_of(batch["doc_id"]),
+                "key": batch["doc_id"],
+                "doc_a": batch["doc_id"],
+                "doc_b": batch["doc_id"],
+                "sig": pd.Series(sig_raw, index=batch.index, dtype=object),
+                "is_sig": True,
+            }
+        )
+
+    tagged_a = cand.map_batches(tag_pairs_a, batch_format="pandas").union(
+        sigs.map_batches(tag_sigs_a, batch_format="pandas")
+    )
+
+    A_OUT_COLS = [("doc_a", id_dtype), ("doc_b", id_dtype), ("sig_a", object)]
+
+    def merge_a(group: pd.DataFrame) -> pd.DataFrame:
+        pair_rows = group[~group["is_sig"]]
+        sig_rows = group[group["is_sig"]]
+        if pair_rows.empty or sig_rows.empty:
+            return _empty(A_OUT_COLS)
+        m = pair_rows[["doc_a", "doc_b"]].merge(
+            sig_rows[["key", "sig"]].drop_duplicates("key"),
+            left_on="doc_a",
+            right_on="key",
+            how="inner",
+        )
+        return pd.DataFrame(
+            {"doc_a": m["doc_a"], "doc_b": m["doc_b"], "sig_a": m["sig"]}
+        )
+
+    with_a = tagged_a.groupby("bucket").map_groups(merge_a, batch_format="pandas")
+
+    PAIR_B_COLS = [
+        ("bucket", "int64"), ("key", id_dtype), ("doc_a", id_dtype),
+        ("doc_b", id_dtype), ("sig_a", object), ("sig", object),
+        ("is_sig", "bool"),
+    ]
+
+    def tag_pairs_b(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_a" not in batch.columns or batch.empty:
+            return _empty(PAIR_B_COLS)
+        return pd.DataFrame(
+            {
+                "bucket": _bucket_of(batch["doc_b"]),
+                "key": batch["doc_b"],
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "sig_a": batch["sig_a"],
+                "sig": b"",
+                "is_sig": False,
+            }
+        )
+
+    def tag_sigs_b(batch: pd.DataFrame) -> pd.DataFrame:
+        out = tag_sigs_a(batch)
+        out["sig_a"] = b""
+        return out[[c for c, _ in PAIR_B_COLS]]
+
+    tagged_b = with_a.map_batches(tag_pairs_b, batch_format="pandas").union(
+        sigs.map_batches(tag_sigs_b, batch_format="pandas")
+    )
+
+    B_OUT_COLS = [
+        ("doc_a", id_dtype), ("doc_b", id_dtype),
+        ("sig_a", object), ("sig_b", object),
+    ]
+
+    def merge_b(group: pd.DataFrame) -> pd.DataFrame:
+        pair_rows = group[~group["is_sig"]]
+        sig_rows = group[group["is_sig"]]
+        if pair_rows.empty or sig_rows.empty:
+            return _empty(B_OUT_COLS)
+        m = pair_rows[["doc_a", "doc_b", "sig_a"]].merge(
+            sig_rows[["key", "sig"]].drop_duplicates("key"),
+            left_on="doc_b",
+            right_on="key",
+            how="inner",
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_a"],
+                "doc_b": m["doc_b"],
+                "sig_a": m["sig_a"],
+                "sig_b": m["sig"],
+            }
+        )
+
+    with_b = tagged_b.groupby("bucket").map_groups(merge_b, batch_format="pandas")
+
+    def verify_est(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_a" not in batch.columns or batch.empty:
+            return _empty(
+                [("doc_a", id_dtype), ("doc_b", id_dtype),
+                 ("est_jaccard", "float64")]
+            )
+        rows = {"doc_a": [], "doc_b": [], "est_jaccard": []}
+        for a, b, sa, sb in zip(
+            batch["doc_a"], batch["doc_b"], batch["sig_a"], batch["sig_b"]
+        ):
+            est = float(
+                (np.frombuffer(sa, dtype=np.uint32)
+                 == np.frombuffer(sb, dtype=np.uint32)).mean()
+            )
+            if est >= jaccard_threshold:
+                rows["doc_a"].append(a)
+                rows["doc_b"].append(b)
+                rows["est_jaccard"].append(est)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows["doc_a"], dtype=batch["doc_a"].dtype),
+                "doc_b": pd.Series(rows["doc_b"], dtype=batch["doc_b"].dtype),
+                "est_jaccard": pd.Series(rows["est_jaccard"], dtype="float64"),
+            }
+        )
+
+    return with_b.map_batches(verify_est, batch_format="pandas")
 
 
 def exact_dedup(ds, key_column: str = "text", id_column: str = "doc_id"):
