@@ -53,7 +53,10 @@ def _ensure_corpus(sf: str, n_docs: int) -> str:
     """
     from exstruct_ray.datagen.corpus import GENERATOR_VERSION
 
-    path = CORPUS_DIR_TEMPLATE.format(sf=sf) + f"_v{GENERATOR_VERSION}_n{n_docs}"
+    path = (
+        CORPUS_DIR_TEMPLATE.format(sf=sf)
+        + f"_v{GENERATOR_VERSION}_n{n_docs}_r2000"
+    )
     marker = os.path.join(path, ".complete")
     if os.path.exists(marker):
         return path
@@ -61,7 +64,9 @@ def _ensure_corpus(sf: str, n_docs: int) -> str:
     import ray
 
     os.makedirs(path, exist_ok=True)
-    rows_per_file = 500
+    # 2000-row files: ~125 fused read+extract tasks at sf0.1 — enough for
+    # 32-way parallelism with far less per-task overhead than 500 tasks.
+    rows_per_file = 2000
 
     @ray.remote
     def build_shard(shard: int, start: int, stop: int) -> str:
@@ -92,7 +97,8 @@ def bench_extraction(sf: str, n_docs: int) -> dict:
     from exstruct_ray.stages.pipeline import build_extraction_pipeline
 
     corpus = _ensure_corpus(sf, n_docs)
-    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", "256"))
+    bs_env = os.environ.get("BENCH_BATCH_SIZE", "none")
+    batch_size = None if bs_env == "none" else int(bs_env)
     start = time.perf_counter()
     ds = ray.data.read_parquet(corpus)
     out = build_extraction_pipeline(ds, batch_size=batch_size)

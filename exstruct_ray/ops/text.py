@@ -65,11 +65,40 @@ def _detect_lang_one(text: str) -> str:
     return best if counts[best] > 0 else "unknown"
 
 
+_MARKER_TABLE = pd.DataFrame(
+    [(m, lang) for lang, ms in sorted(_LANG_MARKERS.items()) for m in ms],
+    columns=["tok", "mlang"],
+)
+
+
 def _lang_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized marker counting: tokenize → explode → merge → pivot.
+
+    Same semantics as _detect_lang_one per row (token-based counting with
+    alphabetical tie-break, 'unknown' when no marker hits), but one pandas
+    pipeline per batch instead of a Python loop over rows.
+    """
+    text = batch["text"].fillna("").str.lower()
+    toks = text.str.findall(_WORD_RE)
+    n_words = toks.str.len()
+    langs = sorted(_LANG_MARKERS)
+
+    exploded = toks.explode().rename("tok").reset_index()
+    merged = exploded.merge(_MARKER_TABLE, on="tok")
+    if merged.empty:
+        counts = pd.DataFrame(0, index=batch.index, columns=langs)
+    else:
+        counts = (
+            merged.groupby(["index", "mlang"]).size().unstack(fill_value=0)
+        )
+        counts = counts.reindex(index=batch.index, columns=langs, fill_value=0)
+    # idxmax picks the FIRST max in column order — columns are alphabetical,
+    # matching max(sorted(counts)) in the scalar reference implementation.
+    best = counts.idxmax(axis=1)
+    best[(counts.max(axis=1) == 0) | (n_words == 0)] = "unknown"
+
     out = batch[["doc_id"]].copy()
-    out["detected_lang"] = [
-        _detect_lang_one(t or "") for t in batch["text"].tolist()
-    ]
+    out["detected_lang"] = best
     if "lang" in batch.columns:
         out["lang"] = batch["lang"]
     return out

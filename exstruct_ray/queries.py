@@ -138,13 +138,15 @@ def q6_revenue(sf_dir: str):
 
 
 def revenue_by_nation(sf_dir: str):
-    """orders ⋈ customer via distributed hash join; nation broadcast only.
+    """orders ⋈ customer via pre-aggregated bucket merge; nation broadcast.
 
-    customer scales with sf (1.5M rows at sf10) so it is NOT a broadcast
-    dimension — it rides the shuffle join. Only the 25-row nation map is
-    built on the driver and ray.put once.
+    customer scales with sf so it is NOT a broadcast dimension — it rides
+    the shuffle. But orders pre-aggregate per (custkey) inside each batch
+    BEFORE the shuffle, so the exchange moves order partials (≤ distinct
+    custkeys per batch) plus the customer rows once — far less than a raw
+    row-level join. The 25-row nation map is a closure constant.
     """
-    import ray
+    n_buckets = 64
 
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
@@ -155,49 +157,68 @@ def revenue_by_nation(sf_dir: str):
             nation.column("n_name").to_pylist(),
         )
     )
-    lookup_ref = ray.put(nation_names)
+
+    def order_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "key": batch["o_custkey"].astype("int64"),
+                "rev100": np.rint(batch["o_totalprice"] * 100).astype("int64"),
+                "n_orders": 1,
+            }
+        )
+        agg = tmp.groupby("key", as_index=False).sum()
+        agg["bucket"] = (agg["key"] % n_buckets).astype("int64")
+        agg["nkey"] = np.int64(-1)
+        agg["is_cust"] = False
+        return agg
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["c_custkey"].astype("int64"),
+                "rev100": np.int64(0),
+                "n_orders": np.int64(0),
+                "bucket": (batch["c_custkey"] % n_buckets).astype("int64"),
+                "nkey": batch["c_nationkey"].astype("int64"),
+                "is_cust": True,
+            }
+        )
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = orders.join(
-        customer,
-        join_type="inner",
-        num_partitions=16,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    tagged = orders.map_batches(order_partials, batch_format="pandas").union(
+        customer.map_batches(cust_rows, batch_format="pandas")
     )
 
-    class NationAgg:
-        """Broadcast nation dict fetched once per actor, not per batch."""
-
-        def __init__(self, ref):
-            self._names = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            tmp = pd.DataFrame(
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[~group["is_cust"]]
+        c = group[group["is_cust"]]
+        if o.empty or c.empty:
+            return pd.DataFrame(
                 {
-                    "n_name": batch["c_nationkey"].map(self._names),
-                    "rev100": np.rint(batch["o_totalprice"] * 100).astype("int64"),
-                    "n_orders": 1,
+                    "n_name": pd.Series(dtype="object"),
+                    "rev100": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
                 }
             )
-            tmp = tmp.dropna(subset=["n_name"])
-            return tmp.groupby("n_name", as_index=False).sum()
+        osum = o.groupby("key", as_index=False)[["rev100", "n_orders"]].sum()
+        m = osum.merge(
+            c[["key", "nkey"]].drop_duplicates("key"), on="key", how="inner"
+        )
+        m["n_name"] = m["nkey"].map(nation_names)
+        m = m.dropna(subset=["n_name"])
+        return m.groupby("n_name", as_index=False)[["rev100", "n_orders"]].sum()
 
-    from .stages.pipeline import _default_concurrency
-
-    partials = joined.map_batches(
-        NationAgg,
-        fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pandas",
-        concurrency=_default_concurrency(),
-        num_cpus=1,
+    partials = (
+        tagged.groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
     )
-
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        return group.groupby("n_name", as_index=False).sum()
-
-    out = partials.groupby("n_name").map_groups(final, batch_format="pandas").to_pandas()
+    if "n_name" not in partials.columns:
+        partials = pd.DataFrame(
+            {"n_name": [], "rev100": [], "n_orders": []}
+        )
+    out = partials.groupby("n_name", as_index=False)[["rev100", "n_orders"]].sum()
     out["n_orders"] = out["n_orders"].astype("int64")
     out["revenue"] = out.pop("rev100") / 100.0
     return out.sort_values("n_name").reset_index(drop=True)
@@ -1382,3 +1403,52 @@ def _lsh_oracle_sql() -> str:
 
 
 ORACLE_SQL["embedding_neardup_lsh"] = _lsh_oracle_sql()
+
+
+def _lang_oracle_sql() -> str:
+    """SQL mirror of ops.text detect_language: token-based marker counting
+    with alphabetical tie-break (the CASE cascade checks languages in
+    alphabetical order, so a tie resolves to the earlier one — exactly
+    max(sorted(counts), key=counts.get))."""
+    from .ops.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    count_exprs = []
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+        count_exprs.append(
+            f"len(list_filter(w, x -> x IN ({markers}))) AS c_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(langs):
+        later = langs[i + 1 :]
+        if later:
+            cond = " AND ".join(f"c_{lang} >= c_{l2}" for l2 in later)
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    greatest = ", ".join(f"c_{lang}" for lang in langs)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, len(w) AS n_words,
+             {", ".join(count_exprs)}
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n_words = 0 THEN 'unknown'
+                WHEN greatest({greatest}) = 0 THEN 'unknown'
+                {" ".join(cases[:-1])}
+                {cases[-1]}
+           END AS detected_lang,
+           lang
+    FROM c
+    ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["doc_lang_detect"] = _lang_oracle_sql()
