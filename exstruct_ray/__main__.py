@@ -43,7 +43,84 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def run_edit_cli(argv: list[str]) -> int:
+    """Edit subcommands: patch / make / ops list (reference cli/edit.py).
+
+    Payload JSON mirrors the reference's request models: for `patch`,
+    {"xlsx_path": ..., "ops": [...], "out_path": ..., "dry_run": false,
+    "auto_formula": false, "return_inverse_ops": false, "on_conflict":
+    "overwrite"}; for `make`, {"out_path": ..., "ops": [...], "sheet": ...}.
+    """
+    import dataclasses
+
+    from .edit import apply_patch, make_workbook
+    from .edit.model import PATCH_OP_TYPES
+
+    parser = argparse.ArgumentParser(prog="exstruct_ray edit")
+    sub = parser.add_subparsers(dest="command", required=True)
+    patch_p = sub.add_parser("patch", help="Edit an existing workbook.")
+    patch_p.add_argument("payload", help="JSON payload file (- for stdin)")
+    make_p = sub.add_parser("make", help="Create and edit a workbook.")
+    make_p.add_argument("payload", help="JSON payload file (- for stdin)")
+    ops_p = sub.add_parser("ops", help="Patch-op catalogue.")
+    ops_p.add_argument("action", choices=["list"])
+    args = parser.parse_args(argv)
+
+    if args.command == "ops":
+        print(json.dumps(list(PATCH_OP_TYPES), indent=2))
+        return 0
+
+    raw = (
+        sys.stdin.read()
+        if args.payload == "-"
+        else open(args.payload, encoding="utf-8").read()
+    )
+    payload = json.loads(raw)
+    common = {
+        "auto_formula": payload.get("auto_formula", False),
+        "dry_run": payload.get("dry_run", False),
+        "return_inverse_ops": payload.get("return_inverse_ops", False),
+        "on_conflict": payload.get("on_conflict", "overwrite"),
+    }
+    if args.command == "patch":
+        result = apply_patch(
+            payload["xlsx_path"],
+            payload.get("ops", []),
+            out_path=payload.get("out_path"),
+            **common,
+        )
+    else:
+        result = make_workbook(
+            payload.get("ops", []),
+            sheet=payload.get("sheet", "Sheet1"),
+            out_path=payload.get("out_path"),
+            **common,
+        )
+
+    def encode(obj):
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            return {
+                k: v
+                for k, v in dataclasses.asdict(obj).items()
+                if v is not None
+            }
+        return str(obj)
+
+    summary = {
+        "out_path": result.out_path,
+        "patch_diff": result.patch_diff,
+        "inverse_ops": result.inverse_ops,
+        "warnings": result.warnings,
+        "error": result.error,
+    }
+    print(json.dumps(summary, default=encode, ensure_ascii=False, indent=2))
+    return 1 if result.error is not None else 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "edit":
+        return run_edit_cli(argv[1:])
     args = build_parser().parse_args(argv)
 
     from .api import ExtractEngine

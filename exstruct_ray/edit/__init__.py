@@ -1,0 +1,41 @@
+"""Workbook patch/edit subsystem (reference edit/ re-derived, no COM).
+
+Public surface: PatchOp, apply_patch, make_workbook, patch_corpus — the
+reference's 21-op editing contract applied to the engine's own span-based
+workbook model, plus the corpus-scale Ray stage the reference lacks.
+"""
+
+from .api import apply_patch, make_workbook, patch_corpus
+from .apply import apply_ops
+from .emit import emit_parts, emit_spans, emit_xlsx_bytes, parts_to_spans
+from .load import load_workbook
+from .model import (
+    EditCell,
+    EditSheet,
+    EditStyle,
+    EditWorkbook,
+    PatchDiffItem,
+    PatchOp,
+    PatchResult,
+    PatchValue,
+)
+
+__all__ = [
+    "EditCell",
+    "EditSheet",
+    "EditStyle",
+    "EditWorkbook",
+    "PatchDiffItem",
+    "PatchOp",
+    "PatchResult",
+    "PatchValue",
+    "apply_ops",
+    "apply_patch",
+    "emit_parts",
+    "emit_spans",
+    "emit_xlsx_bytes",
+    "load_workbook",
+    "make_workbook",
+    "parts_to_spans",
+    "patch_corpus",
+]
