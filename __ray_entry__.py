@@ -114,6 +114,56 @@ def _extract_exploded(sf_dir: str):
     )
 
 
+def _edit_patch_extract(sf_dir: str):
+    """Corpus-scale edit pipeline: patch every document, then extract.
+
+    Exercises patch_corpus end-to-end over every document: add_sheet +
+    set_value apply everywhere, one conditional applies (expected None on
+    an empty cell), one conditional skips (expected mismatch) — both
+    statuses pinned by the golden span table. Note the edit model, like
+    openpyxl re-saves, does not carry drawings/charts through a patch.
+    """
+    from exstruct_ray.edit import patch_corpus
+    from exstruct_ray.stages.pipeline import build_extraction_pipeline
+
+    ds = _corpus_dataset(sf_dir)
+    ops = [
+        {"op": "add_sheet", "sheet": "PatchLog"},
+        {
+            "op": "set_value",
+            "sheet": "PatchLog",
+            "cell": "A1",
+            "value": "patched-by-corpus-op",
+        },
+        # applies: B1 is empty, expected None matches
+        {
+            "op": "set_value_if",
+            "sheet": "PatchLog",
+            "cell": "B1",
+            "expected": None,
+            "value": "filled-if-empty",
+        },
+        # skips: A1 now holds the patched marker, not "nope"
+        {
+            "op": "set_value_if",
+            "sheet": "PatchLog",
+            "cell": "A1",
+            "expected": "nope",
+            "value": "never-written",
+        },
+    ]
+    patched = patch_corpus(ds, ops, batch_size=16)
+    out = build_extraction_pipeline(
+        patched.select_columns(["doc_id", "spans"]), batch_size=16
+    )
+    return (
+        _flatten_spans(out)
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from exstruct_ray import queries as q
 
@@ -126,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "light", include_merged_values_in_rows=False
         ),
         "extract_exploded": _extract_exploded,
+        "edit_patch_extract": _edit_patch_extract,
         # Relational operators with exact DuckDB oracles
         "q1_pricing_summary": q.q1_pricing_summary,
         "q6_revenue": q.q6_revenue,

@@ -1205,6 +1205,7 @@ for _name in (
     "extract_alpha_col",
     "extract_no_merged_values",
     "extract_exploded",
+    "edit_patch_extract",
 ):
     ORACLE_SQL[_name] = f"""
         SELECT doc_id, "offset", kind, media_ref, text

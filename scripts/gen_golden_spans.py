@@ -30,6 +30,7 @@ EXTRACT_QUERIES = [
     "extract_alpha_col",
     "extract_no_merged_values",
     "extract_exploded",
+    "edit_patch_extract",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
