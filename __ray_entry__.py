@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": q.doc_simhash,
         "doc_ngram_verified_pairs": q.doc_ngram_verified_pairs,
         "embedding_topk": q.embedding_topk,
+        "embedding_topk_ivf": q.embedding_topk_ivf,
         "embedding_label_centroids": q.embedding_label_centroids,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
         "embedding_neardup_lsh": q.embedding_neardup_lsh,

@@ -75,27 +75,8 @@ def brute_force_topk(ds, query_ids, query_matrix, k: int = 10, concurrency=None)
         concurrency=concurrency,
         num_cpus=1,
     )
-    best: dict[object, list[tuple[float, object]]] = {}
-    for batch in partial.iter_batches(batch_format="pandas"):
-        for query_id, vec_id, cosine in zip(
-            batch["query_id"], batch["vec_id"], batch["cosine"]
-        ):
-            heap = best.setdefault(query_id, [])
-            # Tie-break on smaller vec_id for full determinism.
-            item = (float(cosine), -int(vec_id))
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-    rows = {"query_id": [], "vec_id": [], "cosine": [], "rank": []}
-    for query_id in sorted(best):
-        ranked = sorted(best[query_id], key=lambda t: (-t[0], -t[1]))
-        for rank, (cosine, neg_id) in enumerate(ranked, start=1):
-            rows["query_id"].append(query_id)
-            rows["vec_id"].append(-neg_id)
-            rows["cosine"].append(cosine)
-            rows["rank"].append(rank)
-    return pd.DataFrame(rows)
+    # Tie-break on smaller vec_id for full determinism.
+    return merge_partial_topk(partial, k)
 
 
 LSH_SEED = 7
@@ -209,6 +190,136 @@ def lsh_neardup_pairs(ds, dim: int, threshold: float = 0.38, concurrency=None):
         return group.drop_duplicates(subset=["vec_a", "vec_b"])
 
     return pairs.groupby("vec_a").map_groups(dedup_group, batch_format="pandas")
+
+
+IVF_SEED = 11
+IVF_CLUSTERS = 16
+IVF_PROBE = 4
+
+
+def ivf_centroids(
+    dim: int, n_clusters: int = IVF_CLUSTERS, seed: int = IVF_SEED
+) -> np.ndarray:
+    """Deterministic random codebook (n_clusters × dim, unit-normalized).
+
+    A data-independent coarse quantizer: assignment and probing are pure
+    functions of the seeded codebook, so the whole IVF pipeline is
+    reproducible in SQL from the same literals (the LSH-oracle pattern).
+    A trained-kmeans codebook drops in behind the same interface at the
+    cost of SQL checkability.
+    """
+    raw = np.random.RandomState(seed).standard_normal((n_clusters, dim))
+    return _normalize(raw)
+
+
+def merge_partial_topk(partial_ds, k: int) -> pd.DataFrame:
+    """Driver-side merge of per-batch partial top-k rows (tiny input)."""
+    best: dict[object, list[tuple[float, object]]] = {}
+    for batch in partial_ds.iter_batches(batch_format="pandas"):
+        for query_id, vec_id, cosine in zip(
+            batch["query_id"], batch["vec_id"], batch["cosine"]
+        ):
+            heap = best.setdefault(query_id, [])
+            item = (float(cosine), -int(vec_id))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    rows = {"query_id": [], "vec_id": [], "cosine": [], "rank": []}
+    for query_id in sorted(best):
+        ranked = sorted(best[query_id], key=lambda t: (-t[0], -t[1]))
+        for rank, (cosine, neg_id) in enumerate(ranked, start=1):
+            rows["query_id"].append(query_id)
+            rows["vec_id"].append(-neg_id)
+            rows["cosine"].append(cosine)
+            rows["rank"].append(rank)
+    return pd.DataFrame(rows)
+
+
+class _IvfScorer:
+    """Actor: scores only vectors whose coarse cluster is probed by a query.
+
+    Pruning factor ≈ n_probe / n_clusters of the matmul work vs brute
+    force; candidate membership is exact given the codebook, so output is
+    deterministic (and SQL-checkable), unlike trained-quantizer recall.
+    """
+
+    def __init__(self, queries_ref, k: int, dim: int, n_clusters: int, n_probe: int):
+        import ray
+
+        data = ray.get(queries_ref)
+        self._query_ids = data["ids"]
+        self._matrix = _normalize(np.asarray(data["matrix"], dtype=np.float64))
+        self._k = k
+        self._cents = ivf_centroids(dim, n_clusters)
+        # n_probe nearest centroids per query (cosine, ties by index asc).
+        sims = self._matrix @ self._cents.T
+        order = np.argsort(-sims, axis=1, kind="stable")
+        self._probed = [set(order[i, :n_probe].tolist()) for i in range(len(order))]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(
+            np.asarray([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        )
+        vec_ids = np.asarray(batch["vec_id"])
+        clusters = np.argmax(vecs @ self._cents.T, axis=1)
+        sims = vecs @ self._matrix.T  # (batch, queries)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi, query_id in enumerate(self._query_ids):
+            mask = np.isin(clusters, list(self._probed[qi]))
+            if not mask.any():
+                continue
+            col = sims[mask, qi]
+            ids = vec_ids[mask]
+            k = min(self._k, len(ids))
+            idx = (
+                np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            )
+            for i in idx:
+                rows["query_id"].append(query_id)
+                rows["vec_id"].append(ids[i])
+                rows["cosine"].append(float(col[i]))
+        return pd.DataFrame(rows)
+
+
+def ivf_topk(
+    ds,
+    query_ids,
+    query_matrix,
+    k: int = 10,
+    dim: int = 64,
+    n_clusters: int = IVF_CLUSTERS,
+    n_probe: int = IVF_PROBE,
+    concurrency=None,
+):
+    """IVF-pruned top-k cosine search — the sublinear ANN scale path.
+
+    Same output schema as brute_force_topk restricted to probed clusters;
+    returns (query_id, vec_id, cosine, rank).
+    """
+    import ray
+
+    if concurrency is None:
+        from ..stages.pipeline import _default_concurrency
+
+        concurrency = _default_concurrency()
+    queries_ref = ray.put(
+        {"ids": list(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)}
+    )
+    partial = ds.map_batches(
+        _IvfScorer,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "dim": dim,
+            "n_clusters": n_clusters,
+            "n_probe": n_probe,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return merge_partial_topk(partial, k)
 
 
 class _LshBucketer:

@@ -519,6 +519,30 @@ def embedding_topk(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def embedding_topk_ivf(sf_dir: str):
+    """IVF-pruned cosine top-k — the sublinear ANN scale path, oracle-checked.
+
+    Coarse quantization against a deterministic seeded codebook
+    (ops.ann.ivf_centroids): each vector scores only when its cluster is
+    among the query's n_probe nearest centroids, cutting the matmul to
+    ~n_probe/n_clusters of brute force. The codebook literals are embedded
+    verbatim in the oracle SQL, so candidate membership and ranking are
+    hash-verified end to end (a trained-kmeans codebook drops in behind
+    the same interface at the cost of SQL checkability).
+    """
+    from .ops.ann import ivf_topk
+
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = queries[queries["vec_id"] < 5].sort_values("vec_id")
+    query_ids = queries["vec_id"].tolist()
+    matrix = np.asarray([np.asarray(v) for v in queries["embedding"]])
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, query_ids, matrix, k=10, dim=64)
+    out = out[["query_id", "vec_id", "rank"]].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def embedding_label_centroids(sf_dir: str):
     """Per-label centroid norm — vectorized partial mean over list column."""
     ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
@@ -1453,3 +1477,53 @@ def _lang_oracle_sql() -> str:
 
 
 ORACLE_SQL["doc_lang_detect"] = _lang_oracle_sql()
+
+
+
+def _ivf_oracle_sql() -> str:
+    """SQL mirror of ivf_topk: identical codebook literals, identical
+    assignment / probing / ranking rules."""
+    from .ops.ann import IVF_CLUSTERS, IVF_PROBE, ivf_centroids
+
+    cents = ivf_centroids(64)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in cents[i])}])"
+        for i in range(IVF_CLUSTERS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents(ci, cv) AS (VALUES {values}),
+    assign AS (
+      SELECT e.vec_id,
+             arg_max(c.ci, list_cosine_similarity(e.v, c.cv)) AS cl
+      FROM e CROSS JOIN cents c GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    probe AS (
+      SELECT vec_id AS query_id, ci FROM (
+        SELECT q.vec_id, c.ci,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.ci
+               ) AS rn
+        FROM q CROSS JOIN cents c)
+      WHERE rn <= {IVF_PROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id FROM probe p JOIN assign a ON a.cl = p.ci
+    )
+    SELECT query_id, vec_id, rank FROM (
+      SELECT cand.query_id, cand.vec_id,
+             row_number() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(qq.v, ee.v) DESC, cand.vec_id
+             ) AS rank
+      FROM cand
+      JOIN e ee ON ee.vec_id = cand.vec_id
+      JOIN e qq ON qq.vec_id = cand.query_id)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+ORACLE_SQL["embedding_topk_ivf"] = _ivf_oracle_sql()
