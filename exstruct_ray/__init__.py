@@ -15,6 +15,7 @@ Layout:
                 resumable partitioned output, metrics)
     datagen/    deterministic synthetic workbook-corpus generator (seeded)
     ops/        corpus-scale training-data operators (dedup, ANN, text stats)
+    edit/       workbook patch subsystem (21 ops) + corpus-scale patch stage
 """
 
 from .config import ExtractOptions
@@ -33,12 +34,19 @@ def __getattr__(name):
         from .stages.pipeline import build_extraction_pipeline
 
         return build_extraction_pipeline
+    if name in {"apply_patch", "make_workbook", "patch_corpus"}:
+        from . import edit
+
+        return getattr(edit, name)
     raise AttributeError(f"module 'exstruct_ray' has no attribute {name!r}")
 
 
 __all__ = [
     "ExtractEngine",
     "ExtractOptions",
+    "apply_patch",
+    "make_workbook",
+    "patch_corpus",
     "build_extraction_pipeline",
     "extract_document_spans",
     "extract_spans",
