@@ -64,11 +64,33 @@ def run_edit_cli(argv: list[str]) -> int:
     make_p.add_argument("payload", help="JSON payload file (- for stdin)")
     ops_p = sub.add_parser("ops", help="Patch-op catalogue.")
     ops_p.add_argument("action", choices=["list"])
+    validate_p = sub.add_parser(
+        "validate", help="Validate a patch payload without applying it."
+    )
+    validate_p.add_argument("payload", help="JSON payload file (- for stdin)")
     args = parser.parse_args(argv)
 
     if args.command == "ops":
         print(json.dumps(list(PATCH_OP_TYPES), indent=2))
         return 0
+
+    if args.command == "validate":
+        from .edit.model import PatchOp as _PatchOp
+
+        raw = (
+            sys.stdin.read()
+            if args.payload == "-"
+            else open(args.payload, encoding="utf-8").read()
+        )
+        payload = json.loads(raw)
+        issues = []
+        for i, op in enumerate(payload.get("ops", [])):
+            try:
+                _PatchOp.from_dict(op)
+            except Exception as exc:
+                issues.append({"op_index": i, "message": str(exc)})
+        print(json.dumps({"valid": not issues, "issues": issues}, indent=2))
+        return 1 if issues else 0
 
     raw = (
         sys.stdin.read()

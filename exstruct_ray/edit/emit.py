@@ -195,7 +195,11 @@ def _sheet_xml(sheet: EditSheet, styles: _StyleTable, table_rids: list[str]) -> 
         parts.append(f"<cols>{cols}</cols>")
     parts.append("<sheetData>")
     rows: dict[int, list[tuple[int, str]]] = {}
-    for (r, c), cell in sheet.cells.items():
+    # Canonical (row, col) order: xf ids are assigned in first-encounter
+    # order, so emission must not depend on the model's dict insertion
+    # order — load→emit must be a fixed point (property-tested).
+    for (r, c) in sorted(sheet.cells):
+        cell = sheet.cells[(r, c)]
         xml = _cell_xml(r, c, cell, styles.xf_id(cell.style))
         if xml:
             rows.setdefault(r, []).append((c, xml))
