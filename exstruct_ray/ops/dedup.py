@@ -435,6 +435,178 @@ def dedup_groups(pairs_df: pd.DataFrame) -> pd.DataFrame:
 _BIT_INDICES = np.arange(64, dtype=np.uint64)
 
 
+def label_propagation_groups(pairs_ds, max_iters: int = 50):
+    """Distributed connected components over near-dup pairs.
+
+    The scale path for dedup_groups when the pair set itself exceeds driver
+    memory: iterative min-label propagation — each round every node adopts
+    the minimum label among itself and its neighbors via one bucket-
+    shuffled merge — until a fixpoint (rounds ≈ component diameter, tiny
+    for near-dup clusters). Semantics identical to the driver union-find:
+    group_id is the component's minimum doc id, the canonical member keeps
+    it. Uses the tagged-union bucket merge throughout (no Dataset.join).
+
+    Returns a pandas DataFrame (doc_id, group_id, is_canonical); the label
+    table is one row per duplicated doc — already a small fraction of the
+    corpus — so the final collect is cheap.
+    """
+    n_buckets = 64
+
+    def _bucket(values: pd.Series) -> pd.Series:
+        hashed = pd.util.hash_array(values.to_numpy()) % n_buckets
+        return pd.Series(hashed.astype("int64"), index=values.index)
+
+    def _empty_labels() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64")}
+        )
+
+    # Directed edge list (both directions), reused every round.
+    edges = pairs_ds.map_batches(
+        lambda batch: pd.DataFrame(
+            {
+                "src": pd.concat(
+                    [batch["doc_a"], batch["doc_b"]], ignore_index=True
+                ).astype("int64"),
+                "dst": pd.concat(
+                    [batch["doc_b"], batch["doc_a"]], ignore_index=True
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def reduce_min(group: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in group.columns or group.empty:
+            return _empty_labels()
+        return group.groupby("node", as_index=False)["label"].min()
+
+    def with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in batch.columns or batch.empty:
+            out = _empty_labels()
+            out["bucket"] = pd.Series(dtype="int64")
+            return out
+        out = batch[["node", "label"]].copy()
+        out["bucket"] = _bucket(out["node"])
+        return out
+
+    # Initial label: min(self, direct neighbors).
+    current = (
+        edges.map_batches(
+            lambda batch: pd.DataFrame(
+                {
+                    "node": batch["src"],
+                    "label": batch[["src", "dst"]].min(axis=1),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_min, batch_format="pandas")
+        .materialize()
+    )
+
+    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        if "src" not in batch.columns or batch.empty:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "key": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "label": pd.Series(dtype="int64"),
+                    "is_label": pd.Series(dtype="bool"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "bucket": _bucket(batch["src"]),
+                "key": batch["src"],
+                "dst": batch["dst"],
+                "label": np.int64(-1),
+                "is_label": False,
+            }
+        )
+
+    def tag_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in batch.columns or batch.empty:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "key": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "label": pd.Series(dtype="int64"),
+                    "is_label": pd.Series(dtype="bool"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "bucket": _bucket(batch["node"]),
+                "key": batch["node"],
+                "dst": batch["node"],
+                "label": batch["label"],
+                "is_label": True,
+            }
+        )
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        e = group[~group["is_label"]]
+        lab = group[group["is_label"]]
+        if e.empty or lab.empty:
+            return _empty_labels()
+        m = e[["key", "dst"]].merge(
+            lab[["key", "label"]].drop_duplicates("key"), on="key", how="inner"
+        )
+        return pd.DataFrame({"node": m["dst"], "label": m["label"]})
+
+    def jump_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        # Pointer jumping: a label row (node → L) also acts as an edge
+        # L → node, so each round a node can adopt label(label(node)) —
+        # convergence in O(log diameter) rounds instead of O(diameter).
+        if "node" not in batch.columns or batch.empty:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "src": batch["label"].astype("int64"),
+                "dst": batch["node"].astype("int64"),
+            }
+        )
+
+    for _ in range(max_iters):
+        iteration_edges = edges.union(
+            current.map_batches(jump_edges, batch_format="pandas")
+        )
+        received = (
+            iteration_edges.map_batches(tag_edges, batch_format="pandas")
+            .union(current.map_batches(tag_labels, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(propagate, batch_format="pandas")
+        )
+        merged = (
+            current.union(received)
+            .map_batches(with_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        before = current.to_pandas().sort_values("node").reset_index(drop=True)
+        after = merged.to_pandas().sort_values("node").reset_index(drop=True)
+        current = merged
+        if before[["node", "label"]].equals(after[["node", "label"]]):
+            break
+
+    out = current.to_pandas().rename(
+        columns={"node": "doc_id", "label": "group_id"}
+    )
+    out["is_canonical"] = out["doc_id"] == out["group_id"]
+    return (
+        out.sort_values(["group_id", "doc_id"])
+        .reset_index(drop=True)[["doc_id", "group_id", "is_canonical"]]
+    )
+
+
 def simhash_64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (md5-top-64-bit token hash).
 

@@ -173,6 +173,34 @@ class TestRayOps:
         )
 
 
+class TestLabelPropagation:
+    def test_matches_union_find_incl_long_chain(self, ray_session):
+        """One run over disjoint components: a random graph AND a path
+        graph (worst-case diameter; pointer jumping converges in
+        O(log d) rounds) — result equals the driver union-find."""
+        import random
+
+        import pandas as pd
+        import ray.data
+
+        from exstruct_ray.ops.dedup import dedup_groups, label_propagation_groups
+
+        rng = random.Random(5)
+        edges = [tuple(sorted(rng.sample(range(40), 2))) for _ in range(25)]
+        edges = [(a, b) for a, b in edges if a != b]
+        # chain 100-101-...-108 as a separate component
+        edges += [(100 + i, 101 + i) for i in range(8)]
+        pairs = pd.DataFrame(
+            {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}
+        )
+        expected = dedup_groups(pairs)
+        got = label_propagation_groups(ray.data.from_pandas(pairs))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), expected.reset_index(drop=True)
+        )
+        assert (got[got["doc_id"] >= 100]["group_id"] == 100).all()
+
+
 class TestDedupGroups:
     def test_union_find_groups(self):
         import pandas as pd
