@@ -20,12 +20,20 @@ def _stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
     # Token = maximal run of non-ASCII-whitespace (matches RE2 \s semantics
     # in the SQL oracle; unicode whitespace like NBSP does not split).
     n_tokens = text.str.count(r"(?a)\S+").astype("int64")
+    # BPE-style pre-tokenizer count (GPT-2-family shape, ASCII approx):
+    # a token is a space-optional letter run, digit run, or punctuation
+    # run — the standard LLM-cost estimate, exactly expressible in the
+    # RE2 SQL oracle too.
+    n_bpe_tokens = text.str.count(
+        r"(?a) ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    ).astype("int64")
     n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
     n_digit = text.str.count(r"[0-9]").astype("int64")
     n_punct = text.str.count(r"[.,!?;:]").astype("int64")
     out = batch[["doc_id"]].copy()
     out["n_chars"] = n_chars
     out["n_tokens"] = n_tokens
+    out["n_bpe_tokens"] = n_bpe_tokens
     out["n_alpha"] = n_alpha
     out["n_digit"] = n_digit
     out["n_punct"] = n_punct

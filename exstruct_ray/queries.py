@@ -1084,6 +1084,9 @@ ORACLE_SQL: dict[str, str] = {
                length(text) AS n_chars,
                length(list_filter(regexp_split_to_array(text, '\\s+'),
                                   t -> t <> '')) AS n_tokens,
+               length(regexp_extract_all(text,
+                      ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                   AS n_bpe_tokens,
                length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
                    AS n_alpha,
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))

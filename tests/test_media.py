@@ -199,3 +199,62 @@ class TestAudioPipeline:
         expected = px.reshape(-1, 3).mean(axis=0)
         for feat in out["feature"]:
             assert np.allclose(feat, expected, atol=1.0)
+
+
+class TestVideoFrameSample:
+    def test_multipng_roundtrip_and_sampling(self, ray_session):
+        import ray.data
+
+        from exstruct_ray.ops.media import (
+            decode_multipng,
+            encode_multipng,
+            sample_video_frames,
+        )
+
+        frames = [_rand_pixels(8, 8, seed=s) for s in range(7)]
+        payload = encode_multipng(frames)
+        got = decode_multipng(payload)
+        assert len(got) == 7
+        assert np.array_equal(got[3], frames[3])
+
+        ds = ray.data.from_items(
+            [{"media_id": i, "payload": payload} for i in range(3)]
+        )
+        out = sample_video_frames(ds, every_nth=3, batch_size=2).to_pandas()
+        # frames 0, 3, 6 sampled per media
+        per_media = out[out["media_id"] == 0].sort_values("frame_idx")
+        assert per_media["frame_idx"].tolist() == [0, 3, 6]
+        assert (out["n_frames_total"] == 7).all()
+        assert all(len(f) == 3 for f in out["feature"])
+
+    def test_unknown_container_skipped(self, ray_session):
+        import ray.data
+
+        from exstruct_ray.ops.media import sample_video_frames
+
+        ds = ray.data.from_items(
+            [{"media_id": 1, "payload": b"not a video at all"}]
+        )
+        out = sample_video_frames(ds).to_pandas()
+        assert len(out) == 0
+
+
+class TestJsonCorpusReader:
+    def test_read_documents_jsonl(self, ray_session, tmp_path):
+        import json as _json
+
+        from exstruct_ray.datagen.corpus import build_document
+        from exstruct_ray.stages.pipeline import (
+            build_extraction_pipeline,
+            read_documents,
+        )
+
+        docs = [build_document(i, seed=42) for i in range(4)]
+        path = tmp_path / "docs.jsonl"
+        with open(path, "w", encoding="utf-8") as fh:
+            for doc in docs:
+                fh.write(_json.dumps(doc, ensure_ascii=False) + "\n")
+        ds = read_documents(str(path), fmt="jsonl")
+        out = build_extraction_pipeline(ds, batch_size=2).take_all()
+        assert {r["doc_id"] for r in out} == {d["doc_id"] for d in docs}
+        assert all(r["n_errors"] == 0 for r in out)
