@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocabulary": q.doc_vocabulary,
         "lineitem_pushdown": q.lineitem_pushdown,
         "doc_fingerprints": q.doc_fingerprints,
+        "doc_winnow_fingerprints": q.doc_winnow_fingerprints,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_lang_counts": q.doc_lang_counts,
         "doc_lang_detect": q.doc_lang_detect,

@@ -131,6 +131,52 @@ def fingerprint_documents(ds):
     return ds.map_batches(_fingerprint_batch, batch_format="pandas")
 
 
+def winnow_fingerprints_batch(
+    batch: pd.DataFrame, k: int = 32, window: int = 8
+) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): k-gram Rabin-Karp hashes → forward-window minima → distinct set.
+
+    The forward frame (min over h[i : i + window], short tail windows
+    included) matches the SQL oracle's ``ROWS BETWEEN CURRENT ROW AND
+    window-1 FOLLOWING`` exactly.
+    """
+    rows_doc: list = []
+    rows_fp: list = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        hashes = rolling_fingerprints(text or "", window=k)
+        if not hashes:
+            continue
+        # Pure-int64 sliding minima (pandas rolling would round-trip
+        # through float64 and corrupt 61-bit hashes above 2^53): pad the
+        # tail with int64.max so short end windows fall out naturally.
+        arr = np.asarray(hashes, dtype=np.int64)
+        padded = np.concatenate(
+            [arr, np.full(window - 1, np.iinfo(np.int64).max, dtype=np.int64)]
+        )
+        minima = np.lib.stride_tricks.sliding_window_view(padded, window).min(
+            axis=1
+        )
+        fps = sorted(set(int(v) for v in minima))
+        rows_doc.extend([doc_id] * len(fps))
+        rows_fp.extend(fps)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(rows_doc, dtype="int64"),
+            "fingerprint": pd.Series(rows_fp, dtype="int64"),
+        }
+    )
+
+
+def winnow_documents(ds, k: int = 32, window: int = 8):
+    """Distributed winnowing: one vectorized pass per batch, no shuffle —
+    fingerprints are per-document."""
+    return ds.map_batches(
+        lambda batch: winnow_fingerprints_batch(batch, k=k, window=window),
+        batch_format="pandas",
+    )
+
+
 def rolling_fingerprints(text: str, window: int = 32, base: int = 257, mod: int = (1 << 61) - 1) -> list[int]:
     """Rolling (Rabin-Karp) window hashes of a document — winnowing building
     block for near-dup sketches. Deterministic, pure."""

@@ -747,6 +747,21 @@ def events_sessionize(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def doc_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints per document — oracle-checked bit-for-bit.
+
+    The SQL oracle recomputes the Rabin-Karp k-gram hashes from precomputed
+    base-power literals (HUGEINT arithmetic mod 2^61-1) and the same
+    forward-window minima, so even the rolling-hash sketch is
+    hash-verified.
+    """
+    from .ops.text import winnow_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_documents(ds).to_pandas().drop_duplicates()
+    return out.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
+
+
 def doc_quality_filter(sf_dir: str):
     """Quality gate: keep docs by alpha-ratio and token-count bounds."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1530,3 +1545,41 @@ def _ivf_oracle_sql() -> str:
 
 
 ORACLE_SQL["embedding_topk_ivf"] = _ivf_oracle_sql()
+
+
+
+def _winnow_oracle_sql(k: int = 32, window: int = 8) -> str:
+    """SQL mirror of winnow_documents: identical base-power literals."""
+    base, mod = 257, (1 << 61) - 1
+    powers = [pow(base, k - 1 - j, mod) for j in range(k)]
+    pw_list = "[" + ", ".join(str(v) for v in powers) + "]"
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, length(text) - {k} + 2)) AS i
+      FROM documents WHERE length(text) >= {k}
+    ),
+    kh AS (
+      SELECT doc_id, i,
+             CAST(list_sum([
+                 CAST(ascii(substr(text, CAST(i + j AS INTEGER), 1)) AS HUGEINT)
+                 * ({pw_list}[j + 1])
+                 for j in range(0, {k})
+             ]) % {mod} AS BIGINT) AS h
+      FROM pos
+    ),
+    wmin AS (
+      SELECT doc_id,
+             min(h) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+             ) AS fingerprint
+      FROM kh
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM wmin
+    ORDER BY doc_id, fingerprint
+    """
+
+
+ORACLE_SQL["doc_winnow_fingerprints"] = _winnow_oracle_sql()
