@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_detect": q.doc_lang_detect,
         "doc_minhash_pairs": q.doc_minhash_pairs,
         "doc_dedup_groups": q.doc_dedup_groups,
+        "doc_dedup_groups_distributed": q.doc_dedup_groups_distributed,
         "doc_simhash": q.doc_simhash,
         "doc_ngram_verified_pairs": q.doc_ngram_verified_pairs,
         "embedding_topk": q.embedding_topk,

@@ -953,6 +953,21 @@ def doc_dedup_groups(sf_dir: str):
     return dedup_groups(pairs)
 
 
+def doc_dedup_groups_distributed(sf_dir: str):
+    """Connected components via distributed min-label propagation.
+
+    Same output contract (and the same recursive-CTE oracle) as
+    doc_dedup_groups, but computed with the scale path: pointer-jumping
+    label propagation over bucket-merged shuffles — no driver union-find,
+    usable when the pair set itself exceeds driver memory.
+    """
+    from .ops.dedup import label_propagation_groups, minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.7)
+    return label_propagation_groups(pairs)
+
+
 def doc_ngram_verified_pairs(sf_dir: str):
     """MinHash candidates verified by exact word-3-gram Jaccard.
 
@@ -1583,3 +1598,5 @@ def _winnow_oracle_sql(k: int = 32, window: int = 8) -> str:
 
 
 ORACLE_SQL["doc_winnow_fingerprints"] = _winnow_oracle_sql()
+
+ORACLE_SQL["doc_dedup_groups_distributed"] = ORACLE_SQL["doc_dedup_groups"]
