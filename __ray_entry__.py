@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.events_hourly,
         "distinct_users": q.distinct_users,
         "events_asof_orders": q.events_asof_orders,
+        "events_in_order_window": q.events_in_order_window,
+        "doc_sample_10pct": q.doc_sample_10pct,
         "part_type_stats": q.part_type_stats,
         # Training-data ops
         "doc_token_stats": q.doc_token_stats,

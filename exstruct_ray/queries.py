@@ -385,6 +385,128 @@ def events_asof_orders(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_in_order_window(sf_dir: str):
+    """Range join: count each customer's events inside [o_orderdate,
+    o_orderdate + 7 days) per order.
+
+    Ray Data has no interval-join operator — expressed with the engine's
+    bucket-merge pattern: both sides hash-bucket on the customer key, one
+    tagged union, and each group runs a vectorized in-pandas interval
+    match (orders × that customer's events only, never a global cross
+    product). Partitioning assumption at scale: one bucket's rows fit a
+    worker; salt the bucket count for hot keys.
+    """
+    n_buckets = 32
+    window = pd.Timedelta(days=7)
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (batch["o_custkey"] % n_buckets).astype("int64"),
+                "key": batch["o_custkey"].astype("int64"),
+                "t": batch["o_orderdate"],
+                "o_orderkey": batch["o_orderkey"].astype("int64"),
+                "is_order": True,
+            }
+        )
+
+    def tag_events(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": (batch["user_id"] % n_buckets).astype("int64"),
+                "key": batch["user_id"].astype("int64"),
+                "t": batch["ts"],
+                "o_orderkey": np.int64(-1),
+                "is_order": False,
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pandas").union(
+        events.map_batches(tag_events, batch_format="pandas")
+    )
+
+    def match(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["is_order"]]
+        e = group[~group["is_order"]]
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+            }
+        )
+        if o.empty:
+            return empty
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": o["o_orderkey"].astype("int64"),
+                    "n_events": np.int64(0),
+                }
+            )
+        # per customer: events sorted by ts; each order counts events in
+        # [t, t+window) with two vectorized searchsorted calls.
+        rows_key: list[int] = []
+        rows_n: list[int] = []
+        e_sorted = e.sort_values(["key", "t"], kind="mergesort")
+        for custkey, orders_g in o.groupby("key"):
+            ev_ts = e_sorted[e_sorted["key"] == custkey]["t"].to_numpy()
+            starts = orders_g["t"].to_numpy()
+            if len(ev_ts) == 0:
+                rows_key.extend(orders_g["o_orderkey"].tolist())
+                rows_n.extend([0] * len(orders_g))
+                continue
+            lo = np.searchsorted(ev_ts, starts, side="left")
+            hi = np.searchsorted(ev_ts, starts + window.to_numpy(), side="left")
+            rows_key.extend(orders_g["o_orderkey"].tolist())
+            rows_n.extend((hi - lo).tolist())
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(rows_key, dtype="int64"),
+                "n_events": pd.Series(rows_n, dtype="int64"),
+            }
+        )
+
+    out = (
+        tagged.groupby("bucket")
+        .map_groups(match, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def doc_sample_10pct(sf_dir: str):
+    """Deterministic 10% corpus sample via content-free hash bucketing.
+
+    Sampling by md5(doc_id) — not a random() call — so the sample is
+    reproducible across runs, machines, and retries, and exactly
+    expressible in the SQL oracle. The filter pushes into the scan task
+    (no shuffle, no driver)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:4], "big"
+            )
+            % 1000
+            for d in batch["doc_id"]
+        ]
+        keep = pd.Series(keys, index=batch.index) < 100
+        out = batch.loc[keep, ["doc_id"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    out = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def part_type_stats(sf_dir: str):
     """Plain groupby-aggregate over part (min/max/avg)."""
     ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice", "p_size"])
@@ -1600,3 +1722,23 @@ def _winnow_oracle_sql(k: int = 32, window: int = 8) -> str:
 ORACLE_SQL["doc_winnow_fingerprints"] = _winnow_oracle_sql()
 
 ORACLE_SQL["doc_dedup_groups_distributed"] = ORACLE_SQL["doc_dedup_groups"]
+
+
+ORACLE_SQL["events_in_order_window"] = """
+    SELECT o.o_orderkey,
+           count(e.event_id) AS n_events
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+"""
+
+ORACLE_SQL["doc_sample_10pct"] = """
+    SELECT doc_id FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+          % 1000 < 100
+    ORDER BY doc_id
+"""
