@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "extract_exploded": _extract_exploded,
         "edit_patch_extract": _edit_patch_extract,
+        "textdoc_extract": q.textdoc_extract,
         # Relational operators with exact DuckDB oracles
         "q1_pricing_summary": q.q1_pricing_summary,
         "q6_revenue": q.q6_revenue,

@@ -64,6 +64,18 @@ def extract_document_spans(
     opts = _resolve(options)
     try:
         package = VirtualPackage.from_spans(kinds, texts, media_refs)
+        if "xl/workbook.xml" not in package:
+            # Not an OOXML bundle: the interleaved text + media document
+            # path (main-content normalization / HTML boilerplate strip /
+            # opaque media references) — extract/textdoc.py.
+            from .textdoc import extract_interleaved_spans
+
+            return [
+                Span(kind=k, text=t, media_ref=m, offset=o)
+                for k, t, m, o in extract_interleaved_spans(
+                    kinds, texts, media_refs
+                )
+            ]
         workbook = extract_workbook(package, opts, book_name="")
     except Exception as exc:  # one poison doc must not fail a block
         return [Span(kind="error", text=f"extract failed: {exc!r}", media_ref="", offset=0)]

@@ -869,6 +869,74 @@ def events_sessionize(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def textdoc_extract(sf_dir: str):
+    """Interleaved text+media extraction through the SAME Dataset pipeline
+    as the workbook corpus — the north rule's document shape.
+
+    Builds (doc_id, spans) rows from the documents table (one text span
+    per doc; every third doc also carries a media span), runs the regular
+    build_extraction_pipeline (which routes non-OOXML documents through
+    the text/media path), and returns the flattened span table. The oracle
+    recomputes the main-content normalization in SQL.
+    """
+    import ray.data
+
+    from .stages.pipeline import build_extraction_pipeline
+
+    def to_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_id = []
+        rows_spans = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            spans = [
+                {"kind": "text", "text": text or "", "media_ref": "", "offset": 0}
+            ]
+            if int(doc_id) % 3 == 0:
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": "",
+                        "media_ref": f"media/img-{int(doc_id)}.png",
+                        "offset": 1,
+                    }
+                )
+            rows_id.append(str(int(doc_id)))
+            rows_spans.append(spans)
+        return pd.DataFrame({"doc_id": rows_id, "spans": rows_spans})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_docs, batch_format="pandas"
+    )
+    out = build_extraction_pipeline(docs, batch_size=64)
+
+    def flatten(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "offset": [], "kind": [], "media_ref": [], "text": []}
+        for doc_id, spans in zip(batch["doc_id"], batch["spans"]):
+            if spans is None:
+                continue
+            for s in spans:
+                rows["doc_id"].append(doc_id)
+                rows["offset"].append(int(s["offset"]))
+                rows["kind"].append(s["kind"])
+                rows["media_ref"].append(s["media_ref"])
+                rows["text"].append(s["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="object"),
+                "offset": pd.Series(rows["offset"], dtype="int64"),
+                "kind": pd.Series(rows["kind"], dtype="object"),
+                "media_ref": pd.Series(rows["media_ref"], dtype="object"),
+                "text": pd.Series(rows["text"], dtype="object"),
+            }
+        )
+
+    result = (
+        out.select_columns(["doc_id", "spans"])
+        .map_batches(flatten, batch_format="pandas")
+        .to_pandas()
+    )
+    return result.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+
+
 def doc_winnow_fingerprints(sf_dir: str):
     """Winnowing fingerprints per document — oracle-checked bit-for-bit.
 
@@ -1741,4 +1809,21 @@ ORACLE_SQL["doc_sample_10pct"] = """
     WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
           % 1000 < 100
     ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["textdoc_extract"] = """
+    SELECT * FROM (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             0 AS "offset",
+             'text' AS kind,
+             '' AS media_ref,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 1, 'media',
+             'media/img-' || CAST(doc_id AS VARCHAR) || '.png', ''
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    ORDER BY doc_id, "offset"
 """
