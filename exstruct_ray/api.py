@@ -33,12 +33,22 @@ def extract(
     path the Ray actors run per row.
     """
     opts = (options or ExtractOptions()).resolved()
+
+    def _package_from_bytes(data: bytes) -> VirtualPackage:
+        from .ooxml.biff import is_cfb, read_xls_to_parts
+
+        if is_cfb(data):
+            # Legacy .xls (BIFF8): decode to OOXML parts and run the
+            # standard pipeline — beyond the reference's pure-Python path,
+            # which needs Windows COM for .xls (core/cells.py:1913-1916).
+            return VirtualPackage(read_xls_to_parts(data))
+        return VirtualPackage.from_xlsx_bytes(data)
+
     if isinstance(source, (str, Path)):
-        data = Path(source).read_bytes()
-        package = VirtualPackage.from_xlsx_bytes(data)
+        package = _package_from_bytes(Path(source).read_bytes())
         book_name = Path(source).name
     elif isinstance(source, bytes):
-        package = VirtualPackage.from_xlsx_bytes(source)
+        package = _package_from_bytes(source)
         book_name = ""
     else:
         package = VirtualPackage.from_spans(
