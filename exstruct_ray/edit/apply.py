@@ -69,12 +69,19 @@ def _target_cells(op: PatchOp) -> list[tuple[int, int]]:
 
 
 def _style_snapshot(sheet: EditSheet, targets: list[tuple[int, int]]) -> dict:
-    """Design snapshot for the inverse restore op (cells subset)."""
+    """Design snapshot for the inverse restore op.
+
+    Previously-empty cells are recorded with the DEFAULT style — a style op
+    creates them, so the inverse must reset them to default, not skip them.
+    """
+    from .model import EditStyle
+
     cells = {}
     for r, c in targets:
         cell = sheet.peek(r, c)
-        if cell is not None:
-            cells[f"{col_index_to_label(c)}{r}"] = cell.style
+        cells[f"{col_index_to_label(c)}{r}"] = (
+            cell.style if cell is not None else EditStyle()
+        )
     return {"cells": cells}
 
 
@@ -98,6 +105,26 @@ def _require_formula(formula: str | None, op_name: str) -> str:
     if formula is None or not formula.startswith("="):
         raise ValueError(f"{op_name} requires a formula starting with '='.")
     return formula
+
+
+def _coerce_style(style):
+    """Accept EditStyle objects AND their JSON dict form (inverse ops that
+    round-tripped through `edit patch --return-inverse-ops` output)."""
+    from .model import BorderSide, EditStyle
+
+    if isinstance(style, EditStyle):
+        return style
+    if isinstance(style, dict):
+        data = dict(style)
+        for side in ("border_top", "border_bottom", "border_left", "border_right"):
+            raw = data.get(side)
+            if isinstance(raw, dict):
+                data[side] = BorderSide(**raw)
+            elif raw is None:
+                data[side] = BorderSide()
+        known = {f for f in EditStyle.__dataclass_fields__}
+        return EditStyle(**{k: v for k, v in data.items() if k in known})
+    raise ValueError(f"unsupported style payload: {type(style)!r}")
 
 
 def _inverse_cell_op(op: PatchOp, cell_ref: str, before: PatchValue | None) -> PatchOp:
@@ -239,8 +266,14 @@ class PatchEngine:
                 f"{len(op.values[0]) if op.values else 0} does not match "
                 f"range {op.range} ({n_rows}x{n_cols})."
             )
+        inverses: list[PatchOp] = []
         for ri, row in enumerate(op.values):
             for ci, value in enumerate(row):
+                ref = (
+                    f"{col_index_to_label(c1 + ci)}{r1 + ri}"
+                )
+                before = _cell_patch_value(sheet, r1 + ri, c1 + ci)
+                inverses.append(_inverse_cell_op(op, ref, before))
                 _set_cell_value(
                     sheet, r1 + ri, c1 + ci, value, self.auto_formula,
                     "set_range_values",
@@ -249,6 +282,7 @@ class PatchEngine:
             index, op, op.range, None,
             PatchValue("value", f"{n_rows}x{n_cols} values"),
         )
+        self.inverse_ops.extend(inverses)
 
     def _op_fill_formula(self, sheet: EditSheet, op: PatchOp, index: int) -> None:
         if op.range is None or op.formula is None or op.base_cell is None:
@@ -261,8 +295,13 @@ class PatchEngine:
             )
         base_r, base_c = parse_a1(op.base_cell)
         body = formula[1:]
+        inverses: list[PatchOp] = []
         for r in range(r1, r2 + 1):
             for c in range(c1, c2 + 1):
+                ref = f"{col_index_to_label(c)}{r}"
+                inverses.append(
+                    _inverse_cell_op(op, ref, _cell_patch_value(sheet, r, c))
+                )
                 translated = translate_formula(body, r - base_r, c - base_c)
                 cell = sheet.cell(r, c)
                 cell.formula = f"={translated}"
@@ -270,6 +309,7 @@ class PatchEngine:
         self._record(
             index, op, op.range, None, PatchValue("formula", formula)
         )
+        self.inverse_ops.extend(inverses)
 
     # -- style ops -----------------------------------------------------------
 
@@ -357,9 +397,15 @@ class PatchEngine:
             )
             parts.append(f"fill_color={changes['fill_color']}")
         if op.horizontal_align is not None:
+            if op.horizontal_align not in HORIZONTAL_ALIGNS:
+                raise ValueError(
+                    f"Invalid horizontal_align: {op.horizontal_align}"
+                )
             changes["horizontal"] = op.horizontal_align
             parts.append(f"horizontal={op.horizontal_align}")
         if op.vertical_align is not None:
+            if op.vertical_align not in VERTICAL_ALIGNS:
+                raise ValueError(f"Invalid vertical_align: {op.vertical_align}")
             changes["vertical"] = op.vertical_align
             parts.append(f"vertical={op.vertical_align}")
         if op.wrap_text is not None:
@@ -558,7 +604,7 @@ class PatchEngine:
         for ref, style in snapshot.get("cells", {}).items():
             r, c = parse_a1(ref)
             cell = sheet.cell(r, c)
-            cell.style = style
+            cell.style = _coerce_style(style)
         for row, height in snapshot.get("row_heights", {}).items():
             if height is None:
                 sheet.row_heights.pop(int(row), None)

@@ -65,6 +65,11 @@ def extract_document_spans(
     try:
         package = VirtualPackage.from_spans(kinds, texts, media_refs)
         if "xl/workbook.xml" not in package:
+            if any((ref or "").lstrip("/").startswith("xl/") for ref in media_refs):
+                # OOXML parts present but workbook.xml missing: a corrupt
+                # or partial bundle, NOT a text document — surface it as
+                # an error span so n_errors keeps flagging poison docs.
+                raise ValueError("OOXML bundle has no xl/workbook.xml")
             # Not an OOXML bundle: the interleaved text + media document
             # path (main-content normalization / HTML boilerplate strip /
             # opaque media references) — extract/textdoc.py.

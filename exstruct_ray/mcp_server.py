@@ -192,6 +192,7 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
         input_path: str, mode: str = "light", out_path: str | None = None,
         fmt: str = "json",
     ) -> dict:
+        """Extract an .xlsx/.xlsm/.xls workbook to structured JSON/YAML/TOON (cells, tables, merges, shapes, charts); writes an artifact when out_path is given."""
         from .api import ExtractEngine
         from .config import ExtractOptions
         from .extract.serialize import serialize_workbook
@@ -210,17 +211,20 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
         out_path: str, sheet: str | None = None, max_bytes: int = 50_000,
         filter: dict | None = None, cursor: str | None = None,
     ) -> dict:
+        """Read a byte-bounded chunk of an extracted JSON artifact with cursor pagination and optional 1-based row/col filters."""
         return _read_json_chunk(
             _load_artifact(policy, out_path), sheet, max_bytes, filter, cursor
         )
 
     def t_read_range(out_path: str, range: str, sheet: str | None = None) -> dict:
+        """Read a rectangular A1 range (e.g. A1:C10) from an extracted JSON artifact."""
         return _read_range(_load_artifact(policy, out_path), range, sheet)
 
     def t_read_cells(
         out_path: str, addresses: list[str], sheet: str | None = None,
         include_formulas: bool = True,
     ) -> dict:
+        """Read specific A1 cells from an extracted JSON artifact, optionally with their formulas."""
         return _read_cells(
             _load_artifact(policy, out_path), addresses, sheet, include_formulas
         )
@@ -228,9 +232,11 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
     def t_read_formulas(
         out_path: str, range: str | None = None, sheet: str | None = None
     ) -> dict:
+        """List formulas (position + text) in an extracted JSON artifact, optionally limited to an A1 range."""
         return _read_formulas(_load_artifact(policy, out_path), range, sheet)
 
     def t_validate_input(ops: list[dict]) -> dict:
+        """Validate a patch-op list without applying it; reports per-op issues."""
         from .edit.model import PatchOp
 
         issues = []
@@ -261,6 +267,7 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
         auto_formula: bool = False, dry_run: bool = False,
         on_conflict: str = "overwrite",
     ) -> dict:
+        """Apply patch operations to an existing workbook (set_value, styles, merges, ...); supports dry_run and conflict policies."""
         from .edit import apply_patch
 
         return _result_payload(
@@ -276,6 +283,7 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
         out_path: str, ops: list[dict] | None = None, sheet: str = "Sheet1",
         auto_formula: bool = False, on_conflict: str = "overwrite",
     ) -> dict:
+        """Create a new workbook from a patch-op list and write it to out_path."""
         from .edit import make_workbook
 
         return _result_payload(
@@ -286,11 +294,13 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
         )
 
     def t_list_ops() -> dict:
+        """List the supported patch operation names."""
         from .edit.model import PATCH_OP_TYPES
 
         return {"ops": list(PATCH_OP_TYPES)}
 
     def t_describe_op(op: str) -> dict:
+        """Describe one patch operation (accepted field aliases)."""
         from .edit.model import OP_ALIASES, PATCH_OP_TYPES
 
         if op not in PATCH_OP_TYPES:
@@ -298,6 +308,7 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
         return {"op": op, "aliases": OP_ALIASES.get(op, {})}
 
     def t_runtime_info() -> dict:
+        """Report engine name, version, and available backends."""
         from . import __version__
 
         return {
@@ -308,6 +319,7 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
         }
 
     def t_capture_sheet_images(**_kwargs) -> dict:
+        """Capture sheet images (COM backend only — reports unavailability in this engine)."""
         raise ValueError(
             "capture_sheet_images requires the COM backend, which is not "
             "available in this engine."

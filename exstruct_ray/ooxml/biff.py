@@ -104,7 +104,9 @@ class _Cfb:
         self._mini_stream = self._read_chain(root["start"], root["size"])
 
     def _sector(self, index: int) -> bytes:
-        off = 512 + index * self._sector_size
+        # The header occupies one full sector: 512 bytes in v3, 4096 in v4
+        # — (index + 1) * sector_size addresses both correctly.
+        off = (index + 1) * self._sector_size
         return self._data[off : off + self._sector_size]
 
     def _chain_sectors(self, start: int):

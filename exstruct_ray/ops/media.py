@@ -179,6 +179,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         rate = wf.getframerate()
         n = wf.getnframes()
         width = wf.getsampwidth()
+        channels = wf.getnchannels()
         frames = wf.readframes(n)
     if width == 2:
         samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
@@ -188,6 +189,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         ) / 128.0
     else:
         raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        # Downmix interleaved channels to mono: duration and features are
+        # per-frame, not per-interleaved-sample.
+        usable = len(samples) - (len(samples) % channels)
+        samples = samples[:usable].reshape(-1, channels).mean(axis=1)
     return samples, rate
 
 

@@ -1161,31 +1161,138 @@ def doc_dedup_groups_distributed(sf_dir: str):
 def doc_ngram_verified_pairs(sf_dir: str):
     """MinHash candidates verified by exact word-3-gram Jaccard.
 
-    Fully distributed: candidate pairs join their texts via two shuffle
-    joins on doc id (texts never materialize on the driver), then each
-    batch verifies its own pairs inside map_batches.
+    Fully distributed: candidate pairs attach their two texts with the
+    tagged-union bucket merge (Dataset.join's hash aggregator cannot
+    finalize partitions that received no blocks — routine with tiny or
+    empty candidate sets), then each batch verifies its own pairs inside
+    map_batches. Texts never materialize on the driver.
     """
     from .ops.dedup import minhash_dedup_pairs, ngram_jaccard
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     candidates = minhash_dedup_pairs(docs, jaccard_threshold=0.5)
 
-    docs_a = _read(sf_dir, "documents", columns=["doc_id", "text"]).rename_columns(
-        {"doc_id": "a_key", "text": "text_a"}
+    n_buckets = 64
+
+    def _bucket(values: pd.Series) -> pd.Series:
+        hashed = pd.util.hash_array(values.to_numpy()) % n_buckets
+        return pd.Series(hashed.astype("int64"), index=values.index)
+
+    def _empty(cols: list[tuple[str, object]]) -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols})
+
+    A_COLS = [
+        ("bucket", "int64"), ("key", "int64"), ("doc_a", "int64"),
+        ("doc_b", "int64"), ("text", "object"), ("is_doc", "bool"),
+    ]
+
+    def tag_pairs_a(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_a" not in batch.columns or batch.empty:
+            return _empty(A_COLS)
+        return pd.DataFrame(
+            {
+                "bucket": _bucket(batch["doc_a"]),
+                "key": batch["doc_a"].astype("int64"),
+                "doc_a": batch["doc_a"].astype("int64"),
+                "doc_b": batch["doc_b"].astype("int64"),
+                "text": "",
+                "is_doc": False,
+            }
+        )
+
+    def tag_docs_a(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": _bucket(batch["doc_id"]),
+                "key": batch["doc_id"].astype("int64"),
+                "doc_a": batch["doc_id"].astype("int64"),
+                "doc_b": batch["doc_id"].astype("int64"),
+                "text": batch["text"].fillna(""),
+                "is_doc": True,
+            }
+        )
+
+    def merge_a(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = group[~group["is_doc"]]
+        texts = group[group["is_doc"]]
+        if pairs.empty or texts.empty:
+            return _empty(
+                [("doc_a", "int64"), ("doc_b", "int64"), ("text_a", "object")]
+            )
+        m = pairs[["doc_a", "doc_b"]].merge(
+            texts[["key", "text"]].drop_duplicates("key"),
+            left_on="doc_a", right_on="key", how="inner",
+        )
+        return pd.DataFrame(
+            {"doc_a": m["doc_a"], "doc_b": m["doc_b"], "text_a": m["text"]}
+        )
+
+    with_a = (
+        candidates.map_batches(tag_pairs_a, batch_format="pandas")
+        .union(docs.map_batches(tag_docs_a, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(merge_a, batch_format="pandas")
     )
-    docs_b = _read(sf_dir, "documents", columns=["doc_id", "text"]).rename_columns(
-        {"doc_id": "b_key", "text": "text_b"}
-    )
-    with_a = candidates.join(
-        docs_a, join_type="inner", num_partitions=8,
-        on=("doc_a",), right_on=("a_key",),
-    )
-    with_b = with_a.join(
-        docs_b, join_type="inner", num_partitions=8,
-        on=("doc_b",), right_on=("b_key",),
+
+    B_COLS = [
+        ("bucket", "int64"), ("key", "int64"), ("doc_a", "int64"),
+        ("doc_b", "int64"), ("text_a", "object"), ("text", "object"),
+        ("is_doc", "bool"),
+    ]
+
+    def tag_pairs_b(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_a" not in batch.columns or batch.empty:
+            return _empty(B_COLS)
+        return pd.DataFrame(
+            {
+                "bucket": _bucket(batch["doc_b"]),
+                "key": batch["doc_b"].astype("int64"),
+                "doc_a": batch["doc_a"].astype("int64"),
+                "doc_b": batch["doc_b"].astype("int64"),
+                "text_a": batch["text_a"],
+                "text": "",
+                "is_doc": False,
+            }
+        )
+
+    def tag_docs_b(batch: pd.DataFrame) -> pd.DataFrame:
+        out = tag_docs_a(batch)
+        out["text_a"] = ""
+        return out[[c for c, _ in B_COLS]]
+
+    def merge_b(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = group[~group["is_doc"]]
+        texts = group[group["is_doc"]]
+        if pairs.empty or texts.empty:
+            return _empty(
+                [
+                    ("doc_a", "int64"), ("doc_b", "int64"),
+                    ("text_a", "object"), ("text_b", "object"),
+                ]
+            )
+        m = pairs[["doc_a", "doc_b", "text_a"]].merge(
+            texts[["key", "text"]].drop_duplicates("key"),
+            left_on="doc_b", right_on="key", how="inner",
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_a"], "doc_b": m["doc_b"],
+                "text_a": m["text_a"], "text_b": m["text"],
+            }
+        )
+
+    with_b = (
+        with_a.map_batches(tag_pairs_b, batch_format="pandas")
+        .union(docs.map_batches(tag_docs_b, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(merge_b, batch_format="pandas")
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_a" not in batch.columns or batch.empty:
+            return _empty(
+                [("doc_a", "int64"), ("doc_b", "int64"), ("jaccard", "float64")]
+            )
         rows = {"doc_a": [], "doc_b": [], "jaccard": []}
         for a, b, ta, tb in zip(
             batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
@@ -1445,7 +1552,13 @@ ORACLE_SQL: dict[str, str] = {
 # (scripts/gen_golden_spans.py) and read back for an exact hash compare.
 # The driver evaluates oracles at sf0.01; check_oracles.py rewrites the sf
 # token when simulating other scales.
-_GOLDEN_DIR = "/root/repo/data/golden"
+import os as _os
+
+_GOLDEN_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data",
+    "golden",
+)
 for _name in (
     "extract_light",
     "extract_verbose",

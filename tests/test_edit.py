@@ -437,3 +437,66 @@ class TestOpValidation:
         )
         assert result.error is not None
         assert "max 10000" in result.error.message
+
+
+class TestReviewFixes:
+    def test_inverse_ops_roundtrip_through_json(self):
+        """Inverse ops must survive JSON serialization (the CLI output) and
+        re-apply: styles restore to default on previously-empty cells."""
+        import dataclasses
+        import json as _json
+
+        result = make_workbook(
+            [
+                {"op": "set_bold", "sheet": "Sheet1", "cell": "A1"},
+                {"op": "set_fill_color", "sheet": "Sheet1", "cell": "B2",
+                 "fill_color": "FF0000"},
+            ],
+            return_inverse_ops=True,
+        )
+        assert result.error is None
+        encoded = _json.dumps(
+            [dataclasses.asdict(op) for op in result.inverse_ops]
+        )
+        decoded = [
+            {k: v for k, v in op.items() if v is not None}
+            for op in _json.loads(encoded)
+        ]
+        restored = apply_patch(emit_spans_from(result.parts), decoded)
+        assert restored.error is None
+        styles_xml = restored.parts["xl/styles.xml"]
+        assert "<b/>" not in styles_xml
+        assert "FF0000" not in styles_xml
+
+    def test_set_range_values_and_fill_formula_inverses(self):
+        base = make_workbook(
+            [{"op": "set_range_values", "sheet": "Sheet1", "range": "A1:B1",
+              "values": [["keep1", "keep2"]]}]
+        )
+        patched = apply_patch(
+            emit_spans_from(base.parts),
+            [
+                {"op": "set_range_values", "sheet": "Sheet1", "range": "A1:B1",
+                 "values": [["new1", "new2"]]},
+                {"op": "fill_formula", "sheet": "Sheet1", "range": "C1:C2",
+                 "base_cell": "C1", "formula": "=A1"},
+            ],
+            return_inverse_ops=True,
+        )
+        assert patched.error is None
+        assert len(patched.inverse_ops) == 4  # 2 range cells + 2 fill cells
+        restored = apply_patch(
+            emit_spans_from(patched.parts), patched.inverse_ops
+        )
+        wb = _extract(restored.parts)
+        rows = {r.r: r.c for r in wb.sheets["Sheet1"].rows}
+        assert rows[1] == {"0": "keep1", "1": "keep2"}
+        assert not wb.sheets["Sheet1"].formulas_map
+
+    def test_set_style_rejects_invalid_alignment(self):
+        result = make_workbook(
+            [{"op": "set_style", "sheet": "Sheet1", "cell": "A1",
+              "horizontal_align": "middle"}]
+        )
+        assert result.error is not None
+        assert "Invalid horizontal_align" in result.error.message

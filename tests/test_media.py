@@ -258,3 +258,27 @@ class TestJsonCorpusReader:
         out = build_extraction_pipeline(ds, batch_size=2).take_all()
         assert {r["doc_id"] for r in out} == {d["doc_id"] for d in docs}
         assert all(r["n_errors"] == 0 for r in out)
+
+
+class TestStereoWav:
+    def test_stereo_downmix_duration(self):
+        from exstruct_ray.ops.media import decode_wav
+
+        rate = 4000
+        t = np.arange(rate) / rate
+        left = (np.sin(2 * np.pi * 220 * t) * 20000).astype("<i2")
+        right = (np.sin(2 * np.pi * 220 * t) * 10000).astype("<i2")
+        interleaved = np.empty(rate * 2, dtype="<i2")
+        interleaved[0::2] = left
+        interleaved[1::2] = right
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(2)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(interleaved.tobytes())
+        samples, got_rate = decode_wav(buf.getvalue())
+        assert got_rate == rate
+        assert len(samples) == rate  # per-frame, not per interleaved sample
+        expected = (20000 / 32768 + 10000 / 32768) / 2
+        assert abs(float(np.max(samples)) - expected) < 1e-3

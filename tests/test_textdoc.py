@@ -82,3 +82,17 @@ class TestPipelineRouting:
             ExtractOptions().resolved(),
         )
         assert any(s.kind == "cell_row" for s in spans)
+
+
+class TestCorruptBundleRouting:
+    def test_partial_ooxml_bundle_is_error_not_text(self):
+        """xl/ parts without workbook.xml = corrupt bundle → error span,
+        never silently reclassified as a text document."""
+        spans = extract_document_spans(
+            ["sheet_xml"],
+            ["<worksheet>garbage"],
+            ["xl/worksheets/sheet1.xml"],
+            ExtractOptions().resolved(),
+        )
+        assert len(spans) == 1 and spans[0].kind == "error"
+        assert "workbook.xml" in spans[0].text
