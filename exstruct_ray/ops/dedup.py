@@ -441,8 +441,12 @@ def label_propagation_groups(pairs_ds, max_iters: int = 50):
     The scale path for dedup_groups when the pair set itself exceeds driver
     memory: iterative min-label propagation — each round every node adopts
     the minimum label among itself and its neighbors via one bucket-
-    shuffled merge — until a fixpoint (rounds ≈ component diameter, tiny
-    for near-dup clusters). Semantics identical to the driver union-find:
+    shuffled merge — until a fixpoint. The fixpoint test is itself
+    distributed: each merge group emits a per-node ``changed`` flag and the
+    driver reduces per-block scalar partial counts (one int per block, the
+    label table never leaves the cluster mid-iteration). Convergence in
+    O(log diameter) rounds via pointer jumping. Semantics identical to the
+    driver union-find:
     group_id is the component's minimum doc id, the canonical member keeps
     it. Uses the tagged-union bucket merge throughout (no Dataset.join).
 
@@ -480,6 +484,26 @@ def label_propagation_groups(pairs_ds, max_iters: int = 50):
         if "node" not in group.columns or group.empty:
             return _empty_labels()
         return group.groupby("node", as_index=False)["label"].min()
+
+    def reduce_min_tracked(group: pd.DataFrame) -> pd.DataFrame:
+        """Merge current labels (is_cur rows) with received proposals,
+        emitting a per-node ``changed`` flag — the distributed fixpoint
+        signal. The convergence test is then a scalar sum over ``changed``,
+        never a driver collect of the label table."""
+        if "node" not in group.columns or group.empty:
+            out = _empty_labels()
+            out["changed"] = pd.Series(dtype="int64")
+            return out
+        new = group.groupby("node", as_index=False)["label"].min()
+        cur = group[group["is_cur"]].groupby("node")["label"].min()
+        # float64 so absent-current nodes (shouldn't occur: every node is
+        # seeded a label at init) read NaN and count as changed
+        old = cur.reindex(new["node"]).to_numpy(dtype="float64")
+        new_vals = new["label"].to_numpy()
+        new["changed"] = np.where(
+            np.isnan(old), 1, (old != new_vals).astype(np.int64)
+        ).astype("int64")
+        return new[["node", "label", "changed"]]
 
     def with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         if "node" not in batch.columns or batch.empty:
@@ -574,6 +598,24 @@ def label_propagation_groups(pairs_ds, max_iters: int = 50):
             }
         )
 
+    def cur_tagged(batch: pd.DataFrame) -> pd.DataFrame:
+        out = with_bucket(batch)
+        out["is_cur"] = (
+            pd.Series(dtype="bool") if out.empty else True
+        )
+        return out
+
+    def recv_tagged(batch: pd.DataFrame) -> pd.DataFrame:
+        out = with_bucket(batch)
+        out["is_cur"] = (
+            pd.Series(dtype="bool") if out.empty else False
+        )
+        return out
+
+    def changed_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = int(batch["changed"].sum()) if "changed" in batch.columns else 0
+        return pd.DataFrame({"n": [n]})
+
     for _ in range(max_iters):
         iteration_edges = edges.union(
             current.map_batches(jump_edges, batch_format="pandas")
@@ -585,16 +627,22 @@ def label_propagation_groups(pairs_ds, max_iters: int = 50):
             .map_groups(propagate, batch_format="pandas")
         )
         merged = (
-            current.union(received)
-            .map_batches(with_bucket, batch_format="pandas")
+            current.map_batches(cur_tagged, batch_format="pandas")
+            .union(received.map_batches(recv_tagged, batch_format="pandas"))
             .groupby("bucket")
-            .map_groups(reduce_min, batch_format="pandas")
+            .map_groups(reduce_min_tracked, batch_format="pandas")
             .materialize()
         )
-        before = current.to_pandas().sort_values("node").reset_index(drop=True)
-        after = merged.to_pandas().sort_values("node").reset_index(drop=True)
         current = merged
-        if before[["node", "label"]].equals(after[["node", "label"]]):
+        # Distributed fixpoint test: per-block scalar partials of the
+        # changed-label count — the driver sees one int per block, never
+        # the label table itself.
+        n_changed = int(
+            merged.map_batches(changed_partial, batch_format="pandas")
+            .to_pandas()["n"]
+            .sum()
+        )
+        if n_changed == 0:
             break
 
     out = current.to_pandas().rename(

@@ -210,11 +210,20 @@ def _decode_image_stub(payload: bytes, target_w: int, target_h: int) -> np.ndarr
     return rng.randint(0, 256, size=(target_h, target_w, 3), dtype=np.uint8)
 
 
+# Degrade-in-place contract: a CORRUPT payload with a valid magic raises
+# struct.error (truncated header), zlib.error (bad IDAT), or IndexError —
+# not just ValueError. All of them must route to the next decoder / the
+# stub rather than crash the whole Ray task (one poison row, one block).
+_DECODE_ERRORS = (ValueError, struct.error, zlib.error, IndexError, OverflowError)
+
+
 def decode_image(payload: bytes, target_w: int, target_h: int) -> tuple[np.ndarray, str]:
     """Decode + resize any supported image payload.
 
     Returns (pixels (target_h, target_w, 3) uint8, decoder_name). Order:
     PIL if installed → stdlib PNG/BMP decoders → deterministic stub.
+    Corrupt payloads (valid magic, malformed body) fall through to the
+    stub — they never propagate an exception out of the stage.
     """
     if _PILImage is not None:  # pragma: no cover - PIL absent here
         import io
@@ -227,11 +236,11 @@ def decode_image(payload: bytes, target_w: int, target_h: int) -> tuple[np.ndarr
             pass
     try:
         return resize_nearest(decode_png(payload), target_w, target_h), "png"
-    except ValueError:
+    except _DECODE_ERRORS:
         pass
     try:
         return resize_nearest(decode_bmp(payload), target_w, target_h), "bmp"
-    except ValueError:
+    except _DECODE_ERRORS:
         pass
     return _decode_image_stub(payload, target_w, target_h), "stub"
 
@@ -339,7 +348,10 @@ class VideoFrameSampleActor:
             data = bytes(payload) if payload is not None else b""
             try:
                 frames = self._frames(data)
-            except (ValueError, NotImplementedError):
+            except (NotImplementedError, *_DECODE_ERRORS):
+                # unrecognized container OR corrupt recognized container
+                # (truncated MULTIPNG length prefix → struct/IndexError,
+                # bad inner PNG → zlib.error): skip the row, keep the task.
                 continue
             for idx in range(0, len(frames), self._nth):
                 pixels = resize_nearest(frames[idx], self._w, self._h)

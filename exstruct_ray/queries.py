@@ -382,6 +382,15 @@ def events_asof_orders(sf_dir: str):
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
+    if "event_id" not in out.columns:
+        # every hash partition emitted zero-column blocks (no matches)
+        out = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_totalprice": pd.Series(dtype="float64"),
+            }
+        )
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -391,10 +400,11 @@ def events_in_order_window(sf_dir: str):
 
     Ray Data has no interval-join operator — expressed with the engine's
     bucket-merge pattern: both sides hash-bucket on the customer key, one
-    tagged union, and each group runs a vectorized in-pandas interval
-    match (orders × that customer's events only, never a global cross
-    product). Partitioning assumption at scale: one bucket's rows fit a
-    worker; salt the bucket count for hot keys.
+    tagged union, and each group runs ONE vectorized interval match (a
+    composite (key, ts)-rank searchsorted over the whole bucket — no
+    per-customer loop, no cross product). Partitioning assumption at
+    scale: one bucket's rows fit a worker; salt the bucket count for hot
+    keys.
     """
     n_buckets = 32
     window = pd.Timedelta(days=7)
@@ -448,26 +458,44 @@ def events_in_order_window(sf_dir: str):
                     "n_events": np.int64(0),
                 }
             )
-        # per customer: events sorted by ts; each order counts events in
-        # [t, t+window) with two vectorized searchsorted calls.
-        rows_key: list[int] = []
-        rows_n: list[int] = []
-        e_sorted = e.sort_values(["key", "t"], kind="mergesort")
-        for custkey, orders_g in o.groupby("key"):
-            ev_ts = e_sorted[e_sorted["key"] == custkey]["t"].to_numpy()
-            starts = orders_g["t"].to_numpy()
-            if len(ev_ts) == 0:
-                rows_key.extend(orders_g["o_orderkey"].tolist())
-                rows_n.extend([0] * len(orders_g))
-                continue
-            lo = np.searchsorted(ev_ts, starts, side="left")
-            hi = np.searchsorted(ev_ts, starts + window.to_numpy(), side="left")
-            rows_key.extend(orders_g["o_orderkey"].tolist())
-            rows_n.extend((hi - lo).tolist())
+        # ONE vectorized pass per bucket — no per-customer re-filtering.
+        # Events sort by (key, t); both columns map to dense ranks and fold
+        # into a single int64 composite that preserves lexicographic order,
+        # so each order's in-window count is two searchsorted calls over
+        # the whole bucket at once. Overflow-safe while
+        # n_keys × (n_unique_ts + 2) < 2^63 — per-bucket row counts, i.e.
+        # the same per-bucket-fits-a-worker assumption the merge already
+        # makes.
+        e_keys = e["key"].to_numpy()
+        e_ts = e["t"].to_numpy()
+        uniq_keys = np.unique(e_keys)
+        uniq_ts = np.unique(e_ts)
+        m = np.int64(len(uniq_ts) + 2)
+        comp = (
+            np.searchsorted(uniq_keys, e_keys).astype(np.int64) * m
+            + np.searchsorted(uniq_ts, e_ts).astype(np.int64)
+        )
+        comp.sort()
+
+        o_starts = o["t"].to_numpy()
+        key_pos = np.searchsorted(uniq_keys, o["key"].to_numpy()).astype(np.int64)
+        has_events = (key_pos < len(uniq_keys)) & (
+            uniq_keys[np.minimum(key_pos, len(uniq_keys) - 1)]
+            == o["key"].to_numpy()
+        )
+        # rank of the window bounds among event timestamps: events with
+        # t >= start are exactly those with ts-rank >= searchsorted(left).
+        r_lo = np.searchsorted(uniq_ts, o_starts, side="left").astype(np.int64)
+        r_hi = np.searchsorted(
+            uniq_ts, o_starts + window.to_numpy(), side="left"
+        ).astype(np.int64)
+        lo = np.searchsorted(comp, key_pos * m + r_lo, side="left")
+        hi = np.searchsorted(comp, key_pos * m + r_hi, side="left")
+        counts = np.where(has_events, hi - lo, 0)
         return pd.DataFrame(
             {
-                "o_orderkey": pd.Series(rows_key, dtype="int64"),
-                "n_events": pd.Series(rows_n, dtype="int64"),
+                "o_orderkey": o["o_orderkey"].to_numpy().astype("int64"),
+                "n_events": counts.astype("int64"),
             }
         )
 
@@ -476,6 +504,13 @@ def events_in_order_window(sf_dir: str):
         .map_groups(match, batch_format="pandas")
         .to_pandas()
     )
+    if "o_orderkey" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+            }
+        )
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 

@@ -13,14 +13,22 @@ Design for scale:
   - The index is SHARDED by content-hash prefix across N actors, so
     admission checks fan out and no single actor's heap or throughput is
     the bottleneck; shard count is a knob sized to the cluster.
-  - Ingest batches send each shard ONE set-union RPC per batch (not one
-    per row): admission is an atomic check-and-insert per shard, so a
-    hash is admitted exactly once even with concurrent ingest tasks.
-  - First-writer-wins across concurrent batches; losers learn the
-    duplicate verdict in the same RPC round trip.
-  - Actors checkpoint their hash sets to parquet (one file per shard) so
-    an index survives across jobs — the streaming analogue of the
-    manifest layer's resumability.
+  - Ingest batches send each shard ONE RPC per batch (not one per row):
+    admission is an atomic check-and-insert per shard.
+  - Admission is IDEMPOTENT PER CLAIMANT: each shard stores
+    ``hash → first claimant id`` (the claiming document's id), and a
+    claimant re-presenting its own hash receives ``True`` again. This is
+    what makes Ray task retries safe — a map task that admitted its
+    hashes and died before its output block became durable re-runs,
+    re-presents the same (hash, claimant) pairs, and gets the same
+    verdicts, so no row is silently dropped. First-writer-wins still
+    holds across *distinct* claimants racing on the same content.
+  - Actors are named with a config fingerprint (shard count + checkpoint
+    dir), so two indexes with different configurations in one Ray session
+    can never silently share actors created under the other's layout.
+  - Actors checkpoint their hash→claimant maps to parquet (one file per
+    shard) so an index survives across jobs — the streaming analogue of
+    the manifest layer's resumability.
 """
 
 from __future__ import annotations
@@ -40,32 +48,44 @@ def _make_shard_actor():
 
     @ray.remote(num_cpus=0.1)
     class _DedupShard:
-        """One shard: an owned set of admitted content hashes."""
+        """One shard: an owned map of admitted content hash → claimant."""
 
         def __init__(self, shard_id: int, checkpoint_dir: str | None = None):
             self._shard_id = shard_id
             self._dir = checkpoint_dir
-            self._seen: set[bytes] = set()
+            self._seen: dict[bytes, int] = {}
             if checkpoint_dir:
                 path = self._path()
                 if os.path.exists(path):
                     import pyarrow.parquet as pq
 
                     table = pq.read_table(path)
-                    self._seen = set(table.column("hash").to_pylist())
+                    self._seen = dict(
+                        zip(
+                            table.column("hash").to_pylist(),
+                            table.column("claimant").to_pylist(),
+                        )
+                    )
 
         def _path(self) -> str:
             return os.path.join(self._dir, f"shard-{self._shard_id:04d}.parquet")
 
-        def admit(self, hashes: list[bytes]) -> list[bool]:
-            """Atomic check-and-insert for a batch slice; True = first time."""
+        def admit(self, hashes: list[bytes], claimants: list[int]) -> list[bool]:
+            """Atomic check-and-insert for a batch slice.
+
+            True = this claimant owns the hash (first presentation OR a
+            re-presentation by the same claimant, i.e. a task retry).
+            False = a different claimant admitted the content first.
+            Claimant -1 is the anonymous mode: first-call-wins, never
+            granted ownership on re-presentation.
+            """
             out = []
             seen = self._seen
-            for h in hashes:
+            for h, c in zip(hashes, claimants):
                 if h in seen:
-                    out.append(False)
+                    out.append(c != -1 and seen[h] == c)
                 else:
-                    seen.add(h)
+                    seen[h] = c
                     out.append(True)
             return out
 
@@ -81,8 +101,15 @@ def _make_shard_actor():
             os.makedirs(self._dir, exist_ok=True)
             path = self._path()
             tmp = path + ".tmp"
+            items = sorted(self._seen.items())
             pq.write_table(
-                pa.table({"hash": sorted(self._seen)}), tmp
+                pa.table(
+                    {
+                        "hash": [h for h, _ in items],
+                        "claimant": [c for _, c in items],
+                    }
+                ),
+                tmp,
             )
             os.replace(tmp, path)  # write-then-rename: crash-safe
             return path
@@ -98,14 +125,31 @@ class DedupIndex:
         n_shards: int = 16,
         checkpoint_dir: str | None = None,
         name_prefix: str = "dedup_index",
+        run_id: str | None = None,
     ):
         import ray
+        import uuid
 
         shard_cls = _make_shard_actor()
         self.n_shards = n_shards
+        # Run token scoping the retry-idempotence window: claimant ids are
+        # derived from (run_id, doc_id), and the token is fixed when the
+        # index handle is built — BEFORE the pipeline runs — so a Ray task
+        # retry (same serialized closure, same token) re-receives True,
+        # while tomorrow's job (new handle, new token) correctly sees its
+        # re-ingested documents as duplicates.
+        self.run_id = run_id if run_id is not None else uuid.uuid4().hex
+        # The actor name embeds the configuration (shard count + checkpoint
+        # dir hash): ray's get_if_exists ignores constructor args for an
+        # existing named actor, so without this a second DedupIndex with a
+        # different layout would silently reuse actors built under the old
+        # one and shard_of() would disagree with the live shard count.
+        cfg = hashlib.md5(
+            f"{n_shards}|{checkpoint_dir or ''}".encode()
+        ).hexdigest()[:8]
         self._actors = [
             shard_cls.options(
-                name=f"{name_prefix}:{i}", get_if_exists=True
+                name=f"{name_prefix}:{cfg}:{i}", get_if_exists=True
             ).remote(i, checkpoint_dir)
             for i in range(n_shards)
         ]
@@ -113,16 +157,34 @@ class DedupIndex:
     def shard_of(self, digest: bytes) -> int:
         return digest[0] % self.n_shards
 
-    def admit_hashes(self, digests: list[bytes]) -> list[bool]:
-        """Batch admission: one RPC per touched shard, order-preserving."""
+    def claimant_of(self, doc_id) -> int:
+        """Compact int64 claimant token for (run_id, doc_id)."""
+        digest = hashlib.md5(f"{self.run_id}:{doc_id}".encode()).digest()
+        return int.from_bytes(digest[:8], "big", signed=True)
+
+    def admit_hashes(
+        self, digests: list[bytes], claimants: list[int] | None = None
+    ) -> list[bool]:
+        """Batch admission: one RPC per touched shard, order-preserving.
+
+        ``claimants[i]`` identifies who is presenting ``digests[i]`` (the
+        document id in dedup_against_index). Re-presenting the same
+        (digest, claimant) pair always returns the same verdict — the
+        retry-idempotence contract. When omitted, every row claims as -1,
+        which degrades to plain first-call-wins (NOT retry-safe; only for
+        single-shot interactive use).
+        """
         import ray
 
+        if claimants is None:
+            claimants = [-1] * len(digests)
         by_shard: dict[int, list[int]] = {}
         for pos, digest in enumerate(digests):
             by_shard.setdefault(self.shard_of(digest), []).append(pos)
         refs = {
             shard: self._actors[shard].admit.remote(
-                [digests[pos] for pos in positions]
+                [digests[pos] for pos in positions],
+                [claimants[pos] for pos in positions],
             )
             for shard, positions in by_shard.items()
         }
@@ -151,23 +213,29 @@ def dedup_against_index(
     ds,
     index: DedupIndex,
     text_column: str = "text",
+    id_column: str = "doc_id",
     *,
     batch_size: int = 256,
 ):
     """Streaming admission filter: keep only rows whose content has never
     been admitted to the index (by this run or any previous one).
 
-    The map stage is stateless — the state lives in the shard actors — so
-    Ray can retry a failed task safely: re-admitting the same hash returns
-    False on the retry, but the hash was only ever ADMITTED once, and a
-    task retry re-processes its whole batch against the same first-writer
-    verdicts only if the original never delivered its output block.
+    Retry-safe: admission is claimed under a token derived from the
+    index's run id and each row's ``id_column`` value, and shards grant
+    ``True`` to a re-presenting claimant. A task that admitted its hashes
+    and died before delivering its output block is retried by Ray Data;
+    the retry presents the same (hash, claimant) pairs, receives the same
+    ``True`` verdicts, and emits the full row set — no silent loss under
+    task failure. Two *different* documents with equal content still race
+    first-writer-wins exactly once, and a NEW job over the same documents
+    (fresh run id) correctly sees them all as duplicates.
     """
     import pandas as pd
 
     def admit_batch(batch: pd.DataFrame) -> pd.DataFrame:
         digests = [_content_hash(t) for t in batch[text_column]]
-        keep = index.admit_hashes(digests)
+        claimants = [index.claimant_of(i) for i in batch[id_column]]
+        keep = index.admit_hashes(digests, claimants)
         return batch.loc[pd.Series(keep, index=batch.index)]
 
     return ds.map_batches(admit_batch, batch_format="pandas", batch_size=batch_size)

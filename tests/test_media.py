@@ -154,6 +154,23 @@ class TestResizeAndDispatch:
         assert stub_decoder == "stub"
         assert stub_pixels.shape == (4, 4, 3)
 
+    def test_decode_image_corrupt_valid_magic_degrades(self):
+        """Poison payloads with VALID magic but malformed bodies raise
+        struct.error / zlib.error internally — they must degrade to the
+        stub, never crash the stage (degrade-in-place contract)."""
+        # BMP magic + truncated header -> struct.error inside decode_bmp
+        px, dec = decode_image(b"BM" + b"\x00" * 6, 4, 4)
+        assert dec == "stub" and px.shape == (4, 4, 3)
+        # PNG magic + corrupt IDAT -> zlib.error inside decode_png
+        good = encode_png(_rand_pixels(4, 4))
+        idat = good.find(b"IDAT")
+        corrupt = good[: idat + 4] + b"\xff\xff\xff\xff" + good[idat + 8 :]
+        px, dec = decode_image(corrupt, 4, 4)
+        assert dec == "stub" and px.shape == (4, 4, 3)
+        # bare PNG magic, nothing else -> ValueError path
+        px, dec = decode_image(b"\x89PNG\r\n\x1a\n", 4, 4)
+        assert dec == "stub" and px.shape == (4, 4, 3)
+
 
 class TestAudioPipeline:
     def test_audio_feature_stage(self, ray_session):
@@ -237,6 +254,25 @@ class TestVideoFrameSample:
         )
         out = sample_video_frames(ds).to_pandas()
         assert len(out) == 0
+
+    def test_corrupt_container_skipped_not_fatal(self, ray_session):
+        """A truncated MULTIPNG (valid magic, bad body) must skip the row,
+        not crash the Ray task — and good rows in the same batch survive."""
+        import ray.data
+
+        from exstruct_ray.ops.media import encode_multipng, sample_video_frames
+
+        good = encode_multipng([_rand_pixels(4, 4, seed=s) for s in range(3)])
+        truncated = good[:10]  # magic + count, then cut mid length-prefix
+        ds = ray.data.from_items(
+            [
+                {"media_id": 1, "payload": truncated},
+                {"media_id": 2, "payload": good},
+            ]
+        )
+        out = sample_video_frames(ds, every_nth=1, batch_size=4).to_pandas()
+        assert sorted(out["media_id"].unique()) == [2]
+        assert len(out) == 3
 
 
 class TestJsonCorpusReader:

@@ -52,6 +52,64 @@ class TestDedupIndex:
         kept = dedup_against_index(ds2, second).to_pandas()
         assert kept["text"].tolist() == ["brand-new"]
 
+    def test_task_retry_does_not_lose_rows(self, ray_session):
+        """Simulated Ray task retry: a task admits its hashes, dies before
+        its output block is delivered, and re-runs. The retry presents the
+        same (hash, claimant) pairs and must re-receive True for every row
+        it claimed — otherwise the filter silently drops documents."""
+        from exstruct_ray.state import DedupIndex
+        from exstruct_ray.state.dedup_index import _content_hash
+
+        index = DedupIndex(n_shards=4, name_prefix="t4")
+        texts = [f"retry-doc-{i}" for i in range(20)]
+        digests = [_content_hash(t) for t in texts]
+        claimants = [index.claimant_of(i) for i in range(20)]
+
+        first = index.admit_hashes(digests, claimants)
+        assert all(first)
+        # the "retry": identical presentation must yield identical verdicts
+        retry = index.admit_hashes(digests, claimants)
+        assert retry == first
+        # a DIFFERENT document with the same content still loses the race
+        other = index.admit_hashes([digests[0]], [index.claimant_of(999)])
+        assert other == [False]
+        # hashes were only ever admitted once each
+        assert index.total_size() == 20
+
+    def test_new_run_sees_prior_admissions_as_dups(self, ray_session, tmp_path):
+        """Retry-idempotence must NOT leak across jobs: a new index handle
+        (fresh run id) over the same checkpoint rejects yesterday's docs
+        even when doc_ids coincide."""
+        import ray.data
+
+        from exstruct_ray.state import DedupIndex, dedup_against_index
+
+        docs = [{"doc_id": i, "text": f"daily-{i}"} for i in range(5)]
+        day1 = DedupIndex(n_shards=2, checkpoint_dir=str(tmp_path), name_prefix="t5a")
+        kept1 = dedup_against_index(ray.data.from_items(docs), day1).to_pandas()
+        assert len(kept1) == 5
+        day1.checkpoint()
+
+        day2 = DedupIndex(n_shards=2, checkpoint_dir=str(tmp_path), name_prefix="t5b")
+        kept2 = dedup_against_index(ray.data.from_items(docs), day2).to_pandas()
+        assert len(kept2) == 0
+
+    def test_config_mismatch_gets_fresh_actors(self, ray_session, tmp_path):
+        """Two indexes with the same name_prefix but different shard counts
+        must not silently share actors (named-actor get_if_exists ignores
+        constructor args)."""
+        from exstruct_ray.state import DedupIndex
+        from exstruct_ray.state.dedup_index import _content_hash
+
+        a = DedupIndex(n_shards=2, name_prefix="t6")
+        b = DedupIndex(n_shards=4, name_prefix="t6")
+        digests = [_content_hash(f"cfg-{i}") for i in range(40)]
+        assert all(a.admit_hashes(digests))
+        # b has its own actors: the same content is unseen there
+        assert all(b.admit_hashes(digests))
+        assert a.total_size() == 40
+        assert b.total_size() == 40
+
     def test_sharding_spreads_hashes(self, ray_session):
         from exstruct_ray.state import DedupIndex
         from exstruct_ray.state.dedup_index import _content_hash
