@@ -594,6 +594,9 @@ class PatchEngine:
             index, op, op.range, None,
             PatchValue("style", f"table={name} style={op.style}"),
         )
+        self.inverse_ops.append(
+            _restore_op(op.sheet, {"table_remove": [name]})
+        )
 
     # -- snapshot restore ----------------------------------------------------
 
@@ -621,6 +624,8 @@ class PatchEngine:
         for m in snapshot.get("merge_add", []):
             if m not in sheet.merged:
                 sheet.merged.append(m)
+        for name in snapshot.get("table_remove", []):
+            sheet.tables = [t for t in sheet.tables if t.name != name]
         self._record(
             index, op, None, None, PatchValue("style", "snapshot restored")
         )

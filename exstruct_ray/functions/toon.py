@@ -14,8 +14,6 @@ from __future__ import annotations
 import json
 import re
 
-_INDENT = "  "
-
 # Keys that can appear bare (no quotes): identifier-like token.
 _SAFE_KEY_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.-]*$")
 
@@ -24,23 +22,22 @@ _NUMERIC_LIKE_RE = re.compile(r"^-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?$")
 
 
 def encode(value: object, *, indent: int = 2) -> str:
-    """Encode a JSON-compatible value as a TOON document string."""
-    global _INDENT
-    prev = _INDENT
-    _INDENT = " " * indent
-    try:
-        lines: list[str] = []
-        if isinstance(value, dict):
-            if not value:
-                return ""
-            _encode_object(value, 0, lines)
-        elif isinstance(value, (list, tuple)):
-            _encode_array_value(None, list(value), 0, lines)
-        else:
-            return _scalar(value)
-        return "\n".join(lines)
-    finally:
-        _INDENT = prev
+    """Encode a JSON-compatible value as a TOON document string.
+
+    The indent string threads through the helpers as a parameter — no
+    module-level state, so concurrent or re-entrant encodes with different
+    indents (threaded actors, nested calls) cannot interleave."""
+    ind = " " * indent
+    lines: list[str] = []
+    if isinstance(value, dict):
+        if not value:
+            return ""
+        _encode_object(value, 0, lines, ind)
+    elif isinstance(value, (list, tuple)):
+        _encode_array_value(None, list(value), 0, lines, ind)
+    else:
+        return _scalar(value)
+    return "\n".join(lines)
 
 
 def _key_token(key: object) -> str:
@@ -100,23 +97,23 @@ def _tabular_fields(items: list) -> list | None:
     return fields
 
 
-def _encode_object(obj: dict, depth: int, lines: list[str]) -> None:
-    pad = _INDENT * depth
+def _encode_object(obj: dict, depth: int, lines: list[str], ind: str) -> None:
+    pad = ind * depth
     for key, value in obj.items():
         token = _key_token(key)
         if isinstance(value, dict):
             lines.append(f"{pad}{token}:")
-            _encode_object(value, depth + 1, lines)
+            _encode_object(value, depth + 1, lines, ind)
         elif isinstance(value, (list, tuple)):
-            _encode_array_value(token, list(value), depth, lines)
+            _encode_array_value(token, list(value), depth, lines, ind)
         else:
             lines.append(f"{pad}{token}: {_scalar(value)}")
 
 
 def _encode_array_value(
-    key_token: str | None, items: list, depth: int, lines: list[str]
+    key_token: str | None, items: list, depth: int, lines: list[str], ind: str
 ) -> None:
-    pad = _INDENT * depth
+    pad = ind * depth
     prefix = f"{key_token}" if key_token is not None else ""
     n = len(items)
     if n == 0:
@@ -130,18 +127,18 @@ def _encode_array_value(
     if fields is not None:
         header = ",".join(_key_token(f) for f in fields)
         lines.append(f"{pad}{prefix}[{n}]{{{header}}}:")
-        row_pad = _INDENT * (depth + 1)
+        row_pad = ind * (depth + 1)
         for item in items:
             lines.append(
                 row_pad + ",".join(_scalar(item[f]) for f in fields)
             )
         return
     lines.append(f"{pad}{prefix}[{n}]:")
-    _encode_list_items(items, depth + 1, lines)
+    _encode_list_items(items, depth + 1, lines, ind)
 
 
-def _encode_list_items(items: list, depth: int, lines: list[str]) -> None:
-    pad = _INDENT * depth
+def _encode_list_items(items: list, depth: int, lines: list[str], ind: str) -> None:
+    pad = ind * depth
     for item in items:
         if _is_primitive(item):
             lines.append(f"{pad}- {_scalar(item)}")
@@ -152,17 +149,17 @@ def _encode_list_items(items: list, depth: int, lines: list[str]) -> None:
             # First field rides the hyphen line; the rest align under it.
             first_key, *rest_keys = item.keys()
             sub: list[str] = []
-            _encode_object({first_key: item[first_key]}, 0, sub)
+            _encode_object({first_key: item[first_key]}, 0, sub, ind)
             lines.append(f"{pad}- {sub[0]}")
             for extra in sub[1:]:
                 lines.append(f"{pad}  {extra}")
             if rest_keys:
                 _encode_object(
-                    {k: item[k] for k in rest_keys}, depth + 1, lines
+                    {k: item[k] for k in rest_keys}, depth + 1, lines, ind
                 )
         elif isinstance(item, (list, tuple)):
             sub = []
-            _encode_array_value(None, list(item), 0, sub)
+            _encode_array_value(None, list(item), 0, sub, ind)
             lines.append(f"{pad}- {sub[0]}")
             for extra in sub[1:]:
                 lines.append(f"{pad}  {extra}")

@@ -103,9 +103,15 @@ def lsh_neardup_pairs(ds, dim: int, threshold: float = 0.38, concurrency=None):
     Candidate generation: 4 bands × 8 hyperplane sign bits; vectors sharing
     any band key become candidates (per-band collision prob for similarity
     s is ((1 - acos(s)/π))^8, OR'd over bands). Verification: exact cosine
-    inside each bucket. Only (band_key, vec_id, embedding) rides the
-    shuffle — no O(n²) broadcast matmul, no driver materialization. The
-    recalled pair set is deterministic (seeded planes), so the whole
+    over the candidate pairs only.
+
+    Exchange discipline (the MinHash ids-only pattern): the band shuffle
+    ships (shuffle_key, band_idx, band_key, vec_id) — the embedding does
+    NOT replicate ×bands through the AllToAll. Candidate pairs (a tiny
+    fraction of the corpus) then attach their two embeddings via two
+    tagged-union bucket merges, and cosine verification runs in
+    map_batches. No O(n²) broadcast matmul, no driver materialization.
+    The recalled pair set is deterministic (seeded planes), so the whole
     pipeline is oracle-checkable by re-deriving the same buckets in SQL.
     """
     import pandas as _pd
@@ -132,9 +138,7 @@ def lsh_neardup_pairs(ds, dim: int, threshold: float = 0.38, concurrency=None):
                 "band_idx": [],
                 "band_key": [],
                 "vec_id": [],
-                "embedding": [],
             }
-            emb_list = [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
             for band in range(LSH_BANDS):
                 key = np.zeros(len(vecs), dtype=np.int64)
                 for bit in range(LSH_PLANES_PER_BAND):
@@ -146,33 +150,32 @@ def lsh_neardup_pairs(ds, dim: int, threshold: float = 0.38, concurrency=None):
                 rows["band_idx"].extend([band] * len(vecs))
                 rows["band_key"].extend(key.tolist())
                 rows["vec_id"].extend(vec_ids.tolist())
-                rows["embedding"].extend(e.tolist() for e in emb_list)
             return _pd.DataFrame(rows)
 
-    banded = ds.map_batches(
+    # The embedding table is consumed three times (banding + both merges);
+    # materialize the compact (id, vector) form once so lineage doesn't
+    # recompute the upstream read per consumer.
+    vecs_ds = ds.materialize()
+
+    banded = vecs_ds.map_batches(
         BandKeys,
         batch_format="pandas",
         concurrency=concurrency,
         num_cpus=1,
     )
 
-    def verify_group(group: _pd.DataFrame) -> _pd.DataFrame:
+    def candidate_pairs(group: _pd.DataFrame) -> _pd.DataFrame:
         pairs_a: list[int] = []
         pairs_b: list[int] = []
-        for _, bucket in group.groupby(["band_idx", "band_key"]):
-            if len(bucket) < 2:
-                continue
-            ids = np.asarray(bucket["vec_id"], dtype=np.int64)
-            vecs = np.asarray([np.asarray(v) for v in bucket["embedding"]])
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (vecs / norms) @ (vecs / norms).T
-            ii, jj = np.where(np.triu(sims >= threshold, k=1))
-            for i, j in zip(ii, jj):
-                lo, hi = sorted((int(ids[i]), int(ids[j])))
-                if lo != hi:
-                    pairs_a.append(lo)
-                    pairs_b.append(hi)
+        counts = group.groupby(["band_idx", "band_key"])["vec_id"].transform("size")
+        sub = group[counts >= 2]
+        for _, bucket in sub.groupby(["band_idx", "band_key"]):
+            ids = sorted(int(v) for v in bucket["vec_id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] != ids[j]:
+                        pairs_a.append(ids[i])
+                        pairs_b.append(ids[j])
         return _pd.DataFrame(
             {
                 "vec_a": _pd.Series(pairs_a, dtype="int64"),
@@ -180,16 +183,156 @@ def lsh_neardup_pairs(ds, dim: int, threshold: float = 0.38, concurrency=None):
             }
         )
 
-    pairs = banded.groupby("shuffle_key").map_groups(
-        verify_group, batch_format="pandas"
+    cand = banded.groupby("shuffle_key").map_groups(
+        candidate_pairs, batch_format="pandas"
     )
 
-    # A pair can collide in several bands — dedup with one groupby on vec_a
-    # (duplicates always share vec_a).
-    def dedup_group(group: _pd.DataFrame) -> _pd.DataFrame:
-        return group.drop_duplicates(subset=["vec_a", "vec_b"])
+    # Attach both embeddings with the tagged-union bucket merge (the
+    # engine's manual shuffle join; Dataset.join's aggregator cannot
+    # finalize partitions that received no blocks — routine for tiny pair
+    # sets). A pair colliding in several bands dedups inside merge_a: the
+    # duplicates always share vec_a and therefore the same bucket.
+    n_merge_buckets = 64
 
-    return pairs.groupby("vec_a").map_groups(dedup_group, batch_format="pandas")
+    def _bucket_of(values: _pd.Series) -> _pd.Series:
+        hashed = _pd.util.hash_array(values.to_numpy()) % n_merge_buckets
+        return _pd.Series(hashed.astype("int64"), index=values.index)
+
+    def _empty(cols: list[tuple[str, object]]) -> _pd.DataFrame:
+        return _pd.DataFrame({c: _pd.Series(dtype=t) for c, t in cols})
+
+    A_COLS = [
+        ("bucket", "int64"), ("key", "int64"), ("vec_a", "int64"),
+        ("vec_b", "int64"), ("vec", object), ("is_vec", "bool"),
+    ]
+
+    def tag_pairs_a(batch: _pd.DataFrame) -> _pd.DataFrame:
+        if "vec_a" not in batch.columns or batch.empty:
+            return _empty(A_COLS)
+        return _pd.DataFrame(
+            {
+                "bucket": _bucket_of(batch["vec_a"]),
+                "key": batch["vec_a"],
+                "vec_a": batch["vec_a"],
+                "vec_b": batch["vec_b"],
+                "vec": b"",
+                "is_vec": False,
+            }
+        )
+
+    def tag_vecs(batch: _pd.DataFrame) -> _pd.DataFrame:
+        raw = [
+            np.asarray(v, dtype=np.float64).tobytes() for v in batch["embedding"]
+        ]
+        ids = batch["vec_id"].astype("int64")
+        return _pd.DataFrame(
+            {
+                "bucket": _bucket_of(ids),
+                "key": ids,
+                "vec_a": ids,
+                "vec_b": ids,
+                "vec": _pd.Series(raw, index=batch.index, dtype=object),
+                "is_vec": True,
+            }
+        )
+
+    tagged_a = cand.map_batches(tag_pairs_a, batch_format="pandas").union(
+        vecs_ds.map_batches(tag_vecs, batch_format="pandas")
+    )
+
+    def merge_a(group: _pd.DataFrame) -> _pd.DataFrame:
+        pair_rows = group[~group["is_vec"]]
+        vec_rows = group[group["is_vec"]]
+        if pair_rows.empty or vec_rows.empty:
+            return _empty(
+                [("vec_a", "int64"), ("vec_b", "int64"), ("emb_a", object)]
+            )
+        m = pair_rows[["vec_a", "vec_b"]].drop_duplicates().merge(
+            vec_rows[["key", "vec"]].drop_duplicates("key"),
+            left_on="vec_a", right_on="key", how="inner",
+        )
+        return _pd.DataFrame(
+            {"vec_a": m["vec_a"], "vec_b": m["vec_b"], "emb_a": m["vec"]}
+        )
+
+    with_a = tagged_a.groupby("bucket").map_groups(merge_a, batch_format="pandas")
+
+    B_COLS = [
+        ("bucket", "int64"), ("key", "int64"), ("vec_a", "int64"),
+        ("vec_b", "int64"), ("emb_a", object), ("vec", object),
+        ("is_vec", "bool"),
+    ]
+
+    def tag_pairs_b(batch: _pd.DataFrame) -> _pd.DataFrame:
+        if "vec_a" not in batch.columns or batch.empty:
+            return _empty(B_COLS)
+        return _pd.DataFrame(
+            {
+                "bucket": _bucket_of(batch["vec_b"]),
+                "key": batch["vec_b"],
+                "vec_a": batch["vec_a"],
+                "vec_b": batch["vec_b"],
+                "emb_a": batch["emb_a"],
+                "vec": b"",
+                "is_vec": False,
+            }
+        )
+
+    def tag_vecs_b(batch: _pd.DataFrame) -> _pd.DataFrame:
+        out = tag_vecs(batch)
+        out["emb_a"] = b""
+        return out[[c for c, _ in B_COLS]]
+
+    tagged_b = with_a.map_batches(tag_pairs_b, batch_format="pandas").union(
+        vecs_ds.map_batches(tag_vecs_b, batch_format="pandas")
+    )
+
+    def merge_b(group: _pd.DataFrame) -> _pd.DataFrame:
+        pair_rows = group[~group["is_vec"]]
+        vec_rows = group[group["is_vec"]]
+        if pair_rows.empty or vec_rows.empty:
+            return _empty(
+                [("vec_a", "int64"), ("vec_b", "int64"),
+                 ("emb_a", object), ("emb_b", object)]
+            )
+        m = pair_rows[["vec_a", "vec_b", "emb_a"]].merge(
+            vec_rows[["key", "vec"]].drop_duplicates("key"),
+            left_on="vec_b", right_on="key", how="inner",
+        )
+        return _pd.DataFrame(
+            {
+                "vec_a": m["vec_a"],
+                "vec_b": m["vec_b"],
+                "emb_a": m["emb_a"],
+                "emb_b": m["vec"],
+            }
+        )
+
+    with_b = tagged_b.groupby("bucket").map_groups(merge_b, batch_format="pandas")
+
+    def verify(batch: _pd.DataFrame) -> _pd.DataFrame:
+        if "vec_a" not in batch.columns or batch.empty:
+            return _empty([("vec_a", "int64"), ("vec_b", "int64")])
+        a = np.asarray(
+            [np.frombuffer(v, dtype=np.float64) for v in batch["emb_a"]]
+        )
+        b = np.asarray(
+            [np.frombuffer(v, dtype=np.float64) for v in batch["emb_b"]]
+        )
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", a, b) / (na * nb)
+        keep = cos >= threshold
+        return _pd.DataFrame(
+            {
+                "vec_a": batch["vec_a"].to_numpy()[keep].astype("int64"),
+                "vec_b": batch["vec_b"].to_numpy()[keep].astype("int64"),
+            }
+        )
+
+    return with_b.map_batches(verify, batch_format="pandas")
 
 
 IVF_SEED = 11

@@ -395,10 +395,11 @@ def dedup_groups(pairs_df: pd.DataFrame) -> pd.DataFrame:
     group_id is the minimum doc id in the component and the canonical
     member is the kept survivor.
 
-    The pairs set is bounded by the near-dup rate, so a driver-side
-    union-find is the right tool even at corpus scale; if pairs themselves
-    exceeded driver memory the same union-find runs iteratively via
-    label-propagation rounds (groupby(min-neighbor) until fixpoint).
+    SMALL-PAIR-SET TOOL: the pairs set is usually bounded by the near-dup
+    rate, making a driver-side union-find the right call — but when pairs
+    themselves exceed driver memory, use label_propagation_groups (the
+    distributed fixpoint) instead, or call dedup_groups_auto which routes
+    by pair count automatically.
     """
     parent: dict = {}
 
@@ -430,6 +431,26 @@ def dedup_groups(pairs_df: pd.DataFrame) -> pd.DataFrame:
         )
     out = pd.DataFrame(rows, columns=["doc_id", "group_id", "is_canonical"])
     return out.sort_values(["group_id", "doc_id"]).reset_index(drop=True)
+
+
+def dedup_groups_auto(pairs_ds, driver_pair_limit: int = 2_000_000):
+    """Route connected-components to the right engine by pair count.
+
+    At or under ``driver_pair_limit`` pairs the driver union-find
+    (dedup_groups) is strictly better — exact, one pass, no shuffle
+    rounds. Above it, the pair set no longer belongs on the driver and the
+    distributed min-label propagation (label_propagation_groups) takes
+    over. Both produce the identical (doc_id, group_id, is_canonical)
+    contract, so the routing is invisible to callers and oracles.
+
+    The input is materialized once: the count() probe and the chosen
+    engine both consume it without re-executing the candidate-pair
+    lineage (MinHash shingling is the expensive upstream).
+    """
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= driver_pair_limit:
+        return dedup_groups(pairs_ds.to_pandas())
+    return label_propagation_groups(pairs_ds)
 
 
 _BIT_INDICES = np.arange(64, dtype=np.uint64)

@@ -1008,11 +1008,15 @@ def doc_quality_filter(sf_dir: str):
 
 
 def embedding_neardup_pairs(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (ids only, threshold 0.38).
+    """Embedding-cosine near-duplicate pairs — EXACT, SMALL-CORPUS-ONLY.
 
-    Per-batch matmul against the broadcast full matrix — O(n²) work split
-    row-block-wise across tasks; the broadcast side ships once via ray.put.
-    (At true scale the LSH-bucketed variant prunes candidates first.)
+    Contract: this is the exact-recall baseline for corpora whose full
+    embedding matrix fits the driver (it reads the whole table driver-side
+    and broadcasts the normalized matrix once via ray.put; the matmul is
+    O(n²) split row-block-wise across tasks). It exists to define ground
+    truth for the sketch paths and for interactive-scale use. At corpus
+    scale use embedding_neardup_lsh — the banded-LSH path with ids-only
+    shuffle traffic — which trades bounded recall for sublinear work.
     """
     import ray
 
@@ -1170,12 +1174,16 @@ def lineitem_pushdown(sf_dir: str):
 
 
 def doc_dedup_groups(sf_dir: str):
-    """Near-dup groups: MinHash pairs → connected components (rows-only)."""
-    from .ops.dedup import dedup_groups, minhash_dedup_pairs
+    """Near-dup groups: MinHash pairs → connected components.
+
+    Routed through dedup_groups_auto: small pair sets take the exact
+    driver union-find, pair sets beyond driver memory take the distributed
+    label propagation — identical output contract either way."""
+    from .ops.dedup import dedup_groups_auto, minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.7).to_pandas()
-    return dedup_groups(pairs)
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.7)
+    return dedup_groups_auto(pairs)
 
 
 def doc_dedup_groups_distributed(sf_dir: str):

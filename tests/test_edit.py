@@ -242,6 +242,27 @@ class TestStyleOps:
         # declared table ref takes detection priority
         assert wb.sheets["Sheet1"].table_candidates == ["A1:B2"]
 
+    def test_apply_table_style_inverse_removes_table(self):
+        base = make_workbook(
+            [{"op": "set_range_values", "sheet": "Sheet1", "range": "A1:B2",
+              "values": [["h1", "h2"], [1, 2]]}]
+        )
+        assert base.error is None
+        patched = apply_patch(
+            parts_spans(base.parts),
+            [{"op": "apply_table_style", "sheet": "Sheet1", "range": "A1:B2",
+              "style": "TableStyleMedium2", "table_name": "T1"}],
+            return_inverse_ops=True,
+        )
+        assert patched.error is None
+        assert len(patched.inverse_ops) == 1
+        assert _extract(patched.parts).sheets["Sheet1"].table_candidates == ["A1:B2"]
+        # replaying the inverse fully undoes the patch: the table is gone
+        restored = apply_patch(parts_spans(patched.parts), patched.inverse_ops)
+        assert restored.error is None
+        wb = _extract(restored.parts)
+        assert wb.sheets["Sheet1"].table_candidates != ["A1:B2"]
+
     def test_create_chart_rejected_without_com(self):
         result = make_workbook(
             [{"op": "create_chart", "sheet": "Sheet1", "chart_type": "line"}]

@@ -223,3 +223,33 @@ class TestDedupGroups:
 
         out = dedup_groups(pd.DataFrame({"doc_a": [], "doc_b": []}))
         assert out.empty
+
+    def test_auto_routing_by_pair_count(self, ray_session, monkeypatch):
+        """dedup_groups_auto: small pair sets take the driver union-find,
+        big ones the distributed label propagation — same output."""
+        import pandas as pd
+        import ray.data
+
+        from exstruct_ray.ops import dedup as dedup_mod
+
+        pairs = pd.DataFrame({"doc_a": [1, 2, 5], "doc_b": [2, 3, 6]})
+        calls = []
+        orig_uf, orig_lp = dedup_mod.dedup_groups, dedup_mod.label_propagation_groups
+        monkeypatch.setattr(
+            dedup_mod, "dedup_groups",
+            lambda df: calls.append("driver") or orig_uf(df),
+        )
+        monkeypatch.setattr(
+            dedup_mod, "label_propagation_groups",
+            lambda ds, **kw: calls.append("distributed") or orig_lp(ds, **kw),
+        )
+
+        small = dedup_mod.dedup_groups_auto(ray.data.from_pandas(pairs))
+        assert calls == ["driver"]
+        big = dedup_mod.dedup_groups_auto(
+            ray.data.from_pandas(pairs), driver_pair_limit=2
+        )
+        assert calls == ["driver", "distributed"]
+        pd.testing.assert_frame_equal(
+            small.reset_index(drop=True), big.reset_index(drop=True)
+        )
