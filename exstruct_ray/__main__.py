@@ -83,14 +83,40 @@ def run_edit_cli(argv: list[str]) -> int:
             else open(args.payload, encoding="utf-8").read()
         )
         payload = json.loads(raw)
+        from .edit.lint import lint_formula_text
+
         issues = []
+        formula_issues = []
         for i, op in enumerate(payload.get("ops", [])):
             try:
-                _PatchOp.from_dict(op)
+                parsed = _PatchOp.from_dict(op)
             except Exception as exc:
                 issues.append({"op_index": i, "message": str(exc)})
-        print(json.dumps({"valid": not issues, "issues": issues}, indent=2))
-        return 1 if issues else 0
+                continue
+            texts = [parsed.formula] if parsed.formula else []
+            vals = [parsed.value] if parsed.value is not None else []
+            for row in parsed.values or []:
+                vals.extend(row)
+            texts.extend(
+                v for v in vals if isinstance(v, str) and v.startswith("=")
+            )
+            for text in texts:
+                for level, code, message in lint_formula_text(text):
+                    formula_issues.append(
+                        {"op_index": i, "level": level, "code": code,
+                         "message": message}
+                    )
+        hard = bool(issues) or any(
+            f["level"] == "error" for f in formula_issues
+        )
+        print(
+            json.dumps(
+                {"valid": not hard, "issues": issues,
+                 "formula_issues": formula_issues},
+                indent=2,
+            )
+        )
+        return 1 if hard else 0
 
     raw = (
         sys.stdin.read()
@@ -103,6 +129,7 @@ def run_edit_cli(argv: list[str]) -> int:
         "dry_run": payload.get("dry_run", False),
         "return_inverse_ops": payload.get("return_inverse_ops", False),
         "on_conflict": payload.get("on_conflict", "overwrite"),
+        "preflight_formula_check": payload.get("preflight_formula_check", False),
     }
     if args.command == "patch":
         result = apply_patch(
@@ -135,6 +162,8 @@ def run_edit_cli(argv: list[str]) -> int:
         "warnings": result.warnings,
         "error": result.error,
     }
+    if result.formula_issues:
+        summary["formula_issues"] = result.formula_issues
     print(json.dumps(summary, default=encode, ensure_ascii=False, indent=2))
     return 1 if result.error is not None else 0
 

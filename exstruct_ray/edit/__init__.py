@@ -8,6 +8,7 @@ workbook model, plus the corpus-scale Ray stage the reference lacks.
 from .api import apply_patch, make_workbook, patch_corpus
 from .apply import apply_ops
 from .emit import emit_parts, emit_spans, emit_xlsx_bytes, parts_to_spans
+from .lint import FormulaIssue, collect_formula_issues, lint_formula_text
 from .load import load_workbook
 from .model import (
     EditCell,
@@ -25,12 +26,15 @@ __all__ = [
     "EditSheet",
     "EditStyle",
     "EditWorkbook",
+    "FormulaIssue",
     "PatchDiffItem",
     "PatchOp",
     "PatchResult",
     "PatchValue",
     "apply_ops",
     "apply_patch",
+    "collect_formula_issues",
+    "lint_formula_text",
     "emit_parts",
     "emit_spans",
     "emit_xlsx_bytes",

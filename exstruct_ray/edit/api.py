@@ -38,6 +38,36 @@ def _package_from_source(source) -> VirtualPackage:
     raise TypeError(f"Unsupported patch source: {type(source)!r}")
 
 
+def _run_preflight_formula_check(
+    result: PatchResult, working, ops, dry_run: bool
+) -> bool:
+    """Populate result.formula_issues; True when an error-level issue gates
+    output (reference internal.py:1759-1783: preflight failure returns the
+    issues + a structured error and suppresses the save; dry_run reports
+    the issues without gating)."""
+    from .lint import collect_formula_issues, find_issue_origin
+    from .model import PatchErrorDetail
+
+    issues = collect_formula_issues(working)
+    result.formula_issues = issues
+    if dry_run:
+        return False
+    first_error = next((i for i in issues if i.level == "error"), None)
+    if first_error is None:
+        return False
+    op_index, op_name = find_issue_origin(first_error, ops)
+    result.error = PatchErrorDetail(
+        op_index=op_index,
+        op=op_name,
+        sheet=first_error.sheet,
+        cell=first_error.cell,
+        message=f"Formula health check failed: {first_error.message}",
+    )
+    result.patch_diff = []
+    result.inverse_ops = []
+    return True
+
+
 def apply_patch(
     source,
     ops: list[PatchOp | dict],
@@ -47,12 +77,17 @@ def apply_patch(
     dry_run: bool = False,
     return_inverse_ops: bool = False,
     on_conflict: str = "overwrite",
+    preflight_formula_check: bool = False,
 ) -> PatchResult:
     """Apply a patch-op list to a workbook (path / bytes / package / spans).
 
     Returns a PatchResult carrying the diff, optional inverse ops, warnings
     and — unless dry_run or error — the patched OOXML parts (and the output
-    file when out_path is given).
+    file when out_path is given). With preflight_formula_check, the patched
+    workbook's formulas are linted (ref/name/div0/value/na error tokens,
+    duplicated '=', suspected self-reference); an error-level issue aborts
+    with a structured error and no output, mirroring the reference's
+    preflight gate.
     """
     package = _package_from_source(source)
     workbook = load_workbook(package)
@@ -61,7 +96,13 @@ def apply_patch(
     result = apply_ops(working, ops, auto_formula=auto_formula)
     if not return_inverse_ops:
         result.inverse_ops = []
-    if result.error is not None or dry_run:
+    if result.error is not None:
+        return result
+    if preflight_formula_check and _run_preflight_formula_check(
+        result, working, result_ops_for_origin(ops), dry_run
+    ):
+        return result
+    if dry_run:
         return result
     result.parts = emit_parts(working)
     if out_path is not None:
@@ -69,6 +110,11 @@ def apply_patch(
             out_path, emit_xlsx_bytes(working), on_conflict
         )
     return result
+
+
+def result_ops_for_origin(ops: list[PatchOp | dict]) -> list[PatchOp]:
+    """Normalize raw dict ops for issue-origin matching."""
+    return [op if isinstance(op, PatchOp) else PatchOp.from_dict(op) for op in ops]
 
 
 def make_workbook(
@@ -80,6 +126,7 @@ def make_workbook(
     dry_run: bool = False,
     return_inverse_ops: bool = False,
     on_conflict: str = "overwrite",
+    preflight_formula_check: bool = False,
 ) -> PatchResult:
     """Create a new workbook from a patch-op list (reference `make`)."""
     workbook = EditWorkbook()
@@ -88,7 +135,13 @@ def make_workbook(
     result = apply_ops(workbook, ops, auto_formula=auto_formula)
     if not return_inverse_ops:
         result.inverse_ops = []
-    if result.error is not None or dry_run:
+    if result.error is not None:
+        return result
+    if preflight_formula_check and _run_preflight_formula_check(
+        result, workbook, result_ops_for_origin(ops), dry_run
+    ):
+        return result
+    if dry_run:
         return result
     result.parts = emit_parts(workbook)
     if out_path is not None:

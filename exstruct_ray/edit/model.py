@@ -311,3 +311,6 @@ class PatchResult:
     # The patched workbook's OOXML parts ({path: xml}); None on error/dry_run
     # when no output is produced.
     parts: dict[str, str] | None = None
+    # Formula health-check findings (populated when preflight_formula_check
+    # is requested; reference internal.py:1655 PatchResult.formula_issues).
+    formula_issues: list = field(default_factory=list)

@@ -61,7 +61,36 @@ def extract_document_spans(
     options: ExtractOptions | ResolvedOptions | None = None,
 ) -> list[Span]:
     """Extract one document (given as parallel span arrays) into output spans."""
+    out_kinds: list[str] = []
+    out_texts: list[str] = []
+    out_refs: list[str] = []
+    extract_document_spans_columnar(
+        kinds, texts, media_refs, options, out_kinds, out_texts, out_refs
+    )
+    return [
+        Span(kind=k, text=t, media_ref=m, offset=i)
+        for i, (k, t, m) in enumerate(zip(out_kinds, out_texts, out_refs))
+    ]
+
+
+def extract_document_spans_columnar(
+    kinds: list[str],
+    texts: list[str],
+    media_refs: list[str],
+    options: ExtractOptions | ResolvedOptions | None,
+    out_kinds: list[str],
+    out_texts: list[str],
+    out_refs: list[str],
+) -> tuple[int, int]:
+    """Hot-path variant: append this document's spans directly onto shared
+    columnar buffers and return (n_spans, n_errors).
+
+    The per-document offsets are implicit (0..n_spans-1 in append order) so
+    the Ray actor reconstructs them vectorized; no per-span Span objects or
+    per-document intermediate lists are allocated in the batch loop.
+    """
     opts = _resolve(options)
+    base = len(out_kinds)
     try:
         package = VirtualPackage.from_spans(kinds, texts, media_refs)
         if "xl/workbook.xml" not in package:
@@ -75,16 +104,22 @@ def extract_document_spans(
             # opaque media references) — extract/textdoc.py.
             from .textdoc import extract_interleaved_spans
 
-            return [
-                Span(kind=k, text=t, media_ref=m, offset=o)
-                for k, t, m, o in extract_interleaved_spans(
-                    kinds, texts, media_refs
-                )
-            ]
+            n_err = 0
+            for k, t, m, _ in extract_interleaved_spans(kinds, texts, media_refs):
+                out_kinds.append(k)
+                out_texts.append(t)
+                out_refs.append(m)
+                if k == "error":
+                    n_err += 1
+            return len(out_kinds) - base, n_err
         workbook = extract_workbook(package, opts, book_name="")
     except Exception as exc:  # one poison doc must not fail a block
-        return [Span(kind="error", text=f"extract failed: {exc!r}", media_ref="", offset=0)]
-    return workbook_to_spans(workbook, opts)
+        out_kinds.append("error")
+        out_texts.append(f"extract failed: {exc!r}")
+        out_refs.append("")
+        return 1, 1
+    _workbook_spans_into(workbook, opts, out_kinds, out_texts, out_refs)
+    return len(out_kinds) - base, 0
 
 
 def _resolve(options: ExtractOptions | ResolvedOptions | None) -> ResolvedOptions:
@@ -428,14 +463,31 @@ def _project_alpha(sheet: SheetData) -> SheetData:
 
 def workbook_to_spans(workbook: WorkbookData, opts: ResolvedOptions) -> list[Span]:
     """Flatten a WorkbookData tree into the ordered span sequence."""
-    spans: list[Span] = []
+    ks: list[str] = []
+    ts: list[str] = []
+    rs: list[str] = []
+    _workbook_spans_into(workbook, opts, ks, ts, rs)
+    return [
+        Span(kind=k, text=t, media_ref=m, offset=i)
+        for i, (k, t, m) in enumerate(zip(ks, ts, rs))
+    ]
+
+
+def _workbook_spans_into(
+    workbook: WorkbookData,
+    opts: ResolvedOptions,
+    out_kinds: list[str],
+    out_texts: list[str],
+    out_refs: list[str],
+) -> None:
+    """Flatten a WorkbookData tree, appending (kind, text, media_ref)
+    triples in span order; offsets are the append positions."""
     meta = opts.include_backend_metadata
-    offset = 0
 
     def emit(kind: str, text: str, media_ref: str) -> None:
-        nonlocal offset
-        spans.append(Span(kind=kind, text=text, media_ref=media_ref, offset=offset))
-        offset += 1
+        out_kinds.append(kind)
+        out_texts.append(text)
+        out_refs.append(media_ref)
 
     import json as _json
 
@@ -491,4 +543,3 @@ def workbook_to_spans(workbook: WorkbookData, opts: ResolvedOptions) -> list[Spa
                 ),
                 sheet_name,
             )
-    return spans

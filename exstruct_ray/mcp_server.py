@@ -236,16 +236,51 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
         return _read_formulas(_load_artifact(policy, out_path), range, sheet)
 
     def t_validate_input(ops: list[dict]) -> dict:
-        """Validate a patch-op list without applying it; reports per-op issues."""
+        """Validate a patch-op list without applying it; reports per-op spec issues AND formula lint findings (ref/name/div0/value/na tokens, duplicated '=', suspected self-reference)."""
         from .edit.model import PatchOp
 
         issues = []
+        parsed: list[tuple[int, PatchOp]] = []
         for i, op in enumerate(ops):
             try:
-                PatchOp.from_dict(op)
+                parsed.append((i, PatchOp.from_dict(op)))
             except Exception as exc:
                 issues.append({"op_index": i, "message": str(exc)})
-        return {"valid": not issues, "issues": issues}
+        # Formula content lint over the ops that would write formulas —
+        # the reference's FormulaIssueCode vocabulary (edit/types.py:37-45)
+        # surfaced at validate time so a typo'd formula fails before patch.
+        from .edit.lint import lint_formula_text
+
+        formula_issues = []
+        for i, op in parsed:
+            texts = []
+            if op.formula is not None:
+                texts.append(op.formula)
+            if op.op in ("set_value", "set_value_if", "set_range_values"):
+                vals = [op.value] if op.value is not None else []
+                for row in op.values or []:
+                    vals.extend(row)
+                texts.extend(
+                    v for v in vals if isinstance(v, str) and v.startswith("=")
+                )
+            for text in texts:
+                for level, code, message in lint_formula_text(text):
+                    formula_issues.append(
+                        {
+                            "op_index": i,
+                            "level": level,
+                            "code": code,
+                            "message": message,
+                        }
+                    )
+        hard_errors = issues or [
+            f for f in formula_issues if f["level"] == "error"
+        ]
+        return {
+            "valid": not hard_errors,
+            "issues": issues,
+            "formula_issues": formula_issues,
+        }
 
     def _result_payload(result) -> dict:
         import dataclasses
@@ -255,19 +290,24 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
                 k: v for k, v in dataclasses.asdict(obj).items() if v is not None
             }
 
-        return {
+        payload = {
             "out_path": result.out_path,
             "patch_diff": [strip(d) for d in result.patch_diff],
             "warnings": result.warnings,
             "error": strip(result.error) if result.error else None,
         }
+        if result.formula_issues:
+            payload["formula_issues"] = [
+                dataclasses.asdict(i) for i in result.formula_issues
+            ]
+        return payload
 
     def t_patch(
         xlsx_path: str, ops: list[dict], out_path: str | None = None,
         auto_formula: bool = False, dry_run: bool = False,
-        on_conflict: str = "overwrite",
+        on_conflict: str = "overwrite", preflight_formula_check: bool = False,
     ) -> dict:
-        """Apply patch operations to an existing workbook (set_value, styles, merges, ...); supports dry_run and conflict policies."""
+        """Apply patch operations to an existing workbook (set_value, styles, merges, ...); supports dry_run, conflict policies, and a preflight formula health check."""
         from .edit import apply_patch
 
         return _result_payload(
@@ -276,20 +316,23 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
                 out_path=policy.resolve(out_path) if out_path else None,
                 auto_formula=auto_formula, dry_run=dry_run,
                 on_conflict=on_conflict,
+                preflight_formula_check=preflight_formula_check,
             )
         )
 
     def t_make(
         out_path: str, ops: list[dict] | None = None, sheet: str = "Sheet1",
         auto_formula: bool = False, on_conflict: str = "overwrite",
+        preflight_formula_check: bool = False,
     ) -> dict:
-        """Create a new workbook from a patch-op list and write it to out_path."""
+        """Create a new workbook from a patch-op list and write it to out_path; optional preflight formula health check."""
         from .edit import make_workbook
 
         return _result_payload(
             make_workbook(
                 ops or [], sheet=sheet, out_path=policy.resolve(out_path),
                 auto_formula=auto_formula, on_conflict=on_conflict,
+                preflight_formula_check=preflight_formula_check,
             )
         )
 

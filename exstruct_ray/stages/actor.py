@@ -18,7 +18,6 @@ import pyarrow as pa
 
 from ..config import ExtractOptions
 from ..datagen.corpus import SPAN_TYPE
-from ..extract.document import extract_document_spans
 
 OUTPUT_SCHEMA = pa.schema(
     [
@@ -59,51 +58,59 @@ class ExtractActor:
         self._opts = (options or ExtractOptions()).resolved()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        import numpy as np
+
+        from ..extract.document import extract_document_spans_columnar
+
+        n_docs = batch.num_rows
 
         # Decode the list<struct> column via flat child arrays + offsets —
-        # no per-span Python dicts on either side of the actor.
+        # no per-span Python dicts on either side of the actor. Offsets
+        # stay a zero-copy numpy view; only the string children convert
+        # (one bulk C pass each — the XML parser needs Python str).
         spans_col = batch.column("spans")
         if spans_col.num_chunks == 0:
             list_arr = pa.array([], type=batch.schema.field("spans").type)
         else:
             list_arr = spans_col.combine_chunks()
-        offsets = list_arr.offsets.to_pylist()
+        offsets = list_arr.offsets.to_numpy()
         values = list_arr.values
         all_kinds = values.field("kind").to_pylist()
         all_texts = values.field("text").to_pylist()
         all_refs = values.field("media_ref").to_pylist()
 
+        # Columnar emission: every document appends straight onto three
+        # shared buffers (no per-span Span objects, no second pass).
         out_kinds: list[str] = []
         out_texts: list[str] = []
         out_refs: list[str] = []
-        out_offs: list[int] = []
-        out_list_offsets: list[int] = [0]
-        out_n_spans: list[int] = []
-        out_n_errors: list[int] = []
-        out_ms: list[float] = []
+        out_list_offsets = np.empty(n_docs + 1, dtype=np.int32)
+        out_list_offsets[0] = 0
+        out_n_spans = np.empty(n_docs, dtype=np.int32)
+        out_n_errors = np.empty(n_docs, dtype=np.int32)
+        out_ms = np.empty(n_docs, dtype=np.float32)
 
-        for i in range(len(doc_ids)):
+        for i in range(n_docs):
             lo, hi = offsets[i], offsets[i + 1]
             start = time.perf_counter()
-            result = extract_document_spans(
+            n_spans, n_err = extract_document_spans_columnar(
                 all_kinds[lo:hi],
                 all_texts[lo:hi],
                 all_refs[lo:hi],
                 self._opts,
+                out_kinds,
+                out_texts,
+                out_refs,
             )
-            n_err = 0
-            for s in result:
-                out_kinds.append(s.kind)
-                out_texts.append(s.text)
-                out_refs.append(s.media_ref)
-                out_offs.append(s.offset)
-                if s.kind == "error":
-                    n_err += 1
-            out_list_offsets.append(len(out_kinds))
-            out_n_spans.append(len(result))
-            out_n_errors.append(n_err)
-            out_ms.append((time.perf_counter() - start) * 1000.0)
+            out_list_offsets[i + 1] = len(out_kinds)
+            out_n_spans[i] = n_spans
+            out_n_errors[i] = n_err
+            out_ms[i] = (time.perf_counter() - start) * 1000.0
+
+        # Per-document span offsets restart at 0: one vectorized arange.
+        total = int(out_list_offsets[-1])
+        doc_starts = np.repeat(out_list_offsets[:-1], out_n_spans)
+        out_offs = np.arange(total, dtype=np.int32) - doc_starts
 
         span_struct = pa.StructArray.from_arrays(
             [
@@ -117,9 +124,13 @@ class ExtractActor:
         spans_out = pa.ListArray.from_arrays(
             pa.array(out_list_offsets, pa.int32()), span_struct
         )
+        # doc_id passes through zero-copy from the input block.
+        doc_id_col = batch.column("doc_id").combine_chunks()
+        if doc_id_col.type != pa.string():
+            doc_id_col = doc_id_col.cast(pa.string())
         return pa.Table.from_arrays(
             [
-                pa.array(doc_ids, pa.string()),
+                doc_id_col,
                 spans_out,
                 pa.array(out_n_spans, pa.int32()),
                 pa.array(out_n_errors, pa.int32()),
