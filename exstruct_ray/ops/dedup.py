@@ -81,24 +81,40 @@ def minhash_signature(
 
 
 class MinHashActor:
-    """Stateful stage: permutation params generated once per actor."""
+    """Stateful stage: permutation params generated once per actor.
+
+    Arrow in/out: the signature rides as a fixed ``num_perm × 4``-byte
+    binary column — compact through the object store and the downstream
+    shuffles (a Python list-of-ints column costs ~10× the bytes and a
+    pickle round-trip per block).
+    """
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 1):
         self._a, self._b = _hash_params(num_perm, seed)
         self._k = shingle_k
         self._num_perm = num_perm
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [
-            minhash_signature(char_shingles(t or "", self._k), self._a, self._b)
-            for t in batch["text"].tolist()
-        ]
-        out = batch[["doc_id"]].copy()
-        out["signature"] = [s.tolist() for s in sigs]
-        return out
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        texts = batch.column("text").to_pylist()
+        sig_buf = np.empty((len(texts), self._num_perm), dtype=np.uint32)
+        for i, t in enumerate(texts):
+            sig_buf[i] = minhash_signature(
+                char_shingles(t or "", self._k), self._a, self._b
+            )
+        flat = sig_buf.tobytes()
+        width = self._num_perm * 4
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(texts), [None, pa.py_buffer(flat)]
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "sig": sig_arr}
+        )
 
 
 def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 5, concurrency=None):
+    """Dataset of (doc_id, sig) with sig = num_perm uint32s as raw bytes."""
     if concurrency is None:
         from ..stages.pipeline import _default_concurrency
 
@@ -106,10 +122,48 @@ def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 5, concurrency=N
     return ds.map_batches(
         MinHashActor,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def _sig_matrix(sig_col, num_perm: int) -> np.ndarray:
+    """Zero-copy decode of the fixed-size binary sig column →
+    (n, num_perm) uint32 (a reshaped view over the Arrow data buffer)."""
+    arr = sig_col.combine_chunks() if hasattr(sig_col, "combine_chunks") else sig_col
+    if len(arr) == 0:
+        return np.empty((0, num_perm), dtype=np.uint32)
+    width = num_perm * 4
+    data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    start = arr.offset * width
+    flat = data[start : start + len(arr) * width]
+    return flat.view(np.uint32).reshape(len(arr), num_perm)
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _band_keys(sig_mat: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """Vectorized per-band keys: FNV-1a over each band's uint32 rows, the
+    band index mixed in — one numpy pass per band instead of a per-doc
+    crc32 loop. Any 64-bit mix works here: band keys are internal to
+    candidate generation (the oracle checks final pairs, not buckets).
+    Returns (bands, n_docs) int64."""
+    n = sig_mat.shape[0]
+    out = np.empty((bands, n), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for band in range(bands):
+            h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+            h ^= np.uint64(band)
+            h *= _FNV_PRIME
+            block = sig_mat[:, band * rows_per_band : (band + 1) * rows_per_band]
+            for col in range(rows_per_band):
+                h ^= block[:, col].astype(np.uint64)
+                h *= _FNV_PRIME
+            out[band] = h.view(np.int64)
+    return out
 
 
 def minhash_dedup_pairs(
@@ -144,26 +198,26 @@ def minhash_dedup_pairs(
     # groupby, so exact-band grouping happens inside each shuffled group.
     n_shuffle_buckets = 1024
 
-    def band_ids(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids: list = []
-        band_keys: list[int] = []
-        shuffle_keys: list[int] = []
-        for doc_id, sig in zip(batch["doc_id"], batch["signature"]):
-            banded = np.asarray(sig, dtype=np.uint32).reshape(bands, rows_per_band)
-            for band_idx in range(bands):
-                key = zlib.crc32(banded[band_idx].tobytes()) ^ (band_idx << 32)
-                doc_ids.append(doc_id)
-                band_keys.append(key)
-                shuffle_keys.append(key % n_shuffle_buckets)
-        return pd.DataFrame(
+    def band_ids(batch):
+        # Arrow in/out, fully vectorized: decode the sig matrix as a numpy
+        # view and FNV-mix each band's columns in one pass per band.
+        import pyarrow as pa
+
+        sig_mat = _sig_matrix(batch.column("sig"), num_perm)
+        keys = _band_keys(sig_mat, bands, rows_per_band)  # (bands, n)
+        doc_col = batch.column("doc_id").combine_chunks()
+        n = len(doc_col)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
+        flat_keys = keys.reshape(-1)
+        return pa.table(
             {
-                "doc_id": doc_ids,
-                "band_key": band_keys,
-                "shuffle_key": shuffle_keys,
+                "doc_id": doc_col.take(idx),
+                "band_key": pa.array(flat_keys),
+                "shuffle_key": pa.array(flat_keys % n_shuffle_buckets),
             }
         )
 
-    banded = sigs.map_batches(band_ids, batch_format="pandas")
+    banded = sigs.map_batches(band_ids, batch_format="pyarrow")
 
     def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
         rows_a: list = []
@@ -231,16 +285,15 @@ def minhash_dedup_pairs(
         )
 
     def tag_sigs_a(batch: pd.DataFrame) -> pd.DataFrame:
-        sig_raw = [
-            np.asarray(v, dtype=np.uint32).tobytes() for v in batch["signature"]
-        ]
+        # "sig" arrives as raw bytes (fixed-size binary column) — no
+        # per-row list→bytes conversion needed anymore.
         return pd.DataFrame(
             {
                 "bucket": _bucket_of(batch["doc_id"]),
                 "key": batch["doc_id"],
                 "doc_a": batch["doc_id"],
                 "doc_b": batch["doc_id"],
-                "sig": pd.Series(sig_raw, index=batch.index, dtype=object),
+                "sig": batch["sig"].astype(object),
                 "is_sig": True,
             }
         )

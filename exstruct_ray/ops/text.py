@@ -47,16 +47,36 @@ def add_text_stats(ds):
     return ds.map_batches(_stats_batch, batch_format="pandas")
 
 
-# Tiny deterministic stopword lists per language — a public-knowledge n-gram/
-# stopword heuristic, NOT a trained model.
+# Deterministic stopword lists per language — public-knowledge stopword
+# heuristic (the classic most-frequent-function-words lists), NOT a trained
+# model. Marker constraint: every marker must tokenize to itself under
+# _WORD_PATTERN in BOTH Python re and DuckDB RE2 (the SQL oracle is
+# generated from this table), so markers stay within [a-z À-ÿ Cyrillic];
+# languages whose common stopwords need further code points (pl ę/ł, cs ž,
+# ro ș) use their ASCII/Latin-1-safe subset.
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
     "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
     "fr": ("le", "la", "les", "et", "est", "des", "une", "dans", "pour", "que"),
     "es": ("el", "la", "los", "las", "es", "una", "para", "con", "por", "del"),
     "it": ("il", "la", "che", "di", "non", "per", "una", "sono", "con", "del"),
+    "pt": ("que", "não", "uma", "para", "com", "os", "dos", "mais", "como", "foi"),
+    "nl": ("het", "een", "van", "dat", "niet", "met", "voor", "zijn", "ook", "maar"),
+    "sv": ("och", "att", "det", "som", "på", "är", "av", "för", "med", "den"),
+    "da": ("og", "det", "at", "til", "er", "som", "på", "ikke", "med", "han"),
+    "no": ("og", "det", "at", "til", "er", "som", "på", "av", "ikke", "jeg"),
+    "fi": ("ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "joka", "kun"),
+    "pl": ("nie", "to", "jest", "na", "do", "tak", "jak", "ale", "po", "ma"),
+    "cs": ("je", "se", "na", "to", "ale", "jako", "ve", "za", "pro", "by"),
+    "ro": ("la", "cu", "în", "pentru", "care", "este", "mai", "din", "sau", "dar"),
+    "tr": ("ve", "bir", "bu", "da", "için", "ile", "ama", "gibi", "daha", "ben"),
+    "id": ("yang", "dan", "di", "ini", "itu", "dengan", "untuk", "tidak", "dari", "pada"),
+    "ru": ("и", "в", "не", "на", "что", "он", "с", "как", "это", "по"),
 }
-_WORD_RE = re.compile(r"[a-zà-ÿ]+")
+# Shared with the generated SQL oracle — Latin-1 letters + Cyrillic; must
+# parse identically under Python re and DuckDB RE2.
+_WORD_PATTERN = r"[a-zà-ÿа-яё]+"
+_WORD_RE = re.compile(_WORD_PATTERN)
 
 
 def _detect_lang_one(text: str) -> str:

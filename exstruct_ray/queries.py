@@ -34,6 +34,9 @@ def q1_pricing_summary(sf_dir: str):
     The per-batch combiner collapses each Arrow batch to ≤ a handful of
     partial rows before the shuffle — the groupby then moves tiny data.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = _read(
         sf_dir,
         "lineitem",
@@ -48,44 +51,67 @@ def q1_pricing_summary(sf_dir: str):
     )
 
     cutoff = pd.Timestamp("1998-09-02")
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("qty100", pa.int64()),
+            ("bp100", pa.int64()),
+            ("dp10000", pa.int64()),
+            ("count_order", pa.int64()),
+        ]
+    )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[batch["l_shipdate"] <= cutoff]
-        if batch.empty:
-            # Explicit dtypes: an untyped empty frame yields null-typed
-            # Arrow columns that conflict with non-empty blocks' schema.
-            return pd.DataFrame(
-                {
-                    "l_returnflag": pd.Series(dtype="object"),
-                    "l_linestatus": pd.Series(dtype="object"),
-                    "qty100": pd.Series(dtype="int64"),
-                    "bp100": pd.Series(dtype="int64"),
-                    "dp10000": pd.Series(dtype="int64"),
-                    "count_order": pd.Series(dtype="int64"),
-                }
-            )
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native partial: zero-copy from the object store, kernels
+        # from pyarrow.compute — no pandas round-trip in the hot stage.
+        t = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
         # Money sums accumulate as exact integer cents (int64) — integer
         # addition is order-independent, so distributed partial order can
         # never diverge from the oracle's single-stream accumulation. The
         # inputs are exact 2-decimal values, so *100 (or *10000 for the
         # 4-decimal product) sits within 1e-7 of an integer on both sides.
-        disc_price = batch["l_extendedprice"] * (1 - batch["l_discount"])
-        tmp = pd.DataFrame(
+        # pc.round defaults to half-to-even, the np.rint behavior.
+        price = t.column("l_extendedprice")
+        disc_price = pc.multiply(price, pc.subtract(1.0, t.column("l_discount")))
+        tmp = pa.table(
             {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "qty100": np.rint(batch["l_quantity"] * 100).astype("int64"),
-                "bp100": np.rint(batch["l_extendedprice"] * 100).astype("int64"),
-                "dp10000": np.rint(disc_price * 10000).astype("int64"),
-                "count_order": 1,
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty100": pc.cast(
+                    pc.round(pc.multiply(t.column("l_quantity"), 100.0)),
+                    pa.int64(),
+                ),
+                "bp100": pc.cast(pc.round(pc.multiply(price, 100.0)), pa.int64()),
+                "dp10000": pc.cast(
+                    pc.round(pc.multiply(disc_price, 10000.0)), pa.int64()
+                ),
+                "count_order": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
-        return (
-            tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .sum()
+        agg = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty100", "sum"),
+                ("bp100", "sum"),
+                ("dp10000", "sum"),
+                ("count_order", "sum"),
+            ]
         )
+        # aggregate emits keys first, then "<col>_sum" columns
+        return agg.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "qty100",
+                "bp100",
+                "dp10000",
+                "count_order",
+            ]
+        ).cast(partial_schema)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         out = group.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
@@ -232,21 +258,30 @@ def top_orders(sf_dir: str):
 
 
 def events_hourly(sf_dir: str):
-    """Time-bucketed aggregation with in-batch partials."""
+    """Time-bucketed aggregation with in-batch partials (Arrow-native)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        tmp = pd.DataFrame(
+    def partial(batch: pa.Table) -> pa.Table:
+        tmp = pa.table(
             {
-                "bucket": batch["ts"].dt.floor("h"),
-                "event_type": batch["event_type"],
-                "n_events": 1,
-                "val100": np.rint(batch["value"] * 100).astype("int64"),
+                "bucket": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "val100": pc.cast(
+                    pc.round(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64(),
+                ),
             }
         )
-        return tmp.groupby(["bucket", "event_type"], as_index=False).sum()
+        agg = tmp.group_by(["bucket", "event_type"]).aggregate(
+            [("n_events", "sum"), ("val100", "sum")]
+        )
+        return agg.rename_columns(["bucket", "event_type", "n_events", "val100"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         return group.groupby(["bucket", "event_type"], as_index=False).sum()
@@ -1814,7 +1849,7 @@ def _lang_oracle_sql() -> str:
     with alphabetical tie-break (the CASE cascade checks languages in
     alphabetical order, so a tie resolves to the earlier one — exactly
     max(sorted(counts), key=counts.get))."""
-    from .ops.text import _LANG_MARKERS
+    from .ops.text import _LANG_MARKERS, _WORD_PATTERN
 
     langs = sorted(_LANG_MARKERS)
     count_exprs = []
@@ -1835,7 +1870,7 @@ def _lang_oracle_sql() -> str:
     return f"""
     WITH t AS (
       SELECT doc_id, lang,
-             regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS w
+             regexp_extract_all(lower(text), '{_WORD_PATTERN}') AS w
       FROM documents
     ),
     c AS (

@@ -64,6 +64,28 @@ class TestSketchPrimitives:
         assert _detect_lang_one("12345 67890") == "unknown"
         assert _detect_lang_one("") == "unknown"
 
+    def test_lang_detect_widened_cascade(self):
+        # round-3 widened languages (stopword lists, same marker design)
+        assert _detect_lang_one("ik heb het niet met een boek van hem") == "nl"
+        assert _detect_lang_one("não foi uma boa ideia para os dois") == "pt"
+        assert _detect_lang_one("och det är som att se på den") == "sv"
+        assert _detect_lang_one("bu bir kitap ve ben için daha gibi") == "tr"
+        assert _detect_lang_one("yang ini dengan untuk tidak dari pada") == "id"
+        assert _detect_lang_one("и он сказал что это не на по как") == "ru"
+        assert _detect_lang_one("se on mutta kun hän oli joka") == "fi"
+        # marker table and vectorized batch path agree on the new languages
+        import pandas as pd
+
+        from exstruct_ray.ops.text import _lang_batch
+
+        texts = [
+            "ik heb het niet met een boek van hem",
+            "и он сказал что это не на по как",
+            "the cat and the dog sat in the house",
+        ]
+        out = _lang_batch(pd.DataFrame({"doc_id": [1, 2, 3], "text": texts}))
+        assert out["detected_lang"].tolist() == ["nl", "ru", "en"]
+
 
 class TestRayOps:
     @pytest.fixture(scope="class")
