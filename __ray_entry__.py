@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": q.orders_running_total,
         "events_sessionize": q.events_sessionize,
         "doc_quality_filter": q.doc_quality_filter,
+        "pii_redact": q.pii_redact,
+        "doc_decontaminate": q.doc_decontaminate,
     }
 
 

@@ -407,6 +407,98 @@ def minhash_dedup_pairs(
     return with_b.map_batches(verify_est, batch_format="pandas")
 
 
+def minhash_dedup_pairs_sigcarry(
+    ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    concurrency=None,
+):
+    """Round-1-design MinHash pairs, kept ONLY as the scaling comparison
+    baseline for minhash_dedup_pairs.
+
+    Design difference: each band row CARRIES the full signature through the
+    band shuffle (×bands replication of num_perm×4 bytes per doc) and
+    verification happens in-bucket — two AllToAll stages instead of three,
+    but ~bands× more exchange bytes. Cheaper at toy scale (fewer fixed
+    shuffle costs), strictly worse at corpus scale (exchange traffic scales
+    with corpus bytes × bands). BASELINE.md records the measured crossover.
+    """
+    import pyarrow as pa
+
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        ds, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
+    ).materialize()
+    n_shuffle_buckets = 1024
+
+    def band_rows(batch):
+        sig_mat = _sig_matrix(batch.column("sig"), num_perm)
+        keys = _band_keys(sig_mat, bands, rows_per_band)
+        doc_col = batch.column("doc_id").combine_chunks()
+        sig_col = batch.column("sig").combine_chunks()
+        n = len(doc_col)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
+        flat_keys = keys.reshape(-1)
+        return pa.table(
+            {
+                "doc_id": doc_col.take(idx),
+                "sig": sig_col.take(idx),
+                "band_key": pa.array(flat_keys),
+                "shuffle_key": pa.array(flat_keys % n_shuffle_buckets),
+            }
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows_a: list = []
+        rows_b: list = []
+        rows_j: list[float] = []
+        counts = group["band_key"].value_counts()
+        hot = counts[counts >= 2].index
+        sub = group[group["band_key"].isin(hot)]
+        for _, bucket in sub.groupby("band_key"):
+            ids = bucket["doc_id"].to_numpy()
+            mats = np.stack(
+                [np.frombuffer(s, dtype=np.uint32) for s in bucket["sig"]]
+            )
+            for i, j in itertools.combinations(range(len(ids)), 2):
+                if ids[i] == ids[j]:
+                    continue
+                est = float((mats[i] == mats[j]).mean())
+                if est >= jaccard_threshold:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    rows_a.append(lo)
+                    rows_b.append(hi)
+                    rows_j.append(est)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+                "est_jaccard": pd.Series(rows_j, dtype="float64"),
+            }
+        )
+
+    pairs = banded.groupby("shuffle_key").map_groups(
+        verify_in_bucket, batch_format="pandas"
+    )
+
+    def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_a" not in group.columns or group.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "est_jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        return group.drop_duplicates(subset=["doc_a", "doc_b"])
+
+    return pairs.groupby("doc_a").map_groups(dedup_group, batch_format="pandas")
+
+
 def exact_dedup(ds, key_column: str = "text", id_column: str = "doc_id"):
     """Exact dedup: group by content, keep the minimum id; emits dup_count.
 

@@ -137,6 +137,87 @@ def detect_language(ds):
     return ds.map_batches(_lang_batch, batch_format="pandas")
 
 
+# PII patterns — ASCII-only classes so Python re and DuckDB RE2 (the SQL
+# oracle's regexp_replace) match byte-for-byte on the same input.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_NUMBER_PATTERN = r"[0-9]{6,}"
+
+
+def redact_pii_batch(text: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Vectorized PII scrub: emails → <EMAIL>, then 6+-digit runs → <NUM>.
+
+    Returns (redacted, n_pii). Order matters and is part of the contract:
+    the email pass runs first so an email's numeric local part counts once
+    as an email, not again as a number — the SQL oracle applies the same
+    two regexp_replace calls in the same order.
+    """
+    n_emails = text.str.count(PII_EMAIL_PATTERN).astype("int64")
+    after_email = text.str.replace(PII_EMAIL_PATTERN, "<EMAIL>", regex=True)
+    n_numbers = after_email.str.count(PII_LONG_NUMBER_PATTERN).astype("int64")
+    redacted = after_email.str.replace(
+        PII_LONG_NUMBER_PATTERN, "<NUM>", regex=True
+    )
+    return redacted, n_emails + n_numbers
+
+
+_ASCII_WS_RE = re.compile(r"(?a:\s)+")
+
+
+def word_ngram_set(text: str, n: int) -> set[str]:
+    """Lowercased word n-grams as joined strings (decontamination building
+    block). ASCII-whitespace tokenization with empties dropped — the exact
+    semantics of the SQL oracle's regexp_split_to_array + list_filter
+    (RE2 \\s is ASCII-only; NBSP splits on neither side)."""
+    words = [w for w in _ASCII_WS_RE.split((text or "").lower()) if w]
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def decontaminate(ds, benchmark_grams_ref, n: int = 3):
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with a benchmark set (the standard eval-leak scrub before training).
+
+    The benchmark gram set is SMALL by definition (eval suites are
+    thousands of docs, not billions) — broadcast once via ray.put and read
+    per task, never re-shipped per batch; the corpus streams through one
+    map_batches with no shuffle. Emits (doc_id, n_overlap) for
+    contaminated docs only.
+    """
+
+    class Decontaminator:
+        def __init__(self, grams_ref, ngram_n: int):
+            import ray
+
+            self._grams: set[str] = ray.get(grams_ref)
+            self._n = ngram_n
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows_id: list[int] = []
+            rows_n: list[int] = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                overlap = len(word_ngram_set(text, self._n) & self._grams)
+                if overlap:
+                    rows_id.append(int(doc_id))
+                    rows_n.append(overlap)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows_id, dtype="int64"),
+                    "n_overlap": pd.Series(rows_n, dtype="int64"),
+                }
+            )
+
+    from ..stages.pipeline import _default_concurrency
+
+    return ds.map_batches(
+        Decontaminator,
+        fn_constructor_kwargs={"grams_ref": benchmark_grams_ref, "ngram_n": n},
+        batch_format="pandas",
+        concurrency=_default_concurrency(),
+        num_cpus=1,
+    )
+
+
 def _fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
     out = batch[["doc_id"]].copy()
     out["fingerprint"] = [

@@ -1125,6 +1125,76 @@ def embedding_neardup_lsh(sf_dir: str):
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def pii_redact(sf_dir: str):
+    """PII scrub over a constructed customer-profile string — emails →
+    <EMAIL>, long digit runs → <NUM> — with an exact regexp_replace oracle.
+
+    The profile concatenation (name + synthetic contact address) happens
+    identically on both sides so the vectorized two-pass redaction kernel
+    is hash-verified byte-for-byte. Streams through one map_batches, no
+    shuffle."""
+    from .ops.text import redact_pii_batch
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def redact(batch: pd.DataFrame) -> pd.DataFrame:
+        profile = (
+            batch["c_name"].astype(str)
+            + " contact: user"
+            + batch["c_custkey"].astype("int64").astype(str)
+            + "@example.com"
+        )
+        redacted, n_pii = redact_pii_batch(profile)
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].astype("int64"),
+                "redacted": redacted,
+                "n_pii": n_pii,
+            }
+        )
+
+    out = ds.map_batches(redact, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing any word 3-gram with
+    the held-out benchmark slice (doc_id % 97 == 0).
+
+    The benchmark gram set is tiny (eval suites, not corpora) — built
+    driver-side from the benchmark slice only, broadcast once via ray.put,
+    and the corpus streams through one shuffle-free map_batches. n=3 keeps
+    the overlap non-trivial on the synthetic word-salad corpus; production
+    decontamination raises n (8-13) with the same plumbing."""
+    import ray
+
+    from .ops.text import decontaminate, word_ngram_set
+
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench_grams: set[str] = set()
+    for doc_id, text in zip(
+        bench_tbl.column("doc_id").to_pylist(), bench_tbl.column("text").to_pylist()
+    ):
+        if int(doc_id) % 97 == 0:
+            bench_grams |= word_ngram_set(text, 3)
+    grams_ref = ray.put(bench_grams)
+
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: b[b["doc_id"] % 97 != 0], batch_format="pandas"
+    )
+    out = decontaminate(corpus, grams_ref, n=3).to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_overlap": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_vocabulary(sf_dir: str):
     """Corpus vocabulary: whitespace token → document-wide count.
 
@@ -1891,6 +1961,66 @@ def _lang_oracle_sql() -> str:
 
 
 ORACLE_SQL["doc_lang_detect"] = _lang_oracle_sql()
+
+
+def _pii_oracle_sql() -> str:
+    """Exact regexp_replace mirror of ops.text.redact_pii_batch over the
+    same constructed profile string (patterns shared with the Python side)."""
+    from .ops.text import PII_EMAIL_PATTERN, PII_LONG_NUMBER_PATTERN
+
+    # DuckDB single-quoted strings are raw (no backslash processing), so
+    # the Python pattern strings drop in verbatim.
+    email = PII_EMAIL_PATTERN
+    num = PII_LONG_NUMBER_PATTERN
+    return f"""
+    WITH p AS (
+      SELECT c_custkey,
+             c_name || ' contact: user' || CAST(c_custkey AS VARCHAR)
+                    || '@example.com' AS profile
+      FROM customer
+    ),
+    e AS (
+      SELECT c_custkey,
+             len(regexp_extract_all(profile, '{email}')) AS n_em,
+             regexp_replace(profile, '{email}', '<EMAIL>', 'g') AS s1
+      FROM p
+    )
+    SELECT c_custkey,
+           regexp_replace(s1, '{num}', '<NUM>', 'g') AS redacted,
+           n_em + len(regexp_extract_all(s1, '{num}')) AS n_pii
+    FROM e
+    ORDER BY c_custkey
+    """
+
+
+ORACLE_SQL["pii_redact"] = _pii_oracle_sql()
+
+# Benchmark decontamination: corpus docs (doc_id % 97 != 0) sharing any
+# word 3-gram with the benchmark slice (doc_id % 97 = 0); identical
+# ASCII-whitespace tokenization as doc_vocabulary.
+ORACLE_SQL["doc_decontaminate"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS g
+      FROM toks WHERE len(w) >= 3
+    ),
+    eg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    bench AS (SELECT DISTINCT gram FROM eg WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT e.doc_id, count(DISTINCT e.gram) AS n_overlap
+      FROM eg e JOIN bench b ON e.gram = b.gram
+      WHERE e.doc_id % 97 <> 0
+      GROUP BY 1
+    )
+    SELECT doc_id, n_overlap FROM hits ORDER BY doc_id
+    """
 
 
 
