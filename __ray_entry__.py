@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": q.doc_quality_filter,
         "pii_redact": q.pii_redact,
         "doc_decontaminate": q.doc_decontaminate,
+        "doc_streaming_dedup": q.doc_streaming_dedup,
     }
 
 

@@ -1195,6 +1195,40 @@ def doc_decontaminate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_streaming_dedup(sf_dir: str):
+    """Streaming admission dedup through the sharded DedupIndex actors —
+    the shared-mutable-state tier exercised end-to-end with a hash oracle.
+
+    WHICH doc survives a content race is nondeterministic under parallel
+    ingest (first-writer-wins), but the SET of admitted contents is exactly
+    one per distinct text — so the query projects kept rows to their
+    content hash, which is deterministic and equals SELECT DISTINCT
+    md5(text). Fresh actors per call (uuid name prefix) keep repeated runs
+    in one Ray session independent."""
+    import uuid
+
+    from .state import DedupIndex, dedup_against_index
+
+    index = DedupIndex(n_shards=8, name_prefix=f"q_{uuid.uuid4().hex[:8]}")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    kept = dedup_against_index(ds, index, batch_size=512)
+
+    def content_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        return pd.DataFrame(
+            {
+                "content_hash": [
+                    hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                    for t in batch["text"]
+                ]
+            }
+        )
+
+    out = kept.map_batches(content_hash, batch_format="pandas").to_pandas()
+    return out.sort_values("content_hash").reset_index(drop=True)
+
+
 def doc_vocabulary(sf_dir: str):
     """Corpus vocabulary: whitespace token → document-wide count.
 
@@ -1994,6 +2028,15 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLE_SQL["pii_redact"] = _pii_oracle_sql()
+
+# Streaming admission keeps exactly one row per distinct content; the
+# survivor's identity races (first-writer-wins) but the content set is
+# deterministic — compare at the content-hash level.
+ORACLE_SQL["doc_streaming_dedup"] = """
+    SELECT DISTINCT md5(text) AS content_hash
+    FROM documents
+    ORDER BY content_hash
+    """
 
 # Benchmark decontamination: corpus docs (doc_id % 97 != 0) sharing any
 # word 3-gram with the benchmark slice (doc_id % 97 = 0); identical
