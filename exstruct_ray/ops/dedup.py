@@ -173,11 +173,43 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
     concurrency=None,
+    strategy: str = "auto",
 ):
     """Near-duplicate pairs via MinHash banding + in-bucket verification.
 
     Returns a Dataset of (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    ``strategy`` picks the exchange design (both produce identical pairs;
+    BASELINE.md round-3 records the measurements behind this rule):
+      - "ids_only": band shuffle ships id triples only; signatures attach
+        to the candidate set via two bucket merges. 8× fewer exchange
+        BYTES (2×S vs bands×S sig-bytes) — the multi-node default, where
+        the network is the binding resource.
+      - "sig_carry": band rows carry the signature; verification happens
+        in-bucket. Fewer AllToAll stages — faster on a single node, where
+        exchange bytes stay in shared memory and fixed shuffle costs
+        dominate; also robust to candidate explosion (verifies before
+        materializing pairs).
+      - "auto": sig_carry when the Ray cluster is one node, ids_only
+        otherwise.
     """
+    if strategy == "auto":
+        import ray
+
+        try:
+            n_nodes = len([n for n in ray.nodes() if n.get("Alive", True)])
+        except Exception:
+            n_nodes = 1
+        strategy = "sig_carry" if n_nodes <= 1 else "ids_only"
+    if strategy == "sig_carry":
+        return minhash_dedup_pairs_sigcarry(
+            ds,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+            concurrency=concurrency,
+        )
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k,
                               concurrency=concurrency)
@@ -415,15 +447,17 @@ def minhash_dedup_pairs_sigcarry(
     jaccard_threshold: float = 0.8,
     concurrency=None,
 ):
-    """Round-1-design MinHash pairs, kept ONLY as the scaling comparison
-    baseline for minhash_dedup_pairs.
+    """Sig-carrying MinHash pairs — the single-node arm of
+    minhash_dedup_pairs(strategy="auto").
 
-    Design difference: each band row CARRIES the full signature through the
-    band shuffle (×bands replication of num_perm×4 bytes per doc) and
-    verification happens in-bucket — two AllToAll stages instead of three,
-    but ~bands× more exchange bytes. Cheaper at toy scale (fewer fixed
-    shuffle costs), strictly worse at corpus scale (exchange traffic scales
-    with corpus bytes × bands). BASELINE.md records the measured crossover.
+    Design: each band row CARRIES the full signature through the band
+    shuffle (×bands replication of num_perm×4 bytes per doc) and
+    verification happens in-bucket — two AllToAll stages instead of
+    three, at ~bands× more exchange bytes. Measured faster wherever
+    exchange bytes stay in shared memory (single node; 1.5-1.9× at
+    5k-50k docs), and robust to candidate explosion since est-Jaccard
+    filters BEFORE pairs materialize. The ids-only design wins when a
+    network prices bytes. BASELINE.md round-3 records the measurements.
     """
     import pyarrow as pa
 

@@ -246,6 +246,35 @@ class TestDedupGroups:
         out = dedup_groups(pd.DataFrame({"doc_a": [], "doc_b": []}))
         assert out.empty
 
+    def test_minhash_strategies_agree(self, ray_session):
+        """ids_only and sig_carry produce the identical pair set; auto on a
+        single-node cluster routes to sig_carry (BASELINE.md round-3 rule)."""
+        import pandas as pd
+        import ray.data
+
+        from exstruct_ray.ops.dedup import minhash_dedup_pairs
+
+        docs = [
+            {"doc_id": i, "text": f"completely unrelated text number {i} "
+                                   f"with filler words {i * 17}"}
+            for i in range(30)
+        ]
+        docs.append({"doc_id": 100, "text": docs[0]["text"] + " tail"})
+        ds = ray.data.from_items(docs)
+
+        def pairs(strategy):
+            out = minhash_dedup_pairs(
+                ray.data.from_items(docs), jaccard_threshold=0.7,
+                strategy=strategy,
+            ).to_pandas()
+            return sorted(zip(out["doc_a"], out["doc_b"]))
+
+        ids_only = pairs("ids_only")
+        sig_carry = pairs("sig_carry")
+        auto = pairs("auto")
+        assert ids_only == sig_carry == auto
+        assert (0, 100) in ids_only
+
     def test_auto_routing_by_pair_count(self, ray_session, monkeypatch):
         """dedup_groups_auto: small pair sets take the driver union-find,
         big ones the distributed label propagation — same output."""
