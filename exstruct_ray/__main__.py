@@ -168,10 +168,39 @@ def run_edit_cli(argv: list[str]) -> int:
     return 1 if result.error is not None else 0
 
 
+def run_render_cli(argv: list[str]) -> int:
+    """Render subcommand: light PDF / sheet PNGs (reference render/ parity
+    minus COM print fidelity — an approximate layout sketch)."""
+    parser = argparse.ArgumentParser(prog="exstruct_ray render")
+    parser.add_argument("input", help="workbook path (.xlsx/.xlsm/.xls)")
+    parser.add_argument("--pdf", default=None, help="write a whole-book PDF here")
+    parser.add_argument(
+        "--images-dir", default=None, help="write one PNG per sheet here"
+    )
+    parser.add_argument("--sheet", default=None, help="single sheet for --images-dir")
+    args = parser.parse_args(argv)
+    if not args.pdf and not args.images_dir:
+        parser.error("need --pdf and/or --images-dir")
+    from .render import export_pdf, export_sheet_images
+
+    out: dict = {}
+    if args.pdf:
+        out["pdf"] = args.pdf
+        out["sheets"] = export_pdf(args.input, args.pdf)
+    if args.images_dir:
+        out["images"] = export_sheet_images(
+            args.input, args.images_dir, sheet=args.sheet
+        )
+    print(json.dumps(out, ensure_ascii=False, indent=2))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "edit":
         return run_edit_cli(argv[1:])
+    if argv and argv[0] == "render":
+        return run_render_cli(argv[1:])
     args = build_parser().parse_args(argv)
 
     from .api import ExtractEngine

@@ -3,8 +3,10 @@
 Re-derives the reference's MCP surface (/root/reference/src/exstruct/mcp/
 server.py tool registry: exstruct_extract, read_json_chunk, read_range,
 read_cells, read_formulas, validate_input, patch, make, list_ops,
-describe_op, get_runtime_info; capture_sheet_images is COM-only and
-reports so) without the ``mcp`` SDK: newline-delimited JSON-RPC over
+describe_op, get_runtime_info; capture_sheet_images serves this engine's
+light PNG renderer — approximate layout, the reference's COM print
+fidelity stays out of scope) without the ``mcp`` SDK: newline-delimited
+JSON-RPC over
 stdio, the 2024-11-05 MCP handshake (initialize / notifications/initialized
 / tools/list / tools/call / ping), and a path-policy sandbox limiting file
 access to explicitly allowed roots (reference mcp/io.py PathPolicy).
@@ -361,12 +363,23 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
             "com_available": False,
         }
 
-    def t_capture_sheet_images(**_kwargs) -> dict:
-        """Capture sheet images (COM backend only — reports unavailability in this engine)."""
-        raise ValueError(
-            "capture_sheet_images requires the COM backend, which is not "
-            "available in this engine."
+    def t_capture_sheet_images(
+        xlsx_path: str, output_dir: str, sheet: str | None = None
+    ) -> dict:
+        """Capture one PNG per sheet via the LIGHT renderer (grid + cell text + merged/table outlines) — an approximate layout sketch, not COM print fidelity."""
+        from .render import export_sheet_images
+
+        paths = export_sheet_images(
+            policy.resolve(xlsx_path), policy.resolve(output_dir), sheet=sheet
         )
+        return {
+            "paths": paths,
+            "renderer": "light",
+            "note": (
+                "approximate light rendering (the reference's COM/Excel "
+                "print-fidelity backend is not available in this engine)"
+            ),
+        }
 
     path_prop = {"type": "string"}
     return {
@@ -459,7 +472,14 @@ def build_tools(policy: PathPolicy) -> dict[str, tuple[dict, Callable[..., Any]]
         ),
         "exstruct_get_runtime_info": (_schema({}, []), t_runtime_info),
         "exstruct_capture_sheet_images": (
-            _schema({"input_path": path_prop}, ["input_path"]),
+            _schema(
+                {
+                    "xlsx_path": path_prop,
+                    "output_dir": path_prop,
+                    "sheet": path_prop,
+                },
+                ["xlsx_path", "output_dir"],
+            ),
             t_capture_sheet_images,
         ),
     }

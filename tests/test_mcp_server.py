@@ -157,11 +157,26 @@ class TestHandlersInProcess:
         assert out2["error"] is None
         assert out2["patch_diff"][0]["status"] == "applied"
 
-    def test_capture_images_reports_com_only(self, tmp_path):
+    def test_capture_images_light_renderer(self, tmp_path):
+        """Round 3: capture_sheet_images serves the light PNG renderer
+        (grid + text sketch) instead of reporting COM-only."""
+        from exstruct_ray.edit import make_workbook
+
+        book = str(tmp_path / "cap.xlsx")
+        assert (
+            make_workbook(
+                [{"op": "set_value", "sheet": "Sheet1", "cell": "A1",
+                  "value": "pic"}],
+                out_path=book,
+            ).error
+            is None
+        )
         tools = self._tools(tmp_path)
         _, capture = tools["exstruct_capture_sheet_images"]
-        try:
-            capture(input_path="x")
-            raise AssertionError("should have raised")
-        except ValueError as exc:
-            assert "COM backend" in str(exc)
+        out = capture(xlsx_path=book, output_dir=str(tmp_path / "imgs"))
+        assert out["renderer"] == "light"
+        assert len(out["paths"]) == 1 and out["paths"][0].endswith("Sheet1.png")
+        from exstruct_ray.ops.media import decode_png
+
+        px = decode_png(open(out["paths"][0], "rb").read())
+        assert px.shape[2] == 3
