@@ -14,37 +14,51 @@ import numpy as np
 import pandas as pd
 
 
-def _stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    text = batch["text"].fillna("")
-    n_chars = text.str.len().astype("int64")
-    # Token = maximal run of non-ASCII-whitespace (matches RE2 \s semantics
-    # in the SQL oracle; unicode whitespace like NBSP does not split).
-    n_tokens = text.str.count(r"(?a)\S+").astype("int64")
+def _stats_batch(batch):
+    """Arrow-native text stats: every counter is a pyarrow.compute RE2
+    kernel over the zero-copy batch — no pandas round-trip. RE2's ``\\s``
+    is ASCII-only, which IS the oracle's semantics (Python-side parity was
+    previously spelled ``(?a)``; NBSP splits on neither side)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(batch.column("text"), "")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    # Token = maximal run of non-ASCII-whitespace.
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
     # BPE-style pre-tokenizer count (GPT-2-family shape, ASCII approx):
     # a token is a space-optional letter run, digit run, or punctuation
     # run — the standard LLM-cost estimate, exactly expressible in the
     # RE2 SQL oracle too.
-    n_bpe_tokens = text.str.count(
-        r"(?a) ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
-    ).astype("int64")
-    n_alpha = text.str.count(r"[A-Za-z]").astype("int64")
-    n_digit = text.str.count(r"[0-9]").astype("int64")
-    n_punct = text.str.count(r"[.,!?;:]").astype("int64")
-    out = batch[["doc_id"]].copy()
-    out["n_chars"] = n_chars
-    out["n_tokens"] = n_tokens
-    out["n_bpe_tokens"] = n_bpe_tokens
-    out["n_alpha"] = n_alpha
-    out["n_digit"] = n_digit
-    out["n_punct"] = n_punct
-    denom = n_chars.replace(0, np.nan)
-    out["alpha_ratio"] = (n_alpha / denom).astype("float64")
-    return out
+    n_bpe_tokens = pc.cast(
+        pc.count_substring_regex(text, r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"),
+        pa.int64(),
+    )
+    n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[.,!?;:]"), pa.int64())
+    # empty docs get a null ratio (NaN once in pandas), like the oracle
+    denom = pc.if_else(
+        pc.equal(n_chars, 0), pa.scalar(None, pa.int64()), n_chars
+    )
+    ratio = pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(denom, pa.float64()))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_bpe_tokens": n_bpe_tokens,
+            "n_alpha": n_alpha,
+            "n_digit": n_digit,
+            "n_punct": n_punct,
+            "alpha_ratio": ratio,
+        }
+    )
 
 
 def add_text_stats(ds):
     """doc_id + char/token/alpha/digit/punct counts + alpha ratio."""
-    return ds.map_batches(_stats_batch, batch_format="pandas")
+    return ds.map_batches(_stats_batch, batch_format="pyarrow")
 
 
 # Deterministic stopword lists per language — public-knowledge stopword

@@ -1023,22 +1023,38 @@ def doc_winnow_fingerprints(sf_dir: str):
 
 
 def doc_quality_filter(sf_dir: str):
-    """Quality gate: keep docs by alpha-ratio and token-count bounds."""
+    """Quality gate: keep docs by alpha-ratio and token-count bounds.
+
+    Arrow-native: RE2 count kernels + filter over zero-copy batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        n_chars = text.str.len()
-        n_alpha = text.str.count(r"[A-Za-z]")
-        n_tokens = text.str.count(r"(?a)\S+").astype("int64")
-        ratio = n_alpha / n_chars.replace(0, np.nan)
-        keep = (ratio >= 0.5) & (n_tokens >= 5)
-        out = batch.loc[keep, ["doc_id"]].copy()
-        out["n_tokens"] = n_tokens[keep]
-        return out
+    def score(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_alpha = pc.cast(
+            pc.count_substring_regex(text, r"[A-Za-z]"), pa.float64()
+        )
+        n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        ratio = pc.divide(
+            n_alpha,
+            pc.if_else(pc.equal(n_chars, 0.0), pa.scalar(None, pa.float64()),
+                       n_chars),
+        )
+        keep = pc.and_kleene(
+            pc.greater_equal(ratio, 0.5), pc.greater_equal(n_tokens, 5)
+        )
+        keep = pc.fill_null(keep, False)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": n_tokens,
+            }
+        ).filter(keep)
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
-    out["doc_id"] = out["doc_id"].astype("int64")
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
