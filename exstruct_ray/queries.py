@@ -1186,15 +1186,19 @@ def doc_decontaminate(sf_dir: str):
 
     from .ops.text import decontaminate, word_ngram_set
 
-    bench_tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    # The benchmark slice is tiny by definition, but the CORPUS is not:
+    # scan it distributed and collect only the benchmark rows' grams to
+    # the driver (never the corpus text itself).
+    bench_rows = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+        )
+        .to_pandas()
     )
     bench_grams: set[str] = set()
-    for doc_id, text in zip(
-        bench_tbl.column("doc_id").to_pylist(), bench_tbl.column("text").to_pylist()
-    ):
-        if int(doc_id) % 97 == 0:
-            bench_grams |= word_ngram_set(text, 3)
+    for text in bench_rows.get("text", []):
+        bench_grams |= word_ngram_set(text, 3)
     grams_ref = ray.put(bench_grams)
 
     corpus = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
