@@ -113,13 +113,18 @@ def extract_document_spans_columnar(
                     n_err += 1
             return len(out_kinds) - base, n_err
         workbook = extract_workbook(package, opts, book_name="")
+        _workbook_spans_into(workbook, opts, out_kinds, out_texts, out_refs)
+        return len(out_kinds) - base, 0
     except Exception as exc:  # one poison doc must not fail a block
+        # Roll back any partial appends so the buffers stay in sync with
+        # the returned count (the actor rebuilds offsets from these).
+        del out_kinds[base:]
+        del out_texts[base:]
+        del out_refs[base:]
         out_kinds.append("error")
         out_texts.append(f"extract failed: {exc!r}")
         out_refs.append("")
         return 1, 1
-    _workbook_spans_into(workbook, opts, out_kinds, out_texts, out_refs)
-    return len(out_kinds) - base, 0
 
 
 def _resolve(options: ExtractOptions | ResolvedOptions | None) -> ResolvedOptions:

@@ -194,12 +194,10 @@ def lsh_neardup_pairs(ds, dim: int, threshold: float = 0.38, concurrency=None):
     # duplicates always share vec_a and therefore the same bucket.
     n_merge_buckets = 64
 
-    def _bucket_of(values: _pd.Series) -> _pd.Series:
-        hashed = _pd.util.hash_array(values.to_numpy()) % n_merge_buckets
-        return _pd.Series(hashed.astype("int64"), index=values.index)
+    from .shuffle import empty_frame as _empty, hash_bucket
 
-    def _empty(cols: list[tuple[str, object]]) -> _pd.DataFrame:
-        return _pd.DataFrame({c: _pd.Series(dtype=t) for c, t in cols})
+    def _bucket_of(values: _pd.Series) -> _pd.Series:
+        return hash_bucket(values, n_merge_buckets)
 
     A_COLS = [
         ("bucket", "int64"), ("key", "int64"), ("vec_a", "int64"),

@@ -62,7 +62,11 @@ def word_ngrams(text: str, n: int = 3) -> set[int]:
     def h64(data: bytes) -> int:
         return (zlib.crc32(data) << 32) | zlib.crc32(b"ng" + data)
 
-    words = text.lower().split()
+    # RE2-whitespace tokenization (the SQL oracle's \s+: no \v, no NBSP —
+    # Python str.split() would split on both).
+    from .text import _ASCII_WS_RE
+
+    words = [w for w in _ASCII_WS_RE.split(text.lower()) if w]
     if len(words) < n:
         return {h64(" ".join(words).encode())} if words else set()
     return {
@@ -290,12 +294,10 @@ def minhash_dedup_pairs(
     id_dtype = ds.schema().base_schema.field("doc_id").type.to_pandas_dtype()
     n_merge_buckets = 64
 
-    def _bucket_of(values: pd.Series) -> pd.Series:
-        hashed = pd.util.hash_array(values.to_numpy()) % n_merge_buckets
-        return pd.Series(hashed.astype("int64"), index=values.index)
+    from .shuffle import empty_frame as _empty, hash_bucket
 
-    def _empty(cols: list[tuple[str, object]]) -> pd.DataFrame:
-        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols})
+    def _bucket_of(values: pd.Series) -> pd.Series:
+        return hash_bucket(values, n_merge_buckets)
 
     PAIR_A_COLS = [
         ("bucket", "int64"), ("key", id_dtype), ("doc_a", id_dtype),
@@ -462,9 +464,12 @@ def minhash_dedup_pairs_sigcarry(
     import pyarrow as pa
 
     rows_per_band = num_perm // bands
+    # NO materialize here: unlike the ids-only path (3 consumers), the sig
+    # table streams into exactly one downstream stage — materializing
+    # would force a full extra object-store pass for no lineage reuse.
     sigs = minhash_signatures(
         ds, num_perm=num_perm, shingle_k=shingle_k, concurrency=concurrency
-    ).materialize()
+    )
     n_shuffle_buckets = 1024
 
     def band_rows(batch):
@@ -865,7 +870,11 @@ def simhash_64(text: str) -> int:
     """
     import hashlib
 
-    tokens = text.lower().split()
+    # RE2-whitespace tokenization to match the SQL oracle's \s+ exactly
+    # (Python str.split() also splits on \v and unicode whitespace).
+    from .text import _ASCII_WS_RE
+
+    tokens = [w for w in _ASCII_WS_RE.split(text.lower()) if w]
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)

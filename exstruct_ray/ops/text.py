@@ -174,14 +174,18 @@ def redact_pii_batch(text: pd.Series) -> tuple[pd.Series, pd.Series]:
     return redacted, n_emails + n_numbers
 
 
-_ASCII_WS_RE = re.compile(r"(?a:\s)+")
+# RE2's \s is exactly [\t\n\f\r ] — NO vertical tab, unlike Python's
+# ASCII (?a)\s. Spelled out so Python-side tokenization matches the
+# DuckDB oracle byte-for-byte even on \x0b.
+RE2_WS_PATTERN = r"[\t\n\f\r ]+"
+_ASCII_WS_RE = re.compile(RE2_WS_PATTERN)
 
 
 def word_ngram_set(text: str, n: int) -> set[str]:
     """Lowercased word n-grams as joined strings (decontamination building
-    block). ASCII-whitespace tokenization with empties dropped — the exact
+    block). RE2-whitespace tokenization with empties dropped — the exact
     semantics of the SQL oracle's regexp_split_to_array + list_filter
-    (RE2 \\s is ASCII-only; NBSP splits on neither side)."""
+    (ASCII-only; NBSP splits on neither side, \\v on neither side)."""
     words = [w for w in _ASCII_WS_RE.split((text or "").lower()) if w]
     if len(words) < n:
         return set()

@@ -99,16 +99,17 @@ def q1_pricing_summary(sf_dir: str):
                 ("count_order", "sum"),
             ]
         )
-        # aggregate emits keys first, then "<col>_sum" columns
-        return agg.rename_columns(
-            [
-                "l_returnflag",
-                "l_linestatus",
-                "qty100",
-                "bp100",
-                "dp10000",
-                "count_order",
-            ]
+        # select by NAME ("<col>_sum"), never by position — aggregate's
+        # key/aggregate column order has differed across pyarrow versions
+        return pa.table(
+            {
+                "l_returnflag": agg.column("l_returnflag"),
+                "l_linestatus": agg.column("l_linestatus"),
+                "qty100": agg.column("qty100_sum"),
+                "bp100": agg.column("bp100_sum"),
+                "dp10000": agg.column("dp10000_sum"),
+                "count_order": agg.column("count_order_sum"),
+            }
         ).cast(partial_schema)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -279,7 +280,16 @@ def events_hourly(sf_dir: str):
         agg = tmp.group_by(["bucket", "event_type"]).aggregate(
             [("n_events", "sum"), ("val100", "sum")]
         )
-        return agg.rename_columns(["bucket", "event_type", "n_events", "val100"])
+        # name-based selection (see q1: aggregate column order is
+        # pyarrow-version-specific)
+        return pa.table(
+            {
+                "bucket": agg.column("bucket"),
+                "event_type": agg.column("event_type"),
+                "n_events": agg.column("n_events_sum"),
+                "val100": agg.column("val100_sum"),
+            }
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -1271,13 +1281,16 @@ def doc_vocabulary(sf_dir: str):
         )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        # ASCII-whitespace tokenization with empty tokens dropped — the
-        # exact semantics the DuckDB oracle expresses (RE2 \s is ASCII-only;
-        # unicode whitespace like NBSP splits on neither side).
+        # RE2-whitespace tokenization with empty tokens dropped — the
+        # exact semantics the DuckDB oracle expresses (RE2 \s is
+        # [\t\n\f\r ]: no \v, and unicode whitespace like NBSP splits on
+        # neither side).
+        from .ops.text import RE2_WS_PATTERN
+
         tokens = (
             batch["text"]
             .fillna("")
-            .str.split(r"(?a:\s)+", regex=True)
+            .str.split(RE2_WS_PATTERN, regex=True)
             .explode()
             .dropna()
         )

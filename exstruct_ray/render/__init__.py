@@ -338,11 +338,20 @@ def export_sheet_images(
     workbook = _workbook_from_source(excel_path)
     os.makedirs(output_dir, exist_ok=True)
     paths: list[str] = []
+    used: set[str] = set()
     for name, sheet_data in workbook.sheets.items():
         if sheet is not None and name != sheet:
             continue
         safe = re.sub(r"[^A-Za-z0-9_.-]+", "_", name) or "sheet"
-        path = os.path.join(output_dir, f"{safe}.png")
+        # distinct sheet names can sanitize to the same filename
+        # ("Q1/Q2" and "Q1 Q2") — suffix instead of silently overwriting
+        candidate = safe
+        n = 2
+        while candidate in used:
+            candidate = f"{safe}-{n}"
+            n += 1
+        used.add(candidate)
+        path = os.path.join(output_dir, f"{candidate}.png")
         with open(path, "wb") as fh:
             fh.write(render_sheet_png(name, sheet_data))
         paths.append(path)

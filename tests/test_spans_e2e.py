@@ -79,6 +79,36 @@ class TestSpanContract:
         # package (non-text types) degrades to an error span.
         assert isinstance(out, list)
 
+    def test_columnar_rollback_on_mid_emission_failure(self, monkeypatch):
+        """A failure AFTER partial span appends must roll the shared
+        buffers back to one error span — the count/buffer desync would
+        otherwise corrupt the whole Arrow block (degrade-in-place)."""
+        from exstruct_ray.extract import document as doc_mod
+
+        def exploding(workbook, opts, ks, ts, rs):
+            ks.append("cell_row")
+            ts.append("partial junk")
+            rs.append("S")
+            raise RuntimeError("mid-emission failure")
+
+        monkeypatch.setattr(doc_mod, "_workbook_spans_into", exploding)
+        good = build_document(0, seed=42)["spans"]
+        ks: list[str] = ["pre"]
+        ts: list[str] = ["pre"]
+        rs: list[str] = ["pre"]
+        n_spans, n_err = doc_mod.extract_document_spans_columnar(
+            [s["kind"] for s in good],
+            [s["text"] for s in good],
+            [s["media_ref"] for s in good],
+            None,
+            ks, ts, rs,
+        )
+        assert (n_spans, n_err) == (1, 1)
+        # prior docs' buffers untouched; exactly one error span appended
+        assert ks == ["pre", "error"]
+        assert ts[0] == "pre" and ts[1].startswith("extract failed:")
+        assert rs == ["pre", ""]
+
 
 class TestXlsxBytesParity:
     def test_zip_and_span_inputs_agree(self):
