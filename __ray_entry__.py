@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": q.embedding_topk,
         "embedding_topk_ivf": q.embedding_topk_ivf,
         "embedding_label_centroids": q.embedding_label_centroids,
+        "embedding_kmeans": q.embedding_kmeans,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
         "embedding_neardup_lsh": q.embedding_neardup_lsh,
         # Joins / windows / sessions

@@ -392,7 +392,12 @@ class _IvfScorer:
         self._query_ids = data["ids"]
         self._matrix = _normalize(np.asarray(data["matrix"], dtype=np.float64))
         self._k = k
-        self._cents = ivf_centroids(dim, n_clusters)
+        # trained codebook (e.g. ops.kmeans centroids) rides the same
+        # broadcast when provided; the seeded random codebook otherwise
+        if data.get("centroids") is not None:
+            self._cents = _normalize(np.asarray(data["centroids"], dtype=np.float64))
+        else:
+            self._cents = ivf_centroids(dim, n_clusters)
         # n_probe nearest centroids per query (cosine, ties by index asc).
         sims = self._matrix @ self._cents.T
         order = np.argsort(-sims, axis=1, kind="stable")
@@ -432,11 +437,15 @@ def ivf_topk(
     n_clusters: int = IVF_CLUSTERS,
     n_probe: int = IVF_PROBE,
     concurrency=None,
+    centroids=None,
 ):
     """IVF-pruned top-k cosine search — the sublinear ANN scale path.
 
     Same output schema as brute_force_topk restricted to probed clusters;
-    returns (query_id, vec_id, cosine, rank).
+    returns (query_id, vec_id, cosine, rank). ``centroids`` accepts a
+    TRAINED codebook (e.g. ops.kmeans.kmeans_fit output / 1e6) in place of
+    the seeded random one — same interface, better cluster balance, at the
+    cost of SQL checkability (the oracle embeds the random codebook).
     """
     import ray
 
@@ -445,7 +454,13 @@ def ivf_topk(
 
         concurrency = _default_concurrency()
     queries_ref = ray.put(
-        {"ids": list(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)}
+        {
+            "ids": list(query_ids),
+            "matrix": np.asarray(query_matrix, dtype=np.float64),
+            "centroids": None
+            if centroids is None
+            else np.asarray(centroids, dtype=np.float64),
+        }
     )
     partial = ds.map_batches(
         _IvfScorer,

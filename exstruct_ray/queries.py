@@ -1259,6 +1259,30 @@ def doc_streaming_dedup(sf_dir: str):
     return out.sort_values("content_hash").reset_index(drop=True)
 
 
+def embedding_kmeans(sf_dir: str):
+    """Distributed k-means over the embedding table — hash-verified.
+
+    Lloyd iterations as shuffle-free map_batches passes (centroids
+    broadcast via ray.put, per-batch integer partial sums, tiny driver
+    combine); all arithmetic integer micro-units so the chained-CTE DuckDB
+    oracle recomputes the identical run bit-for-bit. Output: one row per
+    (cluster_id, dim_idx) with the final centroid component + final
+    assignment sizes."""
+    from .ops.kmeans import kmeans_fit
+
+    k, dim = 4, 64
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids, counts = kmeans_fit(ds, k=k, n_iter=3, dim=dim)
+    return pd.DataFrame(
+        {
+            "cluster_id": np.repeat(np.arange(k, dtype=np.int64), dim),
+            "dim_idx": np.tile(np.arange(dim, dtype=np.int64), k),
+            "centroid_q": centroids.reshape(-1),
+            "n_members": np.repeat(counts, dim),
+        }
+    )
+
+
 def doc_vocabulary(sf_dir: str):
     """Corpus vocabulary: whitespace token → document-wide count.
 
@@ -2061,6 +2085,15 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLE_SQL["pii_redact"] = _pii_oracle_sql()
+
+
+def _kmeans_oracle() -> str:
+    from .ops.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=4, n_iter=3, dim=64)
+
+
+ORACLE_SQL["embedding_kmeans"] = _kmeans_oracle()
 
 # Streaming admission keeps exactly one row per distinct content; the
 # survivor's identity races (first-writer-wins) but the content set is

@@ -223,6 +223,72 @@ class TestLabelPropagation:
         assert (got[got["doc_id"] >= 100]["group_id"] == 100).all()
 
 
+class TestKMeans:
+    def test_clusters_planted_blobs_and_is_deterministic(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from exstruct_ray.ops.kmeans import kmeans_fit
+
+        rng = np.random.RandomState(3)
+        dim = 8
+        blobs = np.array(
+            [[10.0] * dim, [-10.0] * dim, [10.0] * 4 + [-10.0] * 4]
+        )
+        rows = []
+        for i in range(90):
+            center = blobs[i % 3]
+            rows.append(
+                {"vec_id": i, "embedding": (center + rng.randn(dim)).tolist()}
+            )
+
+        def fit():
+            return kmeans_fit(
+                ray.data.from_items(rows), k=3, n_iter=4, dim=dim
+            )
+
+        centroids, counts = fit()
+        assert counts.sum() == 90
+        # each planted blob center is ~exactly recovered (μ-unit ints)
+        recovered = centroids / 1e6
+        for center in blobs:
+            dists = np.linalg.norm(recovered - center, axis=1)
+            assert dists.min() < 1.0, (center, recovered)
+        # deterministic across runs (integer arithmetic, fixed init)
+        centroids2, counts2 = fit()
+        assert np.array_equal(centroids, centroids2)
+        assert np.array_equal(counts, counts2)
+
+    def test_empty_cluster_carries_previous_centroid(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from exstruct_ray.ops.kmeans import kmeans_fit, quantize_embeddings
+
+        dim = 4
+        # vec 3 duplicates vec 0, so every point ties between clusters 0
+        # and 3 and the lowest-id tie-break starves cluster 3 — it must
+        # carry its init centroid through every iteration, never NaN/zero
+        rows = [
+            {"vec_id": 0, "embedding": [0.5] * dim},
+            {"vec_id": 1, "embedding": [100.0] * dim},
+            {"vec_id": 2, "embedding": [-100.0] * dim},
+            {"vec_id": 3, "embedding": [0.5] * dim},
+            {"vec_id": 4, "embedding": [0.4] * dim},
+            {"vec_id": 5, "embedding": [99.0] * dim},
+        ]
+        centroids, counts = kmeans_fit(
+            ray.data.from_items(rows), k=4, n_iter=1, dim=dim
+        )
+        assert counts[3] == 0
+        init3 = quantize_embeddings(np.array([[0.5] * dim]))[0]
+        assert np.array_equal(centroids[3], init3)
+        # in the NEXT iteration the carried centroid legitimately wins its
+        # duplicates back from cluster 0 (whose centroid moved toward 0.4)
+        _, counts2 = kmeans_fit(ray.data.from_items(rows), k=4, n_iter=2, dim=dim)
+        assert counts2[3] == 2
+
+
 class TestDedupGroups:
     def test_union_find_groups(self):
         import pandas as pd
