@@ -38,6 +38,10 @@ def __getattr__(name):
         from . import edit
 
         return getattr(edit, name)
+    if name in {"export_pdf", "export_sheet_images", "render_corpus"}:
+        from . import render
+
+        return getattr(render, name)
     raise AttributeError(f"module 'exstruct_ray' has no attribute {name!r}")
 
 
@@ -45,10 +49,13 @@ __all__ = [
     "ExtractEngine",
     "ExtractOptions",
     "apply_patch",
+    "export_pdf",
+    "export_sheet_images",
     "make_workbook",
     "patch_corpus",
     "build_extraction_pipeline",
     "extract_document_spans",
     "extract_spans",
+    "render_corpus",
 ]
 __version__ = "0.1.0"

@@ -109,6 +109,31 @@ class TestRenderCorpus:
         assert len(pdf_rows) == 6
         assert all(bytes(p).startswith(b"%PDF") for p in pdf_rows["payload"])
 
+    def test_render_feeds_media_pipeline(self, ray_session):
+        """End-to-end multimodal composition: render sheets to PNG payloads,
+        then run the media feature-extraction stage on the rendered images
+        — the render output IS a valid media corpus."""
+        import ray.data
+
+        from exstruct_ray.datagen.corpus import generate_corpus_table
+        from exstruct_ray.ops.media import extract_media_features
+        from exstruct_ray.render import render_corpus
+
+        docs = ray.data.from_arrow(generate_corpus_table(4, seed=42))
+        rendered = render_corpus(docs, fmt="png", batch_size=2)
+        media = rendered.map_batches(
+            lambda b: b.rename(columns={"doc_id": "media_id"})[
+                ["media_id", "payload"]
+            ],
+            batch_format="pandas",
+        )
+        feats = extract_media_features(media, batch_size=2).to_pandas()
+        assert len(feats) >= 4
+        # real decode path, not the stub: the payloads are genuine PNGs
+        assert set(feats["decoder"]) <= {"png", "pil"}
+        # mostly-white sheets → bright mean-channel features
+        assert all(f[0] > 150 for f in feats["feature"])
+
     def test_poison_doc_emits_no_rows_not_failure(self, ray_session):
         import ray.data
 
