@@ -201,6 +201,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_exact_dedup", q.doc_exact_dedup),
         ("doc_minhash_pairs", q.doc_minhash_pairs),
         ("embedding_topk", q.embedding_topk),
+        ("embedding_kmeans", q.embedding_kmeans),
+        ("pii_redact", q.pii_redact),
+        ("doc_decontaminate", q.doc_decontaminate),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

@@ -340,22 +340,40 @@ def _make_sheet_extract_udf(options: ExtractOptions | None):
 
 
 def reassemble_mixed(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """groupby(doc_id): singleton finished docs pass through; exploded
-    sheet rows concatenate in sheet order with dense re-offsets."""
+    """Reassemble exploded sheet rows: singleton finished docs pass
+    through; a doc's sheet rows concatenate in sheet order with dense
+    re-offsets.
 
-    def assemble(group: pa.Table) -> pa.Table:
+    Shuffles on a COARSE doc-hash bucket, grouping exactly inside each
+    group — a per-exact-doc_id groupby dies on micro-group overhead at
+    corpus cardinality (the engine's standard convention; see
+    minhash_dedup_pairs). The bucket tag stage touches only the tiny
+    doc_id column; the spans stay zero-copy Arrow through the tag.
+    """
+    import zlib
+
+    n_buckets = 256
+
+    def tag(batch: pa.Table) -> pa.Table:
+        buckets = pa.array(
+            [
+                zlib.crc32(str(d).encode()) % n_buckets
+                for d in batch.column("doc_id").to_pylist()
+            ],
+            pa.int64(),
+        )
+        return batch.append_column("bucket", buckets)
+
+    def _assemble_one(group: pa.Table) -> pa.Table:
         from .actor import OUTPUT_SCHEMA
 
         if group.num_rows == 1 and group.column("sheet_idx")[0].as_py() == -1:
             return group.drop_columns(["sheet_idx"]).cast(OUTPUT_SCHEMA)
-        order = sorted(
-            range(group.num_rows), key=lambda i: group.column("sheet_idx")[i].as_py()
-        )
         doc_id = group.column("doc_id")[0].as_py()
         spans: list[dict] = []
         n_errors = 0
         parse_ms = 0.0
-        for i in order:
+        for i in range(group.num_rows):  # pre-sorted by sheet_idx
             for span in group.column("spans")[i].as_py() or []:
                 span = dict(span)
                 span["offset"] = len(spans)
@@ -375,4 +393,32 @@ def reassemble_mixed(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             schema=OUTPUT_SCHEMA,
         )
 
-    return ds.groupby("doc_id").map_groups(assemble, batch_format="pyarrow")
+    def assemble_bucket(group: pa.Table) -> pa.Table:
+        from .actor import OUTPUT_SCHEMA
+
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            # zero-column blocks from empty hash partitions
+            return OUTPUT_SCHEMA.empty_table()
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("doc_id", "ascending"), ("sheet_idx", "ascending")],
+        )
+        g = group.take(idx).drop_columns(["bucket"])
+        ids = g.column("doc_id").to_pylist()
+        outs: list[pa.Table] = []
+        start = 0
+        for i in range(1, len(ids) + 1):
+            if i == len(ids) or ids[i] != ids[start]:
+                outs.append(_assemble_one(g.slice(start, i - start)))
+                start = i
+        return (
+            pa.concat_tables(outs) if outs else OUTPUT_SCHEMA.empty_table()
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assemble_bucket, batch_format="pyarrow")
+    )
