@@ -52,7 +52,6 @@ def kmeans_fit(
     k: int = 4,
     n_iter: int = 3,
     dim: int = 64,
-    concurrency=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit k-means; returns (centroids int64 (k, dim) μ-units, counts (k,)).
 
@@ -62,11 +61,6 @@ def kmeans_fit(
     produced the returned centroids).
     """
     import ray
-
-    if concurrency is None:
-        from ..stages.pipeline import _default_concurrency
-
-        concurrency = _default_concurrency()
 
     # deterministic init: vec_id < k (tiny collect)
     init_rows = (
@@ -86,45 +80,37 @@ def kmeans_fit(
     for _ in range(n_iter):
         ref = ray.put(centroids)
 
-        class AssignPartial:
-            def __init__(self, centroids_ref, n_clusters: int, n_dim: int):
-                self._centroids = ray.get(centroids_ref)
-                self._k = n_clusters
-                self._dim = n_dim
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                q = quantize_embeddings(
-                    np.stack(
-                        [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
-                    )
+        def assign_partial(
+            batch: pd.DataFrame, _centroids_ref=ref
+        ) -> pd.DataFrame:
+            # Task-based (no actor pool per iteration — pool spin-up ×
+            # n_iter dominated at sandbox scale); ray.get of the broadcast
+            # is a local shared-memory hit per batch, not a re-ship.
+            cents = ray.get(_centroids_ref)
+            q = quantize_embeddings(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
                 )
-                labels = _assign(q, self._centroids)
-                rows_c: list[int] = []
-                rows_n: list[int] = []
-                rows_s: list[list[int]] = []
-                for c in np.unique(labels):
-                    mask = labels == c
-                    rows_c.append(int(c))
-                    rows_n.append(int(mask.sum()))
-                    rows_s.append(q[mask].sum(axis=0).tolist())
-                return pd.DataFrame(
-                    {
-                        "cluster_id": pd.Series(rows_c, dtype="int64"),
-                        "n": pd.Series(rows_n, dtype="int64"),
-                        "sums": pd.Series(rows_s, dtype="object"),
-                    }
-                )
+            )
+            labels = _assign(q, cents)
+            rows_c: list[int] = []
+            rows_n: list[int] = []
+            rows_s: list[list[int]] = []
+            for c in np.unique(labels):
+                mask = labels == c
+                rows_c.append(int(c))
+                rows_n.append(int(mask.sum()))
+                rows_s.append(q[mask].sum(axis=0).tolist())
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series(rows_c, dtype="int64"),
+                    "n": pd.Series(rows_n, dtype="int64"),
+                    "sums": pd.Series(rows_s, dtype="object"),
+                }
+            )
 
         partials = ds.map_batches(
-            AssignPartial,
-            fn_constructor_kwargs={
-                "centroids_ref": ref,
-                "n_clusters": k,
-                "n_dim": dim,
-            },
-            batch_format="pandas",
-            concurrency=concurrency,
-            num_cpus=1,
+            assign_partial, batch_format="pandas"
         ).to_pandas()  # ≤ k rows per block — tiny
 
         counts = np.zeros(k, dtype=np.int64)
