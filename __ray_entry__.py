@@ -226,6 +226,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q.pii_redact,
         "doc_decontaminate": q.doc_decontaminate,
         "doc_streaming_dedup": q.doc_streaming_dedup,
+        # Sketch / selection aggregates
+        "lineitem_price_quantiles": q.lineitem_price_quantiles,
+        "doc_shingle_hll": q.doc_shingle_hll,
+        "doc_countmin_tokens": q.doc_countmin_tokens,
+        "doc_tfidf_top_terms": q.doc_tfidf_top_terms,
     }
 
 

@@ -2257,3 +2257,391 @@ ORACLE_SQL["textdoc_extract"] = """
     )
     ORDER BY doc_id, "offset"
 """
+
+
+# ---------------------------------------------------------------------------
+# Sketch / selection aggregates (ops/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles of l_extendedprice via two-pass
+    histogram-refine selection (no global sort, no driver materialization
+    beyond one candidate bucket). Rank convention max(0, ceil(q*n)-1),
+    spelled out identically in the oracle's window-function selection."""
+    from .ops.sketch import distributed_quantile_disc
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return distributed_quantile_disc(
+        ds, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
+    )
+
+
+def doc_shingle_hll(sf_dir: str):
+    """HyperLogLog cardinality of distinct word 3-grams (m=1024 registers),
+    with the exact distinct count riding the same single pass — the
+    sizing probe a dedup stage runs before committing to a shuffle plan.
+    Integer-exact estimator (scaled big-int harmonic mean + integer ln
+    table), recomputed bit-for-bit by the generated SQL oracle."""
+    from .ops.sketch import hll_ngram_distinct
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return hll_ngram_distinct(ds, n=3, include_exact=True)
+
+
+# Probe tokens for the count-min demo: frequent corpus words plus one
+# absent token (exact_count 0 — shows the sketch's pure-overestimate
+# floor). Constants shared verbatim with the oracle SQL.
+CM_PROBE_TOKENS = [
+    "join",
+    "hash",
+    "row",
+    "batch",
+    "scan",
+    "filter",
+    "merge",
+    "slow",
+    "zz_absent_token",
+]
+
+
+def doc_countmin_tokens(sf_dir: str):
+    """Count-min sketch (4×1024, md5-derived row hashes) over lowercased
+    whitespace tokens, evaluated at a fixed probe list with exact counts
+    alongside (cm_estimate >= exact_count always)."""
+    from .ops.sketch import countmin_token_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return countmin_token_counts(ds, CM_PROBE_TOKENS)
+
+
+def doc_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 terms by document-frequency-normalized term
+    frequency (score = tf/df — the linear-idf tf-idf variant; a single
+    IEEE double division is correctly rounded, so Python and SQL produce
+    bit-identical scores, unlike log-idf whose libm ln is not exactness-
+    guaranteed across engines).
+
+    Fully distributed: per-batch exact tf explode (each doc lives in one
+    row), df by token-bucket merge, tf⋈df via the tagged-union bucket
+    merge, per-doc top-3 inside a doc-bucket groupby. The compact tf
+    table is materialized once before its two consumers (df aggregation
+    and the join) — the lineage-re-execution rule."""
+    import zlib
+
+    from .ops.shuffle import empty_frame
+    from .ops.text import RE2_WS_PATTERN
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            batch.assign(
+                term=batch["text"]
+                .fillna("")
+                .str.lower()
+                .str.split(RE2_WS_PATTERN, regex=True)
+            )[["doc_id", "term"]]
+            .explode("term")
+            .dropna(subset=["term"])
+        )
+        toks = toks[toks["term"] != ""]
+        if toks.empty:
+            return empty_frame(
+                [("doc_id", "int64"), ("term", "object"), ("tf", "int64"), ("bucket", "int64")]
+            )
+        tf = toks.groupby(["doc_id", "term"], as_index=False).size()
+        tf.columns = ["doc_id", "term", "tf"]
+        tf["bucket"] = [zlib.crc32(t.encode("utf-8")) % 64 for t in tf["term"]]
+        tf["doc_id"] = tf["doc_id"].astype("int64")
+        tf["tf"] = tf["tf"].astype("int64")
+        tf["bucket"] = tf["bucket"].astype("int64")
+        return tf
+
+    # Compact (doc, term, tf) table: materialized once, consumed twice.
+    tf_ds = ds.map_batches(tf_partial, batch_format="pandas").materialize()
+
+    # df per term: partial counts per batch, exact merge per token bucket.
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in batch.columns or batch.empty:
+            return empty_frame([("term", "object"), ("df", "int64"), ("bucket", "int64")])
+        out = batch.groupby(["bucket", "term"], as_index=False).size()
+        out.columns = ["bucket", "term", "df"]
+        return out[["term", "df", "bucket"]]
+
+    # tf rows tagged is_tf=True, df rows is_tf=False; one union stream,
+    # exact pandas merge inside each token bucket.
+    def tag_tf(batch: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in batch.columns or batch.empty:
+            return empty_frame(
+                [
+                    ("bucket", "int64"),
+                    ("term", "object"),
+                    ("doc_id", "int64"),
+                    ("tf", "int64"),
+                    ("df", "int64"),
+                    ("is_tf", "bool"),
+                ]
+            )
+        out = batch[["bucket", "term", "doc_id", "tf"]].copy()
+        out["df"] = np.int64(0)
+        out["is_tf"] = True
+        return out
+
+    def tag_df(batch: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in batch.columns or batch.empty:
+            return empty_frame(
+                [
+                    ("bucket", "int64"),
+                    ("term", "object"),
+                    ("doc_id", "int64"),
+                    ("tf", "int64"),
+                    ("df", "int64"),
+                    ("is_tf", "bool"),
+                ]
+            )
+        out = batch[["bucket", "term"]].copy()
+        out["doc_id"] = np.int64(0)
+        out["tf"] = np.int64(0)
+        out["df"] = batch["df"].astype("int64")
+        out["is_tf"] = False
+        return out
+
+    df_ds = (
+        tf_ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: g.groupby(["bucket", "term"], as_index=False).agg(df=("df", "sum"))
+            if "term" in g.columns and not g.empty
+            else empty_frame([("bucket", "int64"), ("term", "object"), ("df", "int64")]),
+            batch_format="pandas",
+        )
+    )
+
+    union = tf_ds.map_batches(tag_tf, batch_format="pandas").union(
+        df_ds.map_batches(tag_df, batch_format="pandas")
+    )
+
+    def join_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [("doc_id", "int64"), ("term", "object"), ("tf", "int64"), ("df", "int64")]
+        if "is_tf" not in group.columns or group.empty:
+            return empty_frame(cols)
+        tf_rows = group[group["is_tf"]][["doc_id", "term", "tf"]]
+        df_rows = group[~group["is_tf"]][["term", "df"]]
+        if tf_rows.empty or df_rows.empty:
+            return empty_frame(cols)
+        out = tf_rows.merge(df_rows, on="term", how="inner")
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["tf"] = out["tf"].astype("int64")
+        out["df"] = out["df"].astype("int64")
+        return out[["doc_id", "term", "tf", "df"]]
+
+    scored = union.groupby("bucket").map_groups(join_in_bucket, batch_format="pandas")
+
+    # Per-doc top-3: coarse doc-hash bucket shuffle, exact rank in-group.
+    def add_doc_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or batch.empty:
+            return empty_frame(
+                [
+                    ("doc_id", "int64"),
+                    ("term", "object"),
+                    ("tf", "int64"),
+                    ("df", "int64"),
+                    ("doc_bucket", "int64"),
+                ]
+            )
+        out = batch.copy()
+        out["doc_bucket"] = (out["doc_id"] % 64).astype("int64")
+        return out
+
+    def topk_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            ("doc_id", "int64"),
+            ("rank", "int64"),
+            ("term", "object"),
+            ("tf", "int64"),
+            ("df", "int64"),
+            ("score", "float64"),
+        ]
+        if "doc_id" not in group.columns or group.empty:
+            return empty_frame(cols)
+        g = group.copy()
+        g["score"] = g["tf"].to_numpy(dtype=np.float64) / g["df"].to_numpy(
+            dtype=np.float64
+        )
+        g = g.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True]
+        )
+        g["rank"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rank"] <= 3]
+        g["rank"] = g["rank"].astype("int64")
+        return g[["doc_id", "rank", "term", "tf", "df", "score"]]
+
+    out = (
+        scored.map_batches(add_doc_bucket, batch_format="pandas")
+        .groupby("doc_bucket")
+        .map_groups(topk_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "tf": pd.Series(dtype="int64"),
+                "df": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+ORACLE_SQL["lineitem_price_quantiles"] = """
+    WITH ranked AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) - 1 AS r
+      FROM lineitem
+    ),
+    nn AS (SELECT count(*) AS n FROM lineitem),
+    qs(q) AS (VALUES (0.01), (0.25), (0.5), (0.75), (0.99))
+    SELECT qs.q AS quantile,
+           greatest(0, CAST(ceil(qs.q * nn.n) AS BIGINT) - 1) AS rank,
+           nn.n AS n,
+           ranked.v AS value
+    FROM qs
+    CROSS JOIN nn
+    JOIN ranked ON ranked.r = greatest(0, CAST(ceil(qs.q * nn.n) AS BIGINT) - 1)
+    ORDER BY quantile
+"""
+
+
+def _hll_oracle_sql() -> str:
+    """Generated SQL mirror of hll_ngram_distinct: identical md5 bucketing,
+    identical integer estimator constants (alpha, ln table) — the
+    lang-detect generated-literal pattern."""
+    from .ops.sketch import HLL_ALPHA_1E6, HLL_LN_1E6, HLL_M, HLL_SUFFIX_BITS
+
+    ln_values = ", ".join(f"({v}, {HLL_LN_1E6[v]})" for v in range(1, HLL_M + 1))
+    top = HLL_SUFFIX_BITS + 1  # 55
+    return f"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) t(i)
+      WHERE i + 2 <= len(ts)
+    ),
+    h AS (
+      SELECT CAST('0x' || substr(md5(g), 1, 16) AS UBIGINT) AS h FROM grams
+    ),
+    reg AS (
+      SELECT CAST(h >> {HLL_SUFFIX_BITS} AS BIGINT) AS bucket,
+             max(CASE WHEN (h & ((CAST(1 AS UBIGINT) << {HLL_SUFFIX_BITS}) - 1)) = 0
+                      THEN {top}
+                      ELSE {HLL_SUFFIX_BITS}
+                           - length(bin(h & ((CAST(1 AS UBIGINT) << {HLL_SUFFIX_BITS}) - 1)))
+                           + 1 END) AS rho
+      FROM h GROUP BY 1
+    ),
+    agg AS (
+      SELECT coalesce(count(*), 0) AS n_nonzero,
+             coalesce(sum(rho), 0) AS sum_rho,
+             coalesce(sum(CAST(1 AS HUGEINT)
+                          * (CAST(1 AS BIGINT) << ({top} - rho))), 0) AS s_nonzero
+      FROM reg
+    ),
+    est AS (
+      SELECT {HLL_M} - n_nonzero AS v_empty,
+             sum_rho,
+             s_nonzero + ({HLL_M} - n_nonzero)
+                         * (CAST(1 AS HUGEINT) * (CAST(1 AS BIGINT) << {top})) AS s
+      FROM agg
+    ),
+    raw AS (
+      SELECT v_empty, sum_rho,
+             (CAST({HLL_ALPHA_1E6} AS HUGEINT) * {HLL_M} * {HLL_M}
+              * (CAST(1 AS HUGEINT) * (CAST(1 AS BIGINT) << {top})))
+             // (s * 1000000) AS e_raw
+      FROM est
+    ),
+    lt(v, ln_1e6) AS (VALUES {ln_values})
+    SELECT {HLL_M} AS m,
+           CAST(raw.v_empty AS BIGINT) AS v_empty,
+           CAST(raw.sum_rho AS BIGINT) AS sum_rho,
+           CAST(CASE WHEN raw.v_empty > 0 AND 2 * raw.e_raw <= 5 * {HLL_M}
+                THEN ({HLL_M} * CAST(lt.ln_1e6 AS HUGEINT)) // 1000000
+                ELSE raw.e_raw END AS BIGINT) AS estimate,
+           (SELECT count(*) FROM grams) AS n_exact
+    FROM raw LEFT JOIN lt ON lt.v = raw.v_empty
+"""
+
+
+ORACLE_SQL["doc_shingle_hll"] = _hll_oracle_sql()
+
+
+def _countmin_oracle_sql() -> str:
+    from .ops.sketch import CM_DEPTH, CM_WIDTH
+
+    probe_values = ", ".join(f"('{t}')" for t in CM_PROBE_TOKENS)
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    js AS (SELECT unnest(range(0, {CM_DEPTH})) AS j),
+    sketch AS (
+      SELECT j,
+             CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 16)
+                       AS UBIGINT) % {CM_WIDTH} AS BIGINT) AS cell,
+             count(*) AS n
+      FROM toks CROSS JOIN js
+      GROUP BY 1, 2
+    ),
+    probes(token) AS (VALUES {probe_values}),
+    ph AS (
+      SELECT token, j,
+             CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 16)
+                       AS UBIGINT) % {CM_WIDTH} AS BIGINT) AS cell
+      FROM probes CROSS JOIN js
+    ),
+    exact AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+    SELECT ph.token,
+           CAST(min(coalesce(s.n, 0)) AS BIGINT) AS cm_estimate,
+           CAST(coalesce(any_value(e.n), 0) AS BIGINT) AS exact_count
+    FROM ph
+    LEFT JOIN sketch s ON s.j = ph.j AND s.cell = ph.cell
+    LEFT JOIN exact e ON e.tok = ph.token
+    GROUP BY ph.token
+    ORDER BY ph.token
+"""
+
+
+ORACLE_SQL["doc_countmin_tokens"] = _countmin_oracle_sql()
+
+ORACLE_SQL["doc_tfidf_top_terms"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / df.df AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+             ) AS rank
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, rank, term, tf, df, score
+    FROM scored WHERE rank <= 3
+    ORDER BY doc_id, rank
+"""
