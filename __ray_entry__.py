@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shingle_hll": q.doc_shingle_hll,
         "doc_countmin_tokens": q.doc_countmin_tokens,
         "doc_tfidf_top_terms": q.doc_tfidf_top_terms,
+        "doc_bloom_decontaminate": q.doc_bloom_decontaminate,
+        "doc_stratified_sample": q.doc_stratified_sample,
     }
 
 

@@ -487,3 +487,82 @@ def distributed_quantile_disc(
         }
     )
     return out.sort_values("quantile").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (broadcast-bitset membership — the decontamination scale path)
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 3
+BLOOM_M = 65536  # bits
+
+
+def bloom_positions(gram: str) -> list[int]:
+    """The k bit positions of a gram: md5(j:gram) top-64 mod M — the same
+    keyed-md5 idiom as the count-min rows, so the SQL oracle recomputes
+    membership exactly."""
+    return [_md5_top64(f"{j}:{gram}") % BLOOM_M for j in range(BLOOM_K)]
+
+
+def build_bloom(grams: set[str]) -> np.ndarray:
+    """Dense uint8 bitset (M/8 bytes — 8 KiB at M=65536; a production
+    filter sizes M to the benchmark suite, still KBs-to-MBs vs the GBs an
+    exact gram set costs at eval-suite scale)."""
+    bits = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    for gram in grams:
+        for pos in bloom_positions(gram):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bits
+
+
+def _bloom_contains(bits: np.ndarray, gram: str) -> bool:
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in bloom_positions(gram))
+
+
+def bloom_decontaminate(ds, bloom_ref, n: int = 3):
+    """Benchmark decontamination against a broadcast Bloom bitset instead
+    of an exact gram set: flags docs whose distinct word n-grams include
+    any maybe-member (n_maybe = count of bloom-positive distinct grams).
+
+    Deliberately a SUPERSET of exact decontamination (false positives at
+    the documented k/M rate, never false negatives) — the right trade when
+    the eval suite's gram set no longer fits in every worker's heap: the
+    bitset is M/8 bytes flat, `ray.put` once, read per task from local
+    plasma. Same single shuffle-free corpus pass as `text.decontaminate`.
+    """
+
+    class BloomDecontaminator:
+        def __init__(self, ref, ngram_n: int):
+            import ray
+
+            self._bits: np.ndarray = ray.get(ref)
+            self._n = ngram_n
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows_id: list[int] = []
+            rows_n: list[int] = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                maybe = sum(
+                    1
+                    for gram in _doc_ngrams(text, self._n)
+                    if _bloom_contains(self._bits, gram)
+                )
+                if maybe:
+                    rows_id.append(int(doc_id))
+                    rows_n.append(maybe)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows_id, dtype="int64"),
+                    "n_maybe": pd.Series(rows_n, dtype="int64"),
+                }
+            )
+
+    from ..stages.pipeline import _default_concurrency
+
+    return ds.map_batches(
+        BloomDecontaminator,
+        fn_constructor_kwargs={"ref": bloom_ref, "ngram_n": n},
+        batch_format="pandas",
+        concurrency=_default_concurrency(),
+        num_cpus=1,
+    )

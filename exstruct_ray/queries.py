@@ -2645,3 +2645,138 @@ ORACLE_SQL["doc_tfidf_top_terms"] = """
     FROM scored WHERE rank <= 3
     ORDER BY doc_id, rank
 """
+
+
+def doc_bloom_decontaminate(sf_dir: str):
+    """Decontamination via a broadcast Bloom bitset — the scale path for
+    when the eval suite's exact gram set outgrows worker heaps. Flags a
+    deterministic SUPERSET of doc_decontaminate (false positives at the
+    k/M rate, never false negatives); n_maybe counts bloom-positive
+    distinct grams per doc. Oracle recomputes the k md5 bit positions."""
+    import ray
+
+    from .ops.sketch import BLOOM_K, bloom_decontaminate, build_bloom
+    from .ops.text import word_ngram_set
+
+    bench_rows = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas")
+        .to_pandas()
+    )
+    bench_grams: set[str] = set()
+    for text in bench_rows.get("text", []):
+        bench_grams |= word_ngram_set(text, 3)
+    bloom_ref = ray.put(build_bloom(bench_grams))
+
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: b[b["doc_id"] % 97 != 0], batch_format="pandas"
+    )
+    out = bloom_decontaminate(corpus, bloom_ref, n=3).to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_maybe": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Per-language sampling rates (permille) — shared verbatim with the oracle.
+STRATIFIED_RATES_PERMILLE = {"en": 200, "fr": 100, "de": 100, "es": 100, "zh": 50}
+STRATIFIED_DEFAULT_PERMILLE = 50
+
+
+def doc_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: per-language rates applied via
+    the same content-free md5(doc_id) bucketing as doc_sample_10pct —
+    reproducible across runs/retries, scan-local (no shuffle, no driver),
+    and exactly expressible in SQL. The standard training-mix lever
+    (upsample high-value strata, downsample the rest)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = np.asarray(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(int(d)).encode()).digest()[:4], "big"
+                )
+                % 1000
+                for d in batch["doc_id"]
+            ],
+            dtype=np.int64,
+        )
+        rates = np.asarray(
+            [
+                STRATIFIED_RATES_PERMILLE.get(l, STRATIFIED_DEFAULT_PERMILLE)
+                for l in batch["lang"]
+            ],
+            dtype=np.int64,
+        )
+        out = batch.loc[keys < rates, ["doc_id", "lang"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    out = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bloom_oracle_sql() -> str:
+    from .ops.sketch import BLOOM_K, BLOOM_M
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   for i in range(1, len(w) - 1)])) AS gram
+      FROM toks WHERE len(w) >= 3
+    ),
+    js AS (SELECT unnest(range(0, {BLOOM_K})) AS j),
+    bits AS (
+      SELECT DISTINCT
+             CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 16)
+                       AS UBIGINT) % {BLOOM_M} AS BIGINT) AS pos
+      FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0) CROSS JOIN js
+    ),
+    cpos AS (
+      SELECT doc_id, gram, j,
+             CAST(CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 16)
+                       AS UBIGINT) % {BLOOM_M} AS BIGINT) AS pos
+      FROM grams CROSS JOIN js
+      WHERE doc_id % 97 <> 0
+    ),
+    hit AS (
+      SELECT doc_id, gram
+      FROM cpos JOIN bits USING (pos)
+      GROUP BY doc_id, gram
+      HAVING count(*) = {BLOOM_K}
+    )
+    SELECT doc_id, count(*) AS n_maybe FROM hit GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE_SQL["doc_bloom_decontaminate"] = _bloom_oracle_sql()
+
+
+def _stratified_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}"
+        for lang, rate in STRATIFIED_RATES_PERMILLE.items()
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+          % 1000 < CASE lang {cases} ELSE {STRATIFIED_DEFAULT_PERMILLE} END
+    ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["doc_stratified_sample"] = _stratified_oracle_sql()

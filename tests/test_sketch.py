@@ -179,3 +179,84 @@ class TestQuantiles:
         ds = ray.data.from_pandas(pd.DataFrame({"x": pd.Series(dtype="float64")}))
         out = distributed_quantile_disc(ds, "x", [0.5])
         assert out.empty
+
+
+class TestBloom:
+    def test_membership_no_false_negatives(self):
+        from exstruct_ray.ops.sketch import _bloom_contains, build_bloom
+
+        grams = {f"g{i} x y" for i in range(500)}
+        bits = build_bloom(grams)
+        assert all(_bloom_contains(bits, g) for g in grams)
+
+    def test_false_positive_rate_bounded(self):
+        from exstruct_ray.ops.sketch import BLOOM_K, BLOOM_M, _bloom_contains, build_bloom
+
+        grams = {f"in{i} a b" for i in range(1000)}
+        bits = build_bloom(grams)
+        fp = sum(
+            1 for i in range(2000) if _bloom_contains(bits, f"out{i} c d")
+        )
+        # (1 - e^(-kn/M))^k with n=1000, M=65536, k=3 -> ~7e-5; allow slack.
+        assert fp / 2000 < 0.01
+
+    def test_superset_of_exact_decontaminate(self, ray_session):
+        import ray
+        import ray.data
+
+        from exstruct_ray.ops.sketch import bloom_decontaminate, build_bloom
+        from exstruct_ray.ops.text import decontaminate, word_ngram_set
+
+        bench_texts = ["alpha beta gamma delta", "one two three four five"]
+        corpus = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "x alpha beta gamma y",       # overlaps bench
+                    "no overlap here at all",      # clean
+                    "two three four and more",     # overlaps bench
+                ],
+            }
+        )
+        grams: set[str] = set()
+        for t in bench_texts:
+            grams |= word_ngram_set(t, 3)
+        ds = ray.data.from_pandas(corpus)
+        exact = decontaminate(ds, ray.put(grams), n=3).to_pandas()
+        bloom = bloom_decontaminate(ds, ray.put(build_bloom(grams)), n=3).to_pandas()
+        exact_ids = set(exact.get("doc_id", []))
+        bloom_ids = set(bloom.get("doc_id", []))
+        assert exact_ids == {1, 3}
+        assert exact_ids <= bloom_ids  # never a false negative
+        # n_maybe >= n_overlap for common docs
+        e = dict(zip(exact["doc_id"], exact["n_overlap"]))
+        b = dict(zip(bloom["doc_id"], bloom["n_maybe"]))
+        assert all(b[d] >= e[d] for d in exact_ids)
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, ray_session):
+        from exstruct_ray.queries import (
+            STRATIFIED_DEFAULT_PERMILLE,
+            STRATIFIED_RATES_PERMILLE,
+            doc_stratified_sample,
+        )
+
+        out1 = doc_stratified_sample("/root/testdata/sf0.001")
+        out2 = doc_stratified_sample("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(out1, out2)  # retry-stable
+        # Every sampled row respects its stratum's hash threshold.
+        import hashlib
+
+        for _, row in out1.iterrows():
+            key = (
+                int.from_bytes(
+                    hashlib.md5(str(int(row["doc_id"])).encode()).digest()[:4],
+                    "big",
+                )
+                % 1000
+            )
+            rate = STRATIFIED_RATES_PERMILLE.get(
+                row["lang"], STRATIFIED_DEFAULT_PERMILLE
+            )
+            assert key < rate
