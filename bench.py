@@ -204,6 +204,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("embedding_kmeans", q.embedding_kmeans),
         ("pii_redact", q.pii_redact),
         ("doc_decontaminate", q.doc_decontaminate),
+        ("lineitem_price_quantiles", q.lineitem_price_quantiles),
+        ("doc_shingle_hll", q.doc_shingle_hll),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

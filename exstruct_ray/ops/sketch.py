@@ -421,22 +421,30 @@ def distributed_quantile_disc(
             ub, uc = np.unique(b, return_counts=True)
             return pd.DataFrame({"b": ub.astype("int64"), "cnt": uc.astype("int64")})
 
+        def hist_merge(batch: pd.DataFrame) -> pd.DataFrame:
+            if "b" not in batch.columns or batch.empty:
+                return pd.DataFrame(
+                    {"b": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")}
+                )
+            out = batch.groupby("b", as_index=False).agg(cnt=("cnt", "sum"))
+            out["b"] = out["b"].astype("int64")
+            out["cnt"] = out["cnt"].astype("int64")
+            return out
+
+        # Tree-reduce instead of a groupby: per-batch partials (≤ n_buckets
+        # rows each) are re-merged by a large-batch map stage — no AllToAll
+        # (a histogram merge is associative; the ~2 s fixed shuffle cost
+        # dominated this query at sandbox scale) — then summed once on the
+        # driver over the collapsed remainder.
         hist = (
             ds.map_batches(hist_partial, batch_format="pandas")
-            .groupby("b")
-            .map_groups(
-                lambda g: g.groupby("b", as_index=False).agg(cnt=("cnt", "sum"))
-                if "b" in g.columns and not g.empty
-                else pd.DataFrame(
-                    {"b": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")}
-                ),
-                batch_format="pandas",
-            )
+            .map_batches(hist_merge, batch_format="pandas", batch_size=65536)
             .to_pandas()
         )
         counts: dict[int, int] = {}
         if "b" in hist.columns and not hist.empty:
-            counts = dict(zip(hist["b"].astype(int), hist["cnt"].astype(int)))
+            final = hist.groupby("b")["cnt"].sum()
+            counts = {int(b): int(c) for b, c in final.items()}
 
         # Walk buckets in order, assigning targets to their bucket.
         cum = rank_offset
@@ -449,31 +457,50 @@ def distributed_quantile_disc(
                 by_bucket.setdefault(b, []).append(target)
                 target = next(it, None)
             cum += c
+        collect_buckets: dict[int, tuple[int, list[int]]] = {}
         for b, b_targets in by_bucket.items():
             below = rank_offset + sum(counts.get(i, 0) for i in range(b))
             c = counts.get(b, 0)
-            sub_scope = scope + [(level[0], level[1], b)]
             # Depth cap: a bucket of > max_collect IDENTICAL values cannot
             # be refined further (every sublevel re-buckets them together);
             # after 4 levels (n_buckets^4 ≈ 2.8e14 effective resolution)
             # collect regardless — ties make any element at the rank exact.
             if c > max_collect and width > 0 and hi > lo and len(scope) < 4:
                 resolve(
-                    sub_scope,
+                    scope + [(level[0], level[1], b)],
                     lo + b * width,
                     lo + (b + 1) * width,
                     b_targets,
                     below,
                 )
                 continue
+            collect_buckets[b] = (below, b_targets)
+        if not collect_buckets:
+            return
 
-            def collect_partial(batch: pd.DataFrame) -> pd.DataFrame:
-                col = batch[column].dropna().to_numpy(dtype=np.float64)
-                col = col[in_scope(col, sub_scope)]
-                return pd.DataFrame({"v": pd.Series(col, dtype="float64")})
+        # ONE collection pass for every non-recursing candidate bucket of
+        # this level (tagged by bucket) — scans are the dominant fixed
+        # cost, so 5 quantiles landing in 5 buckets still cost one pass.
+        wanted = np.asarray(sorted(collect_buckets), dtype=np.int64)
 
-            vals = ds.map_batches(collect_partial, batch_format="pandas").to_pandas()
-            arr = np.sort(vals["v"].to_numpy()) if "v" in vals.columns else np.array([])
+        def collect_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            col = batch[column].dropna().to_numpy(dtype=np.float64)
+            col = col[in_scope(col, scope)]
+            b = bucket_of(col, level[0], level[1])
+            mask = np.isin(b, wanted)
+            return pd.DataFrame(
+                {
+                    "b": pd.Series(b[mask], dtype="int64"),
+                    "v": pd.Series(col[mask], dtype="float64"),
+                }
+            )
+
+        vals = ds.map_batches(collect_partial, batch_format="pandas").to_pandas()
+        for b, (below, b_targets) in collect_buckets.items():
+            if "b" in vals.columns:
+                arr = np.sort(vals.loc[vals["b"] == b, "v"].to_numpy())
+            else:
+                arr = np.array([])
             for t in b_targets:
                 resolved[t] = float(arr[t - below])
 
