@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top_terms": q.doc_tfidf_top_terms,
         "doc_bloom_decontaminate": q.doc_bloom_decontaminate,
         "doc_stratified_sample": q.doc_stratified_sample,
+        "doc_pack_sequences": q.doc_pack_sequences,
     }
 
 

@@ -2780,3 +2780,119 @@ def _stratified_oracle_sql() -> str:
 
 
 ORACLE_SQL["doc_stratified_sample"] = _stratified_oracle_sql()
+
+
+PACK_SEQ_LEN = 512
+
+
+def doc_pack_sequences(sf_dir: str):
+    """Sequence packing (chunked concatenation): documents in doc_id order
+    are concatenated into fixed PACK_SEQ_LEN-token training sequences;
+    each doc reports the pack its first token lands in and its offset
+    there (docs may straddle packs — standard GPT-style pretraining
+    packing).
+
+    Distributed global prefix sum over the compact (doc_id, n_tokens)
+    table: coarse doc_id range buckets -> per-bucket token sums merged by
+    an associative tree reduce (no AllToAll) -> driver prefixes the tiny
+    per-bucket totals -> one in-bucket vectorized cumsum pass with the
+    bucket's base offset added. The corpus text is read once; only the
+    16-byte-per-doc count table flows twice (materialized before its two
+    consumers)."""
+    from .ops.shuffle import empty_frame
+    from .ops.text import RE2_WS_PATTERN
+
+    bucket_width = 1024  # docs per range bucket
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            batch["text"]
+            .fillna("")
+            .str.split(RE2_WS_PATTERN, regex=True)
+            .apply(lambda ws: sum(1 for w in ws if w))
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": toks.astype("int64"),
+                "bucket": (batch["doc_id"] // bucket_width).astype("int64"),
+            }
+        )
+
+    counts = ds.map_batches(counts_partial, batch_format="pandas").materialize()
+
+    # Per-bucket token totals: associative merge, driver prefix (tiny).
+    def sums_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if "bucket" not in batch.columns or batch.empty:
+            return empty_frame([("bucket", "int64"), ("total", "int64")])
+        out = batch.groupby("bucket", as_index=False).agg(total=("n_tokens", "sum"))
+        out["bucket"] = out["bucket"].astype("int64")
+        out["total"] = out["total"].astype("int64")
+        return out
+
+    def sums_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if "bucket" not in batch.columns or batch.empty:
+            return empty_frame([("bucket", "int64"), ("total", "int64")])
+        out = batch.groupby("bucket", as_index=False).agg(total=("total", "sum"))
+        out["bucket"] = out["bucket"].astype("int64")
+        out["total"] = out["total"].astype("int64")
+        return out
+
+    sums = (
+        counts.map_batches(sums_partial, batch_format="pandas")
+        .map_batches(sums_merge, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    totals = sums.groupby("bucket")["total"].sum().sort_index()
+    base = totals.cumsum().shift(fill_value=0).to_dict()  # bucket -> tokens before
+
+    def pack_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            ("doc_id", "int64"),
+            ("n_tokens", "int64"),
+            ("pack_id", "int64"),
+            ("offset_in_pack", "int64"),
+        ]
+        if "doc_id" not in group.columns or group.empty:
+            return empty_frame(cols)
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        start = int(base.get(int(g["bucket"].iloc[0]), 0)) + np.concatenate(
+            [[0], g["n_tokens"].to_numpy()[:-1].cumsum()]
+        )
+        g["pack_id"] = (start // PACK_SEQ_LEN).astype("int64")
+        g["offset_in_pack"] = (start % PACK_SEQ_LEN).astype("int64")
+        return g[["doc_id", "n_tokens", "pack_id", "offset_in_pack"]]
+
+    out = (
+        counts.groupby("bucket")
+        .map_groups(pack_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in [
+            ("doc_id", "int64"), ("n_tokens", "int64"),
+            ("pack_id", "int64"), ("offset_in_pack", "int64")]})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_pack_sequences"] = f"""
+    WITH counts AS (
+      SELECT doc_id,
+             length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS start
+      FROM counts
+    )
+    SELECT doc_id, n_tokens,
+           start // {PACK_SEQ_LEN} AS pack_id,
+           start % {PACK_SEQ_LEN} AS offset_in_pack
+    FROM pref ORDER BY doc_id
+"""

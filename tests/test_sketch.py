@@ -260,3 +260,19 @@ class TestStratifiedSample:
                 row["lang"], STRATIFIED_DEFAULT_PERMILLE
             )
             assert key < rate
+
+
+class TestSequencePacking:
+    def test_packing_invariants(self, ray_session):
+        from exstruct_ray.queries import PACK_SEQ_LEN, doc_pack_sequences
+
+        out = doc_pack_sequences("/root/testdata/sf0.001")
+        assert (out["offset_in_pack"] < PACK_SEQ_LEN).all()
+        # Chunked-concat contract: each doc starts exactly where the
+        # previous one's tokens end (global token stream, no padding).
+        start = out["pack_id"].to_numpy() * PACK_SEQ_LEN + out[
+            "offset_in_pack"
+        ].to_numpy()
+        expected = np.concatenate([[0], out["n_tokens"].to_numpy()[:-1].cumsum()])
+        assert (start == expected).all()
+        assert out["pack_id"].is_monotonic_increasing
