@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bloom_decontaminate": q.doc_bloom_decontaminate,
         "doc_stratified_sample": q.doc_stratified_sample,
         "doc_pack_sequences": q.doc_pack_sequences,
+        "embedding_quantize_int8": q.embedding_quantize_int8,
     }
 
 

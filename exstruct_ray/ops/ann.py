@@ -508,3 +508,80 @@ def lsh_buckets(ds, dim: int, num_planes: int = 16, concurrency=None):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization (the embedding-table compression lever)
+# ---------------------------------------------------------------------------
+
+QUANT_SCALE = 1_000_000.0  # micro-units — same idiom as ops.kmeans
+QUANT_LEVELS = 254  # -127..+127
+
+
+def quantize_embeddings_int8(ds, dim: int = 64):
+    """Per-dimension scalar int8 quantization of an embedding column —
+    the standard 4× compression applied before an embedding table rides
+    a shuffle or leaves the cluster (float32[64] → int8[64]).
+
+    Pass 1 computes per-dimension (min, max) in micro-units (np.rint ≡
+    DuckDB round_even, the ops.kmeans idiom) as per-batch 64-row
+    partials merged by an associative tree-reduce map stage — no
+    AllToAll; the driver folds the collapsed remainder. Pass 2 maps
+    each value to -127 + ((v - lo) * 254) // (hi - lo) — all-integer
+    floor arithmetic, so the SQL oracle reproduces every code exactly
+    (constant dims degrade to 0). Output schema: (vec_id, q int8[dim]).
+    """
+    import pandas as pd
+
+    def to_micro(mat: np.ndarray) -> np.ndarray:
+        return np.rint(mat.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+
+    def range_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = to_micro(np.asarray([np.asarray(v) for v in batch["embedding"]]))
+        return pd.DataFrame(
+            {
+                "dim": np.arange(dim, dtype=np.int64),
+                "lo": mat.min(axis=0).astype(np.int64),
+                "hi": mat.max(axis=0).astype(np.int64),
+            }
+        )
+
+    def range_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if "dim" not in batch.columns or batch.empty:
+            return pd.DataFrame(
+                {
+                    "dim": pd.Series(dtype="int64"),
+                    "lo": pd.Series(dtype="int64"),
+                    "hi": pd.Series(dtype="int64"),
+                }
+            )
+        out = batch.groupby("dim", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max")
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    ranges = (
+        ds.map_batches(range_partial, batch_format="pandas")
+        .map_batches(range_merge, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    final = ranges.groupby("dim").agg(lo=("lo", "min"), hi=("hi", "max"))
+    lo = final["lo"].reindex(range(dim)).to_numpy(dtype=np.int64)
+    hi = final["hi"].reindex(range(dim)).to_numpy(dtype=np.int64)
+    span = hi - lo
+
+    def quantize(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = to_micro(np.asarray([np.asarray(v) for v in batch["embedding"]]))
+        q = np.zeros_like(mat)
+        nz = span > 0
+        q[:, nz] = -127 + ((mat[:, nz] - lo[nz]) * QUANT_LEVELS) // span[nz]
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64"),
+                "q": list(q.astype(np.int8)),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pandas")

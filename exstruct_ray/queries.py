@@ -2896,3 +2896,43 @@ ORACLE_SQL["doc_pack_sequences"] = f"""
            start % {PACK_SEQ_LEN} AS offset_in_pack
     FROM pref ORDER BY doc_id
 """
+
+
+def embedding_quantize_int8(sf_dir: str):
+    """Scalar int8 quantization of the embedding table (compression before
+    the table rides any exchange). The op keeps the list<int8> layout; the
+    query explodes to (vec_id, dim, q) long form so every code is
+    hash-verified against the SQL mirror."""
+    from .ops.ann import quantize_embeddings_int8
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantize_embeddings_int8(ds, dim=64).to_pandas()
+    rows = pd.DataFrame(
+        {
+            "vec_id": np.repeat(out["vec_id"].to_numpy(), 64),
+            "dim": np.tile(np.arange(64, dtype=np.int64), len(out)),
+            "q": np.concatenate([np.asarray(v, dtype=np.int64) for v in out["q"]]),
+        }
+    )
+    for c in rows.columns:
+        rows[c] = rows[c].astype("int64")
+    return rows.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+ORACLE_SQL["embedding_quantize_int8"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT unnest(range(1, 65)) AS d),
+    vals AS (
+      SELECT vec_id, d,
+             CAST(round_even(v[d] * 1000000, 0) AS BIGINT) AS vi
+      FROM e CROSS JOIN dims
+    ),
+    rng AS (SELECT d, min(vi) AS lo, max(vi) AS hi FROM vals GROUP BY 1)
+    SELECT v.vec_id,
+           v.d - 1 AS dim,
+           CASE WHEN r.hi > r.lo
+                THEN -127 + (v.vi - r.lo) * 254 // (r.hi - r.lo)
+                ELSE 0 END AS q
+    FROM vals v JOIN rng r USING (d)
+    ORDER BY vec_id, dim
+"""

@@ -276,3 +276,36 @@ class TestSequencePacking:
         expected = np.concatenate([[0], out["n_tokens"].to_numpy()[:-1].cumsum()])
         assert (start == expected).all()
         assert out["pack_id"].is_monotonic_increasing
+
+
+class TestInt8Quantization:
+    def test_codes_in_range_and_reconstruction(self, ray_session):
+        import ray.data
+
+        from exstruct_ray.ops.ann import QUANT_LEVELS, quantize_embeddings_int8
+
+        rng = np.random.default_rng(13)
+        vecs = rng.normal(0, 1, size=(300, 64)).astype(np.float32)
+        df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(vecs)})
+        out = quantize_embeddings_int8(ray.data.from_pandas(df), dim=64).to_pandas()
+        q = np.stack([np.asarray(v, dtype=np.int64) for v in out["q"]])
+        assert q.min() >= -127 and q.max() <= 127
+        # Reconstruction: de-quantized values within one quantization step.
+        order = out["vec_id"].to_numpy().argsort()
+        q = q[order]
+        vi = np.rint(vecs.astype(np.float64) * 1e6).astype(np.int64)
+        lo, hi = vi.min(axis=0), vi.max(axis=0)
+        span = (hi - lo).astype(np.float64)
+        recon = lo + (q + 127) * span / QUANT_LEVELS
+        step = span / QUANT_LEVELS
+        assert (np.abs(recon - vi) <= step + 1).all()
+
+    def test_constant_dimension_degrades_to_zero(self, ray_session):
+        import ray.data
+
+        from exstruct_ray.ops.ann import quantize_embeddings_int8
+
+        vecs = np.ones((10, 64), dtype=np.float32) * 0.5
+        df = pd.DataFrame({"vec_id": np.arange(10), "embedding": list(vecs)})
+        out = quantize_embeddings_int8(ray.data.from_pandas(df), dim=64).to_pandas()
+        assert all((np.asarray(v) == 0).all() for v in out["q"])
