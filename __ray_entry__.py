@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": q.doc_stratified_sample,
         "doc_pack_sequences": q.doc_pack_sequences,
         "embedding_quantize_int8": q.embedding_quantize_int8,
+        "events_user_hll_by_type": q.events_user_hll_by_type,
     }
 
 

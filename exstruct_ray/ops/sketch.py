@@ -593,3 +593,83 @@ def bloom_decontaminate(ds, bloom_ref, n: int = 3):
         concurrency=_default_concurrency(),
         num_cpus=1,
     )
+
+
+def hll_group_distinct(ds, group_col: str, value_col: str) -> pd.DataFrame:
+    """Per-group distinct-count estimation with HLL registers as the
+    mergeable combiner: each batch emits (group, bucket, max-rho) partials
+    — ≤ m tiny rows per group per batch regardless of how many values the
+    batch held — and the group shuffle moves ONLY those registers, never
+    the values. The estimator finalizes inside each group's map_groups
+    task (no driver reduce at all). This is the pre-aggregate-before-
+    shuffle rule applied to a sketch: the exact-distinct alternative
+    ships every distinct value through the exchange.
+
+    Values are hashed as str(int(v)) — the CAST(v AS VARCHAR) idiom the
+    SQL oracle mirrors for integer columns.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        regs: dict[tuple, int] = {}
+        for g, v in zip(batch[group_col], batch[value_col]):
+            h = _md5_top64(str(int(v)))
+            bucket, rho = _hll_bucket_rho(h)
+            key = (g, bucket)
+            prev = regs.get(key)
+            if prev is None or rho > prev:
+                regs[key] = rho
+        if not regs:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series(dtype="object"),
+                    "bucket": pd.Series(dtype="int64"),
+                    "rho": pd.Series(dtype="int64"),
+                }
+            )
+        groups, buckets = zip(*regs.keys())
+        return pd.DataFrame(
+            {
+                group_col: pd.Series(groups, dtype="object"),
+                "bucket": pd.Series(buckets, dtype="int64"),
+                "rho": pd.Series(list(regs.values()), dtype="int64"),
+            }
+        )
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        if group_col not in group.columns or group.empty:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series(dtype="object"),
+                    "v_empty": pd.Series(dtype="int64"),
+                    "estimate": pd.Series(dtype="int64"),
+                }
+            )
+        registers = np.zeros(HLL_M, dtype=np.int64)
+        maxes = group.groupby("bucket")["rho"].max()
+        registers[maxes.index.to_numpy(dtype=np.int64)] = maxes.to_numpy(
+            dtype=np.int64
+        )
+        row = hll_estimate_from_registers(registers)
+        return pd.DataFrame(
+            {
+                group_col: [group[group_col].iloc[0]],
+                "v_empty": pd.Series([row["v_empty"]], dtype="int64"),
+                "estimate": pd.Series([row["estimate"]], dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    if group_col not in out.columns:
+        return pd.DataFrame(
+            {
+                group_col: pd.Series(dtype="object"),
+                "v_empty": pd.Series(dtype="int64"),
+                "estimate": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(group_col).reset_index(drop=True)

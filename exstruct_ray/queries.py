@@ -2936,3 +2936,70 @@ ORACLE_SQL["embedding_quantize_int8"] = """
     FROM vals v JOIN rng r USING (d)
     ORDER BY vec_id, dim
 """
+
+
+def events_user_hll_by_type(sf_dir: str):
+    """Distinct users per event type via per-group HLL registers — the
+    sketch used as a mergeable groupby combiner: only (group, bucket,
+    max-rho) partials ride the shuffle, never user ids, and the integer
+    estimator finalizes inside each group's task. Linear-counting branch
+    exercised here (150 users/type << 2.5m); generated SQL recomputes
+    registers and estimates per group bit-for-bit."""
+    from .ops.sketch import hll_group_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_group_distinct(ds, "event_type", "user_id")
+
+
+def _hll_group_oracle_sql() -> str:
+    from .ops.sketch import HLL_ALPHA_1E6, HLL_LN_1E6, HLL_M, HLL_SUFFIX_BITS
+
+    ln_values = ", ".join(f"({v}, {HLL_LN_1E6[v]})" for v in range(1, HLL_M + 1))
+    top = HLL_SUFFIX_BITS + 1
+    return f"""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16)
+                  AS UBIGINT) AS h
+      FROM u
+    ),
+    reg AS (
+      SELECT event_type,
+             CAST(h >> {HLL_SUFFIX_BITS} AS BIGINT) AS bucket,
+             max(CASE WHEN (h & ((CAST(1 AS UBIGINT) << {HLL_SUFFIX_BITS}) - 1)) = 0
+                      THEN {top}
+                      ELSE {HLL_SUFFIX_BITS}
+                           - length(bin(h & ((CAST(1 AS UBIGINT) << {HLL_SUFFIX_BITS}) - 1)))
+                           + 1 END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             count(*) AS n_nonzero,
+             sum(CAST(1 AS HUGEINT)
+                 * (CAST(1 AS BIGINT) << ({top} - rho))) AS s_nonzero
+      FROM reg GROUP BY 1
+    ),
+    raw AS (
+      SELECT event_type,
+             {HLL_M} - n_nonzero AS v_empty,
+             (CAST({HLL_ALPHA_1E6} AS HUGEINT) * {HLL_M} * {HLL_M}
+              * (CAST(1 AS HUGEINT) * (CAST(1 AS BIGINT) << {top})))
+             // ((s_nonzero + ({HLL_M} - n_nonzero)
+                  * (CAST(1 AS HUGEINT) * (CAST(1 AS BIGINT) << {top})))
+                 * 1000000) AS e_raw
+      FROM agg
+    ),
+    lt(v, ln_1e6) AS (VALUES {ln_values})
+    SELECT raw.event_type,
+           CAST(raw.v_empty AS BIGINT) AS v_empty,
+           CAST(CASE WHEN raw.v_empty > 0 AND 2 * raw.e_raw <= 5 * {HLL_M}
+                THEN ({HLL_M} * CAST(lt.ln_1e6 AS HUGEINT)) // 1000000
+                ELSE raw.e_raw END AS BIGINT) AS estimate
+    FROM raw LEFT JOIN lt ON lt.v = raw.v_empty
+    ORDER BY event_type
+"""
+
+
+ORACLE_SQL["events_user_hll_by_type"] = _hll_group_oracle_sql()

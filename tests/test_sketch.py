@@ -309,3 +309,25 @@ class TestInt8Quantization:
         df = pd.DataFrame({"vec_id": np.arange(10), "embedding": list(vecs)})
         out = quantize_embeddings_int8(ray.data.from_pandas(df), dim=64).to_pandas()
         assert all((np.asarray(v) == 0).all() for v in out["q"])
+
+
+class TestGroupedHLL:
+    def test_per_group_estimates_near_exact(self, ray_session):
+        import ray.data
+
+        from exstruct_ray.ops.sketch import hll_group_distinct
+
+        rng = np.random.default_rng(21)
+        rows = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], size=5_000),
+                "v": rng.integers(0, 400, size=5_000),
+            }
+        )
+        out = hll_group_distinct(ray.data.from_pandas(rows), "g", "v")
+        exact = rows.groupby("g")["v"].nunique()
+        assert list(out["g"]) == ["a", "b", "c"]
+        for _, r in out.iterrows():
+            e = int(exact[r["g"]])
+            # linear-counting regime: tight bound
+            assert abs(int(r["estimate"]) - e) / e < 0.1
