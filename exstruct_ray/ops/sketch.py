@@ -610,8 +610,12 @@ def hll_group_distinct(ds, group_col: str, value_col: str) -> pd.DataFrame:
     """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # Dedup (group, value) pairs BEFORE hashing: md5 (oracle-parity
+        # hash) is inherently per-item, so the loop must be bounded by
+        # distinct pairs per batch, not rows.
+        pairs = batch[[group_col, value_col]].drop_duplicates()
         regs: dict[tuple, int] = {}
-        for g, v in zip(batch[group_col], batch[value_col]):
+        for g, v in zip(pairs[group_col], pairs[value_col]):
             h = _md5_top64(str(int(v)))
             bucket, rho = _hll_bucket_rho(h)
             key = (g, bucket)
