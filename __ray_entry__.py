@@ -217,12 +217,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": q.embedding_kmeans,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
         "embedding_neardup_lsh": q.embedding_neardup_lsh,
+        "embedding_semdedup": q.embedding_semdedup,
         # Joins / windows / sessions
         "lineitem_join_orders": q.lineitem_join_orders,
         "supplier_balance_by_region": q.supplier_balance_by_region,
         "orders_running_total": q.orders_running_total,
         "events_sessionize": q.events_sessionize,
         "doc_quality_filter": q.doc_quality_filter,
+        "doc_gopher_quality": q.doc_gopher_quality,
+        "doc_duplicated_spans": q.doc_duplicated_spans,
+        "doc_lm_rarity": q.doc_lm_rarity,
         "pii_redact": q.pii_redact,
         "doc_decontaminate": q.doc_decontaminate,
         "doc_streaming_dedup": q.doc_streaming_dedup,

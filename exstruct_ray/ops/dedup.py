@@ -22,6 +22,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import zlib
 
@@ -914,3 +915,131 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
         return 1.0
     union = len(sa | sb)
     return len(sa & sb) / union if union else 0.0
+
+
+def duplicated_ngram_spans(ds, n: int = 5, n_buckets: int = 512):
+    """Exact duplicated-substring spans, word-n-gram granularity.
+
+    The distributed analogue of ExactSubstr dedup ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022): find every word
+    n-gram that occurs >= 2 times ANYWHERE in the corpus (within- or
+    cross-document), and emit per-document word-index intervals covering
+    all duplicated occurrences — the spans a dedup pass would cut. The
+    suffix-array of the paper is replaced by a hash-join over n-gram keys,
+    which finds the same fixed-length duplications with two bounded
+    shuffles instead of a global sort.
+
+    Stage shape (both shuffles on coarse buckets, the engine's micro-group
+    convention):
+      1. map_batches: RE2-whitespace tokenize, md5-key each n-gram, ship
+         (gram_key, doc_id, pos) triples — no gram text on the wire.
+      2. groupby(gram-key bucket): exact per-key occurrence count in-group;
+         keys with count >= 2 emit their (doc_id, pos) hits.
+      3. groupby(doc bucket): per-doc sort + vectorized gaps-and-islands
+         merge of [pos, pos+n) intervals (touching intervals merge).
+
+    Output: (doc_id, start_word, end_word) — end exclusive, 0-based word
+    indices under the oracle's tokenization. md5 keying makes a false
+    merge cryptographically negligible (and the oracle hashes identically,
+    so the check would catch one)."""
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "gram_key": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "pos": pd.Series(dtype="int64"),
+                "gbucket": pd.Series(dtype="int64"),
+            }
+        )
+        tokens = (
+            batch["text"].fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
+        )
+        exploded = tokens.reset_index(drop=True).explode().dropna()
+        if not len(exploded):
+            return empty
+        wdf = pd.DataFrame(
+            {"i": exploded.index.to_numpy(), "w": exploded.to_numpy()}
+        )
+        wdf["pos"] = wdf.groupby("i").cumcount()
+        gram = wdf["w"].copy()
+        grouped = wdf.groupby("i")["w"]
+        for shift in range(1, n):
+            gram = gram + " " + grouped.shift(-shift)
+        wdf["gram"] = gram
+        grams = wdf.dropna(subset=["gram"])
+        if not len(grams):
+            return empty
+        doc_ids = (
+            batch["doc_id"].reset_index(drop=True).to_numpy(dtype=np.int64)
+        )
+        # the only scalar work is the md5 digest per gram (C-call loop)
+        keys = [
+            hashlib.md5(g.encode("utf-8")).hexdigest()
+            for g in grams["gram"].to_numpy()
+        ]
+        return pd.DataFrame(
+            {
+                "gram_key": pd.Series(keys, dtype="object"),
+                "doc_id": doc_ids[grams["i"].to_numpy()],
+                "pos": grams["pos"].to_numpy(dtype=np.int64),
+                "gbucket": pd.Series(
+                    [int(k[:4], 16) % n_buckets for k in keys], dtype="int64"
+                ),
+            }
+        )
+
+    grams = ds.map_batches(gram_rows, batch_format="pandas")
+
+    def dup_hits(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "pos": pd.Series(dtype="int64"),
+                "dbucket": pd.Series(dtype="int64"),
+            }
+        )
+        if "gram_key" not in group.columns or len(group) == 0:
+            return empty
+        counts = group.groupby("gram_key")["gram_key"].transform("size")
+        hits = group.loc[counts >= 2, ["doc_id", "pos"]]
+        if not len(hits):
+            return empty
+        hits = hits.copy()
+        hits["dbucket"] = (hits["doc_id"] % 64).astype("int64")
+        return hits.reset_index(drop=True)
+
+    hits = grams.groupby("gbucket").map_groups(dup_hits, batch_format="pandas")
+
+    def merge_intervals(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "start_word": pd.Series(dtype="int64"),
+                "end_word": pd.Series(dtype="int64"),
+            }
+        )
+        if "doc_id" not in group.columns or len(group) == 0:
+            return empty
+        g = group.sort_values(["doc_id", "pos"])
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        new_doc = np.empty(len(g), dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = doc[1:] != doc[:-1]
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = pos[1:] - pos[:-1] > n
+        brk = new_doc | gap
+        gid = np.cumsum(brk)
+        f = pd.DataFrame({"doc_id": doc, "pos": pos, "gid": gid})
+        agg = f.groupby("gid").agg(
+            doc_id=("doc_id", "first"),
+            start_word=("pos", "min"),
+            end_word=("pos", "max"),
+        )
+        agg["end_word"] += n
+        return agg.reset_index(drop=True)[["doc_id", "start_word", "end_word"]]
+
+    return hits.groupby("dbucket").map_groups(
+        merge_intervals, batch_format="pandas"
+    )

@@ -127,11 +127,13 @@ def kmeans_fit(
     return centroids, counts
 
 
-def kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
-    """DuckDB SQL recomputing the identical k-means run — integer μ-unit
-    arithmetic, round_even quantization, ROW_NUMBER tie-break, FLOOR
-    centroid updates, COALESCE empty-cluster carryover. Output one row per
-    (cluster_id, dim_idx): the final centroids + final-assignment sizes.
+def kmeans_chain_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> tuple[str, str, str]:
+    """The shared k-means CTE chain (quantize → iterate assign/update).
+
+    Returns ``(with_clause_body, final_centroid_cte, final_assign_cte)`` so
+    downstream oracles (the k-means check itself, SemDeDup) can extend the
+    chain instead of duplicating it. The body starts with ``WITH`` and ends
+    after the last centroid CTE — append ``,`` + more CTEs or a SELECT.
     """
     scale = f"{KMEANS_SCALE:.1f}"
     parts = [
@@ -186,18 +188,202 @@ def kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
     )"""
         )
         prev = f"c{it}"
-    parts.append(
-        f"""
+    return "".join(parts), prev, f"a{n_iter}"
+
+
+def kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """DuckDB SQL recomputing the identical k-means run — integer μ-unit
+    arithmetic, round_even quantization, ROW_NUMBER tie-break, FLOOR
+    centroid updates, COALESCE empty-cluster carryover. Output one row per
+    (cluster_id, dim_idx): the final centroids + final-assignment sizes.
+    """
+    chain, final_c, final_a = kmeans_chain_sql(k=k, n_iter=n_iter, dim=dim)
+    return (
+        chain
+        + f"""
     SELECT c.cluster_id,
            d.i - 1 AS dim_idx,
            c.c[d.i] AS centroid_q,
            COALESCE(n.n, 0) AS n_members
-    FROM {prev} c
+    FROM {final_c} c
     CROSS JOIN dims d
     LEFT JOIN (
-      SELECT cluster_id, COUNT(*) AS n FROM a{n_iter} GROUP BY 1
+      SELECT cluster_id, COUNT(*) AS n FROM {final_a} GROUP BY 1
     ) n ON n.cluster_id = c.cluster_id
     ORDER BY c.cluster_id, dim_idx
     """
     )
-    return "".join(parts)
+
+
+def semdedup_oracle_sql(
+    k: int = 4,
+    n_iter: int = 3,
+    dim: int = 64,
+    tau_num: int = 361,
+    tau_den: int = 2500,
+) -> str:
+    """DuckDB SQL recomputing the SemDeDup run bit-for-bit.
+
+    Extends the k-means chain with one more assignment round against the
+    FINAL centroids (matching the Ray side, which assigns with the fitted
+    centroids), per-vector integer squared norms, in-cluster pairwise
+    integer dot products, and the sqrt-free cosine threshold
+    ``dot > 0 AND dot^2 * tau_den >= tau_num * |a|^2 * |b|^2`` evaluated in
+    HUGEINT (dot^2 exceeds int64). A vector is pruned iff a smaller-id
+    near-duplicate shares its cluster.
+    """
+    chain, final_c, _ = kmeans_chain_sql(k=k, n_iter=n_iter, dim=dim)
+    return (
+        chain
+        + f""",
+    dfin AS (
+      SELECT q.vec_id, p.cluster_id,
+             list_sum([(q.qe[i] - p.c[i]) * (q.qe[i] - p.c[i])
+                       for i in range(1, {dim + 1})]) AS dist
+      FROM q CROSS JOIN {final_c} p
+    ),
+    afin AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster_id) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    ),
+    av AS (
+      SELECT a.vec_id, a.cluster_id, q.qe,
+             list_sum([q.qe[i] * q.qe[i]
+                       for i in range(1, {dim + 1})]) AS n2
+      FROM afin a JOIN q USING (vec_id)
+    ),
+    neardup AS (
+      SELECT b.vec_id
+      FROM av a JOIN av b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_sum([a.qe[i] * b.qe[i]
+                      for i in range(1, {dim + 1})]) > 0
+        AND CAST(list_sum([a.qe[i] * b.qe[i]
+                           for i in range(1, {dim + 1})]) AS HUGEINT)
+            * list_sum([a.qe[i] * b.qe[i] for i in range(1, {dim + 1})])
+            * {tau_den}
+            >= CAST({tau_num} AS HUGEINT) * a.n2 * b.n2
+    )
+    SELECT av.vec_id, av.cluster_id,
+           CAST(CASE WHEN nd.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM av
+    LEFT JOIN (SELECT DISTINCT vec_id FROM neardup) nd USING (vec_id)
+    ORDER BY av.vec_id
+    """
+    )
+
+
+def semdedup(
+    ds,
+    k: int = 4,
+    n_iter: int = 3,
+    dim: int = 64,
+    tau_num: int = 361,
+    tau_den: int = 2500,
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the
+    embeddings, then prune near-identical vectors inside each cluster.
+
+    Pruning rule (deterministic analogue of the paper's one-per-epsilon-
+    ball): a vector is pruned iff a SMALLER-id vector in the same final
+    cluster has cosine similarity >= tau (tau^2 = tau_num/tau_den; the
+    default 361/2500 = 0.38^2 matches embedding_neardup_pairs). The
+    comparison is sqrt-free and integer-exact on the mu-unit quantized
+    vectors: ``dot > 0 AND dot^2 * tau_den >= tau_num * |a|^2 * |b|^2`` —
+    evaluated in float64 with a relative-margin band and an arbitrary-
+    precision integer recheck for pairs inside the band, so the verdict is
+    bit-identical to the oracle's HUGEINT arithmetic.
+
+    Scale shape: the k-means fit is shuffle-free passes; assignment is one
+    more pass; the quadratic pairwise step happens INSIDE each cluster
+    after a cluster-keyed shuffle. The partitioning assumption (same as
+    the paper, which used k = 11k clusters for LAION) is that k is sized
+    so the largest cluster fits one worker — in-cluster O(n^2/k^2) work is
+    the algorithm's intrinsic cost, not an engine artifact. Returns one
+    row per vector: (vec_id, cluster_id, keep).
+    """
+    import ray
+
+    centroids, _ = kmeans_fit(ds, k=k, n_iter=n_iter, dim=dim)
+    ref = ray.put(centroids)
+
+    def assign_final(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        cents = ray.get(_ref)
+        q = quantize_embeddings(
+            np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        )
+        labels = _assign(q, cents)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64").reset_index(drop=True),
+                "cluster_id": pd.Series(labels, dtype="int64"),
+                "qe": pd.Series([row.tolist() for row in q], dtype="object"),
+            }
+        )
+
+    assigned = ds.map_batches(assign_final, batch_format="pandas")
+
+    def prune_group(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cluster_id": pd.Series(dtype="int64"),
+                "keep": pd.Series(dtype="int64"),
+            }
+        )
+        # zero-column blocks appear for hash partitions with no groups
+        if "vec_id" not in group.columns or len(group) == 0:
+            return empty
+        ids = group["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = np.stack(
+            [
+                np.asarray(v, dtype=np.int64)
+                for v in group["qe"].to_numpy()[order]
+            ]
+        )
+        dots = q @ q.T  # <= dim * (|qe|max)^2 — int64-safe at mu-scale
+        norms2 = np.einsum("ij,ij->i", q, q)
+        n2f = norms2.astype(np.float64)
+        lhs = (dots.astype(np.float64) ** 2) * float(tau_den)
+        rhs = float(tau_num) * np.outer(n2f, n2f)
+        diff = lhs - rhs
+        margin = 1e-12 * np.maximum(lhs, rhs)
+        near = (dots > 0) & (diff >= margin)
+        unsure = (dots > 0) & (np.abs(diff) < margin)
+        if unsure.any():
+            for a, b in zip(*np.nonzero(unsure)):
+                d = int(dots[a, b])
+                near[a, b] = (
+                    d * d * tau_den >= tau_num * int(norms2[a]) * int(norms2[b])
+                )
+        pruned = np.tril(near, k=-1).any(axis=1)  # ids ascending → cols < row
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": group["cluster_id"].to_numpy(dtype=np.int64)[
+                    order
+                ],
+                "keep": (~pruned).astype(np.int64),
+            }
+        )
+
+    out = assigned.groupby("cluster_id").map_groups(
+        prune_group, batch_format="pandas"
+    ).to_pandas()
+    if "vec_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cluster_id": pd.Series(dtype="int64"),
+                "keep": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -311,3 +311,259 @@ def rolling_fingerprints(text: str, window: int = 32, base: int = 257, mod: int 
             out.append(h)
             h = (h - data[i - window + 1] * power) % mod
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality signals
+# ---------------------------------------------------------------------------
+
+# Public-knowledge heuristics from "Scaling Language Models: Methods,
+# Analysis & Insights from Training Gopher" (Rae et al. 2021, appendix A —
+# the repetition-removal subset of the quality-filter rules): documents with
+# a high fraction of duplicate lines, characters inside duplicate lines,
+# characters covered by the single most frequent word 2-gram, bullet-point
+# lines, or ellipsis-terminated lines are boilerplate/spam-like and are
+# dropped before training. All signals below are pure integer counts so the
+# SQL oracle mirrors them exactly (no float thresholds — keep decisions use
+# integer cross-multiplication).
+GOPHER_BULLET_PATTERN = r"^[-*•] "
+GOPHER_ELLIPSIS_PATTERN = r"(?:\.\.\.|…)$"
+
+
+def gopher_signals_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-document repetition signals, fully vectorized (explode + groupby
+    over the in-batch line/word tables; no Python loop over rows).
+
+    Definitions (shared verbatim with the SQL oracle):
+      - a line is every ``\\n``-delimited segment (empty segments count in
+        ``n_lines`` but are excluded from duplicate counting);
+      - a line is *duplicate* when its exact text occurs >= 2 times in the
+        document; ``n_dup_lines``/``dup_line_chars`` count ALL occurrences;
+      - ``top2gram_chars`` = occurrences x character length of the most
+        frequent lowercased word 2-gram (ties broken by lexicographically
+        smallest gram; ASCII-whitespace tokenization, RE2 ``\\s`` parity);
+      - ``keep`` applies the Gopher thresholds as integer inequalities:
+        dup-line fraction < 0.30, dup-line char fraction < 0.20, top-2-gram
+        char fraction < 0.20, bullet-line fraction < 0.90, ellipsis-line
+        fraction < 0.30.
+    """
+    text = batch["text"].fillna("").reset_index(drop=True)
+    n = len(text)
+    n_chars = text.str.len().to_numpy(dtype=np.int64, na_value=0)
+
+    lines = text.str.split("\n")
+    n_lines = lines.str.len().to_numpy(dtype=np.int64, na_value=0)
+    exploded = lines.explode()
+    ldf = pd.DataFrame(
+        {"i": exploded.index.to_numpy(), "line": exploded.to_numpy()}
+    )
+
+    dup_lines = np.zeros(n, dtype=np.int64)
+    dup_chars = np.zeros(n, dtype=np.int64)
+    nonempty = ldf[ldf["line"] != ""]
+    if len(nonempty):
+        cnt = (
+            nonempty.groupby(["i", "line"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        dup = cnt[cnt["c"] >= 2]
+        if len(dup):
+            per_doc = dup.groupby("i")["c"].sum()
+            dup_lines[per_doc.index.to_numpy()] = per_doc.to_numpy()
+            chars = (dup["c"] * dup["line"].str.len()).groupby(dup["i"]).sum()
+            dup_chars[chars.index.to_numpy()] = chars.to_numpy()
+
+    n_bullet = np.zeros(n, dtype=np.int64)
+    n_ellipsis = np.zeros(n, dtype=np.int64)
+    if len(ldf):
+        bullet = (
+            ldf["line"]
+            .str.contains(GOPHER_BULLET_PATTERN, regex=True)
+            .groupby(ldf["i"])
+            .sum()
+        )
+        n_bullet[bullet.index.to_numpy()] = bullet.to_numpy(dtype=np.int64)
+        ellipsis = (
+            ldf["line"]
+            .str.contains(GOPHER_ELLIPSIS_PATTERN, regex=True)
+            .groupby(ldf["i"])
+            .sum()
+        )
+        n_ellipsis[ellipsis.index.to_numpy()] = ellipsis.to_numpy(
+            dtype=np.int64
+        )
+
+    top2 = np.zeros(n, dtype=np.int64)
+    words = text.str.lower().str.findall(r"[^\t\n\f\r ]+")
+    wexp = words.explode().dropna()
+    if len(wexp):
+        wdf = pd.DataFrame({"i": wexp.index.to_numpy(), "w": wexp.to_numpy()})
+        wdf["w2"] = wdf.groupby("i")["w"].shift(-1)
+        grams = wdf.dropna(subset=["w2"])
+        if len(grams):
+            gdf = pd.DataFrame(
+                {
+                    "i": grams["i"].to_numpy(),
+                    "g": (grams["w"] + " " + grams["w2"]).to_numpy(),
+                }
+            )
+            counts = (
+                gdf.groupby(["i", "g"], sort=False).size().reset_index(name="c")
+            )
+            best = counts.sort_values(
+                ["i", "c", "g"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            ).drop_duplicates("i")
+            top2[best["i"].to_numpy()] = (
+                best["c"] * best["g"].str.len()
+            ).to_numpy()
+
+    keep = (
+        (dup_lines * 10 < n_lines * 3)
+        & (dup_chars * 10 < n_chars * 2)
+        & (top2 * 10 < n_chars * 2)
+        & (n_bullet * 10 < n_lines * 9)
+        & (n_ellipsis * 10 < n_lines * 3)
+    ).astype(np.int64)
+
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].reset_index(drop=True).astype("int64"),
+            "n_lines": n_lines,
+            "n_dup_lines": dup_lines,
+            "dup_line_chars": dup_chars,
+            "top2gram_chars": top2,
+            "n_bullet_lines": n_bullet,
+            "n_ellipsis_lines": n_ellipsis,
+            "keep": keep,
+        }
+    )
+
+
+def gopher_quality(ds):
+    """Gopher repetition signals + keep flag per document — embarrassingly
+    parallel (per-doc, no shuffle); one vectorized map_batches stage."""
+    return ds.map_batches(gopher_signals_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM rarity scoring (CCNet-style quality proxy)
+# ---------------------------------------------------------------------------
+
+LM_RARITY_SCALE = 1_000_000_000_000  # 1e12: integer per-token rarity units
+
+
+def corpus_token_counts(ds, n_buckets: int = 256) -> pd.DataFrame:
+    """Corpus-wide token -> count, the unigram LM table.
+
+    Same shape as the vocabulary pipeline: vectorized in-batch partial
+    counts (explode + value_counts), one coarse token-hash bucket shuffle,
+    exact merge in-group. The result is vocabulary-sized — the broadcast
+    small side for scoring passes. At web scale, truncate to the top-V
+    rows before broadcasting (rarity of a dropped token is then the
+    max-rarity default); at sandbox scale the full table ships.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tokens = (
+            batch["text"]
+            .fillna("")
+            .str.lower()
+            .str.findall(r"[^\t\n\f\r ]+")
+            .explode()
+            .dropna()
+        )
+        if not len(tokens):
+            return pd.DataFrame(
+                {
+                    "token": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int64"),
+                }
+            )
+        counts = tokens.value_counts()
+        out = pd.DataFrame(
+            {"token": counts.index, "n": counts.to_numpy(dtype=np.int64)}
+        )
+        # zlib.crc32 — deterministic across worker processes (builtin
+        # hash() is per-process salted and would split a token's partial
+        # counts across buckets)
+        import zlib
+
+        out["bucket"] = (
+            out["token"]
+            .map(lambda t: zlib.crc32(t.encode("utf-8")) % n_buckets)
+            .astype("int64")
+        )
+        return out
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        if "token" not in group.columns or len(group) == 0:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        agg = group.groupby("token", sort=False)["n"].sum().reset_index()
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def lm_rarity_scores(ds, counts_ref) -> "object":
+    """Per-document unigram rarity: sum over tokens of
+    ``LM_RARITY_SCALE // corpus_count(token)`` plus the floor mean.
+
+    All-integer (floor division) so the SQL oracle is a hash check; the
+    monotone-decreasing count transform is the sqrt/log-free analogue of
+    negative log-likelihood — rare-token-heavy documents (typos, junk,
+    boilerplate IDs) score high, exactly the signal CCNet's LM perplexity
+    filter thresholds on. ``counts_ref`` is a ray.put broadcast of the
+    token->count table (read per task from the local object store)."""
+    import ray
+
+    def score(batch: pd.DataFrame, _ref=counts_ref) -> pd.DataFrame:
+        counts: pd.Series = ray.get(_ref)
+        tokens = (
+            batch["text"]
+            .fillna("")
+            .str.lower()
+            .str.findall(r"[^\t\n\f\r ]+")
+        )
+        exploded = tokens.reset_index(drop=True).explode().dropna()
+        n = len(batch)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        rarity = np.zeros(n, dtype=np.int64)
+        if len(exploded):
+            per_tok = (
+                LM_RARITY_SCALE
+                // exploded.map(counts).to_numpy(dtype=np.int64)
+            )
+            idx = exploded.index.to_numpy()
+            np.add.at(rarity, idx, per_tok)
+            cnt = pd.Series(idx).value_counts()
+            n_tokens[cnt.index.to_numpy()] = cnt.to_numpy(dtype=np.int64)
+        mean = np.zeros(n, dtype=np.int64)
+        nz = n_tokens > 0
+        mean[nz] = rarity[nz] // n_tokens[nz]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].reset_index(drop=True).astype(
+                    "int64"
+                ),
+                "n_tokens": n_tokens,
+                "rarity_sum": rarity,
+                "mean_rarity": mean,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -3003,3 +3003,216 @@ def _hll_group_oracle_sql() -> str:
 
 
 ORACLE_SQL["events_user_hll_by_type"] = _hll_group_oracle_sql()
+
+
+def doc_gopher_quality(sf_dir: str):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 appendix A repetition rules): duplicate-line counts/chars, top
+    word-2-gram coverage, bullet/ellipsis line counts, and the integer
+    threshold keep flag. Per-doc map_batches — no shuffle; at 100 TB this
+    runs at read bandwidth."""
+    from .ops.text import gopher_quality
+
+    out = gopher_quality(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_gopher_quality"] = """
+    WITH ls AS (
+      SELECT doc_id, length(text) AS n_chars,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    lexp AS (SELECT doc_id, unnest(lines) AS line FROM ls),
+    dupcnt AS (
+      SELECT doc_id, line, count(*) AS c
+      FROM lexp WHERE line <> '' GROUP BY doc_id, line
+    ),
+    dups AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS n_dup_lines,
+             sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END)
+               AS dup_line_chars
+      FROM dupcnt GROUP BY doc_id
+    ),
+    linemarks AS (
+      SELECT doc_id,
+             sum(CASE WHEN regexp_matches(line, '^[-*•] ')
+                 THEN 1 ELSE 0 END) AS n_bullet_lines,
+             sum(CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$')
+                 THEN 1 ELSE 0 END) AS n_ellipsis_lines
+      FROM lexp GROUP BY doc_id
+    ),
+    words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1]
+                     for i in range(1, len(ws))]) AS g
+      FROM words
+    ),
+    gcount AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    ),
+    gtop AS (
+      SELECT doc_id, c * length(g) AS top2gram_chars,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, g ASC) AS rn
+      FROM gcount
+    )
+    SELECT d.doc_id,
+           CAST(len(l.lines) AS BIGINT) AS n_lines,
+           CAST(coalesce(du.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+           CAST(coalesce(du.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+           CAST(coalesce(t.top2gram_chars, 0) AS BIGINT) AS top2gram_chars,
+           CAST(coalesce(m.n_bullet_lines, 0) AS BIGINT) AS n_bullet_lines,
+           CAST(coalesce(m.n_ellipsis_lines, 0) AS BIGINT)
+             AS n_ellipsis_lines,
+           CAST(CASE WHEN coalesce(du.n_dup_lines, 0) * 10
+                          < len(l.lines) * 3
+                      AND coalesce(du.dup_line_chars, 0) * 10
+                          < l.n_chars * 2
+                      AND coalesce(t.top2gram_chars, 0) * 10
+                          < l.n_chars * 2
+                      AND coalesce(m.n_bullet_lines, 0) * 10
+                          < len(l.lines) * 9
+                      AND coalesce(m.n_ellipsis_lines, 0) * 10
+                          < len(l.lines) * 3
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM documents d
+    JOIN ls l USING (doc_id)
+    LEFT JOIN dups du USING (doc_id)
+    LEFT JOIN linemarks m USING (doc_id)
+    LEFT JOIN (SELECT doc_id, top2gram_chars FROM gtop WHERE rn = 1) t
+      USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+def embedding_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters +
+    in-cluster cosine pruning, all-integer exactness contract — see
+    ops.kmeans.semdedup. One row per vector: (vec_id, cluster_id, keep)."""
+    from .ops.kmeans import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, k=4, n_iter=3, dim=64)
+
+
+def _semdedup_oracle() -> str:
+    from .ops.kmeans import semdedup_oracle_sql
+
+    return semdedup_oracle_sql(k=4, n_iter=3, dim=64)
+
+
+ORACLE_SQL["embedding_semdedup"] = _semdedup_oracle()
+
+
+def doc_duplicated_spans(sf_dir: str):
+    """Exact duplicated-substring spans (word-5-gram ExactSubstr analogue,
+    Lee et al. 2022) — per-doc merged word intervals covered by any n-gram
+    occurring >= 2 times corpus-wide. See ops.dedup.duplicated_ngram_spans
+    for the two-bucket-shuffle scale shape."""
+    from .ops.dedup import duplicated_ngram_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = duplicated_ngram_spans(ds, n=5).to_pandas()
+    if "doc_id" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "start_word": pd.Series(dtype="int64"),
+                "end_word": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["doc_id", "start_word"]).reset_index(drop=True)
+
+
+ORACLE_SQL["doc_duplicated_spans"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([{'pos': i - 1,
+                      'g': md5(array_to_string(ws[i:i+4], ' '))}
+                     for i in range(1, len(ws) - 3)],
+                    recursive := true)
+      FROM toks WHERE len(ws) >= 5
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS start_word,
+           CAST(max(pos) + 5 AS BIGINT) AS end_word
+    FROM isl GROUP BY doc_id, gid
+    ORDER BY doc_id, start_word
+    """
+
+
+def doc_lm_rarity(sf_dir: str):
+    """Unigram-LM rarity quality score (CCNet-style perplexity proxy):
+    corpus token counts via one coarse-bucket shuffle, broadcast as the
+    small side, then a scoring pass computing the integer rarity sum
+    ``sum(1e12 // count)`` and its floor mean per document. Two passes
+    over the corpus, one vocabulary-sized exchange."""
+    import ray
+
+    from .ops.text import corpus_token_counts, lm_rarity_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts_df = corpus_token_counts(ds)
+    counts = pd.Series(
+        counts_df["n"].to_numpy(dtype=np.int64),
+        index=counts_df["token"].to_numpy(),
+    )
+    ref = ray.put(counts)
+    out = lm_rarity_scores(ds, ref).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_lm_rarity"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             sum(1000000000000 // c) AS rarity_sum
+      FROM toks t JOIN cnt USING (w)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.rarity_sum, 0) AS BIGINT) AS rarity_sum,
+           CAST(CASE WHEN coalesce(s.n_tokens, 0) > 0
+                     THEN s.rarity_sum // s.n_tokens
+                     ELSE 0 END AS BIGINT) AS mean_rarity
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+    """
