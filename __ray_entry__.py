@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_quality": q.doc_gopher_quality,
         "doc_duplicated_spans": q.doc_duplicated_spans,
         "doc_lm_rarity": q.doc_lm_rarity,
+        "doc_neardup_survivors": q.doc_neardup_survivors,
+        "doc_clean_corpus": q.doc_clean_corpus,
         "pii_redact": q.pii_redact,
         "doc_decontaminate": q.doc_decontaminate,
         "doc_streaming_dedup": q.doc_streaming_dedup,

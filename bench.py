@@ -206,6 +206,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_decontaminate", q.doc_decontaminate),
         ("lineitem_price_quantiles", q.lineitem_price_quantiles),
         ("doc_shingle_hll", q.doc_shingle_hll),
+        ("doc_gopher_quality", q.doc_gopher_quality),
+        ("doc_duplicated_spans", q.doc_duplicated_spans),
+        ("doc_lm_rarity", q.doc_lm_rarity),
+        ("embedding_semdedup", q.embedding_semdedup),
+        ("doc_clean_corpus", q.doc_clean_corpus),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

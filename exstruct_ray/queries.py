@@ -3216,3 +3216,265 @@ ORACLE_SQL["doc_lm_rarity"] = """
     FROM documents d LEFT JOIN scored s USING (doc_id)
     ORDER BY d.doc_id
     """
+
+
+def doc_neardup_survivors(sf_dir: str):
+    """End-to-end fuzzy dedup: MinHash candidate pairs → connected
+    components → keep the lowest doc_id per component; unpaired docs all
+    survive. The pruned-id set is bounded by the duplicate count (small
+    relative to any real corpus), so it broadcasts via ray.put and the
+    corpus streams through one vectorized filter — no join shuffle. At
+    extreme dup rates route the anti-join through the bucket-merge
+    pattern instead of the broadcast."""
+    import ray
+
+    from .ops.dedup import dedup_groups_auto, minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.7)
+    groups = dedup_groups_auto(pairs)
+    if len(groups) and "is_canonical" in groups.columns:
+        pruned = set(
+            int(d)
+            for d in groups.loc[
+                ~groups["is_canonical"].astype(bool), "doc_id"
+            ]
+        )
+    else:
+        pruned = set()
+    ref = ray.put(pruned)
+
+    def keep(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        p = ray.get(_ref)
+        out = batch.loc[~batch["doc_id"].isin(p), ["doc_id"]]
+        return out.astype({"doc_id": "int64"}).reset_index(drop=True)
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(keep, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_neardup_survivors"] = (
+    _CHAR5_PAIRS.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.7
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac WHERE j >= 0.7
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT doc_id, min(r) AS g FROM reach GROUP BY doc_id)
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN comp c USING (doc_id)
+    WHERE c.doc_id IS NULL OR c.doc_id = c.g
+    ORDER BY d.doc_id
+    """
+)
+
+
+def doc_clean_corpus(sf_dir: str):
+    """Composite curation verdict — the end-to-end keep decision a
+    training-data pipeline applies per document: Gopher repetition
+    quality AND exact-dedup canonicality AND benchmark decontamination
+    (bench slice doc_id % 97 == 0 is excluded outright).
+
+    Scale shape: the quality+decontamination signals ride ONE vectorized
+    map_batches pass (benchmark grams broadcast via ray.put); dedup
+    canonicality is a content-hash coarse-bucket groupby; the two per-doc
+    signal streams then meet in a doc-bucket tagged-union merge — two
+    AllToAlls total, nothing corpus-sized on the driver."""
+    import hashlib as _hashlib
+
+    import ray
+
+    from .ops.shuffle import empty_frame, hash_bucket
+    from .ops.text import gopher_signals_batch, word_ngram_set
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_rows = docs.map_batches(
+        lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+    ).to_pandas()
+    bench_grams: set[str] = set()
+    for text in bench_rows.get("text", []):
+        bench_grams |= word_ngram_set(text, 3)
+    grams_ref = ray.put(bench_grams)
+
+    out_cols = [
+        ("doc_id", "int64"),
+        ("tag", "int64"),
+        ("quality_keep", "int64"),
+        ("decontam_keep", "int64"),
+        ("dedup_keep", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def signals(batch: pd.DataFrame, _ref=grams_ref) -> pd.DataFrame:
+        grams = ray.get(_ref)
+        g = gopher_signals_batch(batch)
+        texts = batch["text"].fillna("").reset_index(drop=True)
+        ids = batch["doc_id"].reset_index(drop=True).astype("int64")
+        is_bench = (ids % 97 == 0).to_numpy()
+        contam = np.zeros(len(batch), dtype=np.int64)
+        for i, t in enumerate(texts):
+            # per-row set intersection (same shape as ops.text.decontaminate)
+            if not is_bench[i] and word_ngram_set(t, 3) & grams:
+                contam[i] = 1
+        out = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "tag": np.int64(0),
+                "quality_keep": g["keep"].astype("int64"),
+                "decontam_keep": ((~is_bench) & (contam == 0)).astype(
+                    np.int64
+                ),
+                "dedup_keep": np.int64(0),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], 64)
+        return out[[c for c, _ in out_cols]]
+
+    def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        hashes = [
+            _hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts
+        ]
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "content_hash": pd.Series(hashes, dtype="object"),
+            }
+        )
+        out["hbucket"] = (
+            out["content_hash"].map(lambda h: int(h[:4], 16) % 64)
+        ).astype("int64")
+        return out
+
+    def keeper_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        mins = group.groupby("content_hash")["doc_id"].transform("min")
+        out = pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "tag": np.int64(1),
+                "quality_keep": np.int64(0),
+                "decontam_keep": np.int64(0),
+                "dedup_keep": (group["doc_id"] == mins)
+                .astype("int64")
+                .reset_index(drop=True),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], 64)
+        return out[[c for c, _ in out_cols]]
+
+    dedup_tags = (
+        docs.map_batches(hash_rows, batch_format="pandas")
+        .groupby("hbucket")
+        .map_groups(keeper_in_bucket, batch_format="pandas")
+    )
+    sig = docs.map_batches(signals, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            ("doc_id", "int64"),
+            ("quality_keep", "int64"),
+            ("dedup_keep", "int64"),
+            ("decontam_keep", "int64"),
+            ("keep", "int64"),
+        ]
+        if "doc_id" not in group.columns or len(group) == 0:
+            return empty_frame(cols)
+        agg = (
+            group.groupby("doc_id")[
+                ["quality_keep", "decontam_keep", "dedup_keep"]
+            ]
+            .sum()
+            .reset_index()
+        )
+        agg["keep"] = (
+            (agg["quality_keep"] > 0)
+            & (agg["decontam_keep"] > 0)
+            & (agg["dedup_keep"] > 0)
+        ).astype("int64")
+        return agg[[c for c, _ in cols]].astype("int64")
+
+    out = (
+        sig.union(dedup_tags)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return empty_frame(
+            [
+                ("doc_id", "int64"),
+                ("quality_keep", "int64"),
+                ("dedup_keep", "int64"),
+                ("decontam_keep", "int64"),
+                ("keep", "int64"),
+            ]
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _clean_corpus_oracle() -> str:
+    gopher = ORACLE_SQL["doc_gopher_quality"]
+    return f"""
+    WITH g AS (
+      {gopher}
+    ),
+    ex AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS dedup_keep
+      FROM documents
+    ),
+    ctoks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    cgrams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS gr
+      FROM ctoks WHERE len(w) >= 3
+    ),
+    ceg AS (SELECT doc_id, unnest(gr) AS gram FROM cgrams),
+    cbench AS (SELECT DISTINCT gram FROM ceg WHERE doc_id % 97 = 0),
+    contam AS (
+      SELECT DISTINCT e.doc_id
+      FROM ceg e JOIN cbench b ON e.gram = b.gram
+      WHERE e.doc_id % 97 <> 0
+    )
+    SELECT d.doc_id,
+           CAST(g.keep AS BIGINT) AS quality_keep,
+           CAST(ex.dedup_keep AS BIGINT) AS dedup_keep,
+           CAST(CASE WHEN d.doc_id % 97 = 0 OR c.doc_id IS NOT NULL
+                     THEN 0 ELSE 1 END AS BIGINT) AS decontam_keep,
+           CAST(CASE WHEN g.keep = 1 AND ex.dedup_keep = 1
+                      AND d.doc_id % 97 <> 0 AND c.doc_id IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM documents d
+    JOIN g USING (doc_id)
+    JOIN ex USING (doc_id)
+    LEFT JOIN contam c USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+ORACLE_SQL["doc_clean_corpus"] = _clean_corpus_oracle()
