@@ -1,0 +1,207 @@
+"""Resumable corpus-curation job: the curation tier as a partitioned,
+checkpoint-resumable pipeline run.
+
+Per input-file partition: Gopher quality filter + benchmark
+decontamination (broadcast gram set) + PII redaction ride ONE vectorized
+map_batches pass, then the sharded streaming dedup index applies
+corpus-GLOBAL exact dedup (the only cross-partition state — an explicit
+actor tier, not a shuffle), and survivors stream to partitioned parquet
+via distributed writers. A manifest (JSONL, one record per finished
+partition plus a header pinning the job id) makes re-runs skip finished
+partitions and lets a crashed partition recompute without data loss: the
+dedup index's admission claimants are scoped by the PERSISTED job id, so
+a recomputed partition re-presents the same (hash, claimant) pairs and
+re-receives True — the same retry-idempotence contract Ray task retries
+rely on, extended across driver restarts.
+
+Scale notes: partitions are independent (ray job submit can restart the
+driver anywhere); the index shards hash-partition the content-hash space
+and checkpoint to parquet after every partition; nothing corpus-sized
+ever sits on the driver (the benchmark gram set is eval-suite-sized by
+definition).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+from .manifest import list_input_files
+
+
+def _curation_manifest_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "curation_manifest.jsonl")
+
+
+def _load_curation_manifest(output_dir: str) -> tuple[str | None, dict[int, dict]]:
+    """Returns (job_id, {partition_id: record})."""
+    path = _curation_manifest_path(output_dir)
+    job_id = None
+    records: dict[int, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                if "job_id" in obj:
+                    job_id = obj["job_id"]
+                else:
+                    records[obj["partition_id"]] = obj
+    return job_id, records
+
+
+def _append_line(output_dir: str, obj: dict) -> None:
+    with open(_curation_manifest_path(output_dir), "a") as f:
+        f.write(json.dumps(obj, sort_keys=True) + "\n")
+
+
+def run_curation_job(
+    input_path: str,
+    output_dir: str,
+    *,
+    files_per_partition: int = 8,
+    batch_size: int = 256,
+    n_shards: int = 8,
+    bench_mod: int = 97,
+) -> dict:
+    """Run (or resume) a partitioned curation job over a document corpus.
+
+    Returns a summary dict: docs_in / kept / partitions / skipped.
+    """
+    import ray
+    import ray.data
+
+    from ..ops.text import gopher_signals_batch, redact_pii_batch, word_ngram_set
+    from ..state.dedup_index import DedupIndex, dedup_against_index
+
+    os.makedirs(output_dir, exist_ok=True)
+    cfg_hash = hashlib.md5(
+        f"curation-v1|{files_per_partition}|{bench_mod}".encode()
+    ).hexdigest()[:12]
+
+    job_id, manifest = _load_curation_manifest(output_dir)
+    if job_id is None:
+        import uuid
+
+        job_id = uuid.uuid4().hex
+        _append_line(output_dir, {"job_id": job_id, "cfg_hash": cfg_hash})
+
+    files = list_input_files(input_path)
+    partitions = [
+        (pid, files[i : i + files_per_partition])
+        for pid, i in enumerate(range(0, len(files), files_per_partition))
+    ]
+
+    # Benchmark gram set: distributed scan, only the bench slice's grams
+    # reach the driver (eval-suite-sized), broadcast once.
+    bench_rows = (
+        ray.data.read_parquet(files)
+        .map_batches(
+            lambda b: b[b["doc_id"] % bench_mod == 0], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    bench_grams: set[str] = set()
+    for text in bench_rows.get("text", []):
+        bench_grams |= word_ngram_set(text, 3)
+    grams_ref = ray.put(bench_grams)
+
+    # The dedup index: checkpoints under the job's own output dir, run id
+    # pinned to the persisted job id so a resumed/recomputed partition
+    # re-receives its own admissions (no loss), while a DIFFERENT job
+    # directory gets a fresh id and sees re-ingested docs as duplicates.
+    ckpt_dir = os.path.join(output_dir, "dedup_ckpt")
+    index = DedupIndex(
+        n_shards=n_shards,
+        checkpoint_dir=ckpt_dir,
+        name_prefix=f"curation:{job_id[:8]}",
+        run_id=job_id,
+    )
+
+    def curate(batch: pd.DataFrame, _ref=grams_ref) -> pd.DataFrame:
+        grams = ray.get(_ref)
+        g = gopher_signals_batch(batch)
+        keep_q = g["keep"].to_numpy(dtype=bool)
+        ids = batch["doc_id"].reset_index(drop=True).astype("int64")
+        is_bench = (ids % bench_mod == 0).to_numpy()
+        texts = batch["text"].fillna("").reset_index(drop=True)
+        contam = np.fromiter(
+            (
+                True if b else bool(word_ngram_set(t, 3) & grams)
+                for t, b in zip(texts, is_bench)
+            ),
+            dtype=bool,
+            count=len(texts),
+        )
+        keep = keep_q & ~contam
+        out = batch.reset_index(drop=True).loc[keep].copy()
+        if len(out):
+            redacted, n_pii = redact_pii_batch(
+                out["text"].fillna("").astype(str)
+            )
+            out["text"] = redacted
+            out["n_pii"] = n_pii.astype("int64")
+        else:
+            out["n_pii"] = pd.Series(dtype="int64")
+        return out
+
+    skipped = 0
+    totals = {"docs_in": 0, "kept": 0}
+    for pid, part_files in partitions:
+        prior = manifest.get(pid)
+        if prior is not None and prior.get("cfg_hash") == cfg_hash:
+            skipped += 1
+            totals["docs_in"] += prior["docs_in"]
+            totals["kept"] += prior["kept"]
+            continue
+        part_dir = os.path.join(output_dir, f"partition={pid:05d}")
+        start = time.perf_counter()
+        if os.path.exists(part_dir):
+            import shutil
+
+            shutil.rmtree(part_dir)
+        ds = ray.data.read_parquet(
+            part_files, override_num_blocks=len(part_files)
+        )
+        docs_in = ds.count()
+        curated = ds.map_batches(
+            curate, batch_format="pandas", batch_size=batch_size
+        )
+        surviving = dedup_against_index(
+            curated, index, batch_size=batch_size
+        )
+        surviving.write_parquet(part_dir)
+        kept = 0
+        if any(f.endswith(".parquet") for f in os.listdir(part_dir)):
+            kept = ray.data.read_parquet(
+                part_dir, columns=["doc_id"]
+            ).count()
+        index.checkpoint()
+        _append_line(
+            output_dir,
+            {
+                "partition_id": pid,
+                "input_files": part_files,
+                "cfg_hash": cfg_hash,
+                "docs_in": docs_in,
+                "kept": kept,
+                "wall_sec": round(time.perf_counter() - start, 3),
+                "completed_at": time.time(),
+            },
+        )
+        totals["docs_in"] += docs_in
+        totals["kept"] += kept
+
+    return {
+        "job_id": job_id,
+        "partitions": len(partitions),
+        "skipped": skipped,
+        **totals,
+    }

@@ -1,0 +1,142 @@
+"""Resumable curation job tests: quality/decontam/dedup/PII composition,
+manifest skip-on-resume, and crash-recompute without data loss."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from exstruct_ray.stages.curation_job import run_curation_job
+
+CLEAN = (
+    "a perfectly ordinary unique training document example whose length "
+    "comfortably clears every repetition threshold because all of these "
+    "additional words appear exactly once across the entire body"
+)
+DUP = (
+    "this exact document body is duplicated across two different "
+    "partitions of the corpus and only its first occurrence may survive "
+    "the global admission index whatever the partition order"
+)
+PII = (
+    "contact me at someone123@example.com with reference 123456789 for "
+    "all of the remaining perfectly distinct vocabulary used here today"
+)
+LOWQ = "same line\nsame line\nsame line\nsame line\nsame line\nok"
+BENCH = "held out benchmark evaluation sentence for the suite"
+CONTAM = (
+    "this one contains held out benchmark material verbatim in its body "
+    "with otherwise fully unique words surrounding the quoted fragment"
+)
+
+
+def _write_corpus(tmp_path):
+    """Three parquet files; doc 0 (file 0) is the bench slice (0 % 97)."""
+    rows = [
+        # file 0
+        [(0, BENCH), (1, CLEAN), (2, DUP)],
+        # file 1
+        [(3, CONTAM), (4, LOWQ), (5, PII)],
+        # file 2 — doc 6 repeats DUP (cross-partition duplicate)
+        [(6, DUP), (7, CLEAN + " with a small unique twist appended")],
+    ]
+    input_dir = tmp_path / "corpus"
+    input_dir.mkdir()
+    for i, part in enumerate(rows):
+        pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in part],
+                "text": [t for _, t in part],
+                "lang": "en",
+                "source": "t",
+                "n_chars": [len(t) for _, t in part],
+            }
+        ).to_parquet(input_dir / f"part-{i}.parquet")
+    return str(input_dir)
+
+
+def _read_output(out_dir):
+    frames = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("partition="):
+            pdir = os.path.join(out_dir, name)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    frames.append(pd.read_parquet(os.path.join(pdir, f)))
+    if not frames:
+        return pd.DataFrame(columns=["doc_id", "text", "n_pii"])
+    return (
+        pd.concat(frames).sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+class TestCurationJob:
+    def test_end_to_end_decisions(self, ray_session, tmp_path):
+        input_dir = _write_corpus(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        summary = run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        assert summary["partitions"] == 3
+        assert summary["skipped"] == 0
+        assert summary["docs_in"] == 8
+
+        out = _read_output(out_dir)
+        # bench(0), contaminated(3), low-quality(4), cross-partition dup(6)
+        # are dropped; 1, 2, 5, 7 survive
+        assert out["doc_id"].tolist() == [1, 2, 5, 7]
+        assert summary["kept"] == 4
+        # PII was redacted in the surviving doc 5
+        doc5 = out.set_index("doc_id").loc[5]
+        assert "<EMAIL>" in doc5["text"] and "<NUM>" in doc5["text"]
+        assert doc5["n_pii"] == 2
+
+    def test_resume_skips_finished_partitions(self, ray_session, tmp_path):
+        input_dir = _write_corpus(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        first = run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        second = run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        assert second["skipped"] == 3
+        assert second["kept"] == first["kept"] == 4
+        assert second["job_id"] == first["job_id"]  # persisted in manifest
+        assert _read_output(out_dir)["doc_id"].tolist() == [1, 2, 5, 7]
+
+    def test_crashed_partition_recomputes_without_loss(
+        self, ray_session, tmp_path
+    ):
+        """A partition that wrote its admissions but lost its output (the
+        crash window the claimant tokens exist for) must recompute with
+        identical survivors — the index re-grants the same claimants."""
+        input_dir = _write_corpus(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        # simulate the crash: partition 2's output and manifest line are
+        # gone, but its hashes are already admitted in the index
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "partition=00002"))
+        manifest_path = os.path.join(out_dir, "curation_manifest.jsonl")
+        with open(manifest_path) as f:
+            lines = [
+                line
+                for line in f.read().splitlines()
+                if '"partition_id": 2' not in line
+            ]
+        with open(manifest_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        summary = run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        assert summary["skipped"] == 2
+        # doc 7 survives the recompute (claimant re-granted); doc 6 is
+        # still recognized as a duplicate of doc 2
+        assert _read_output(out_dir)["doc_id"].tolist() == [1, 2, 5, 7]
+        assert summary["kept"] == 4
