@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q.distinct_users,
         "events_asof_orders": q.events_asof_orders,
         "events_in_order_window": q.events_in_order_window,
+        "events_rolling_window": q.events_rolling_window,
         "doc_sample_10pct": q.doc_sample_10pct,
         "part_type_stats": q.part_type_stats,
         # Training-data ops

@@ -3478,3 +3478,89 @@ def _clean_corpus_oracle() -> str:
 
 
 ORACLE_SQL["doc_clean_corpus"] = _clean_corpus_oracle()
+
+
+def events_rolling_window(sf_dir: str):
+    """Trailing-range window aggregate: per event, the count and integer
+    micro-unit value sum of the same user's events in the trailing one
+    hour (RANGE frame — same-timestamp peers included, exactly DuckDB's
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``).
+
+    Shape: one coarse user-hash bucket shuffle, then a single vectorized
+    composite-key searchsorted pass per bucket — user segments are offset
+    onto disjoint int64 ranges (``u_code * span + normalized_ts``) so one
+    sorted array answers every per-user interval query with no per-user
+    loop (the same de-looping the order-window join uses). Value sums are
+    half-even micro-units (np.rint ≡ round_even) with prefix sums, so
+    distributed partial order can't diverge from the oracle."""
+    from .ops.shuffle import empty_frame, hash_bucket
+
+    window_us = 3_600_000_000  # 1 hour in microseconds
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["bucket"] = hash_bucket(out["user_id"], 64)
+        return out
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            ("event_id", "int64"),
+            ("n_window", "int64"),
+            ("vsum_micro", "int64"),
+        ]
+        if "event_id" not in group.columns or len(group) == 0:
+            return empty_frame(cols)
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        v = np.rint(g["value"].to_numpy(dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        # dense user codes + per-segment-disjoint composite keys
+        u_codes = np.unique(u, return_inverse=True)[1].astype(np.int64)
+        tn = t - t.min() + window_us  # tn - window >= 0, stays in-segment
+        span = int(tn.max()) + window_us + 1
+        comp = u_codes * span + tn
+        lo = np.searchsorted(comp, u_codes * span + tn - window_us, "left")
+        hi = np.searchsorted(comp, comp, "right")
+        prefix = np.concatenate([[0], np.cumsum(v)])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "n_window": (hi - lo).astype(np.int64),
+                "vsum_micro": prefix[hi] - prefix[lo],
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(roll, batch_format="pandas")
+        .to_pandas()
+    )
+    if "event_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "n_window": pd.Series(dtype="int64"),
+                "vsum_micro": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ORACLE_SQL["events_rolling_window"] = """
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           CAST(sum(CAST(round_even(value * 1000000.0, 0) AS BIGINT))
+                OVER w AS BIGINT) AS vsum_micro
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    ORDER BY event_id
+    """
