@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
         "embedding_neardup_lsh": q.embedding_neardup_lsh,
         "embedding_semdedup": q.embedding_semdedup,
+        "embedding_pq_codes": q.embedding_pq_codes,
         # Joins / windows / sessions
         "lineitem_join_orders": q.lineitem_join_orders,
         "supplier_balance_by_region": q.supplier_balance_by_region,
@@ -230,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_rarity": q.doc_lm_rarity,
         "doc_neardup_survivors": q.doc_neardup_survivors,
         "doc_clean_corpus": q.doc_clean_corpus,
+        "doc_chunks": q.doc_chunks,
+        "doc_bm25_topk": q.doc_bm25_topk,
         "pii_redact": q.pii_redact,
         "doc_decontaminate": q.doc_decontaminate,
         "doc_streaming_dedup": q.doc_streaming_dedup,

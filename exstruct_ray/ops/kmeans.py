@@ -127,53 +127,67 @@ def kmeans_fit(
     return centroids, counts
 
 
-def kmeans_chain_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> tuple[str, str, str]:
+def kmeans_chain_sql(
+    k: int = 4,
+    n_iter: int = 3,
+    dim: int = 64,
+    vec_expr: str = "embedding",
+    prefix: str = "",
+    leading_with: bool = True,
+) -> tuple[str, str, str]:
     """The shared k-means CTE chain (quantize → iterate assign/update).
 
     Returns ``(with_clause_body, final_centroid_cte, final_assign_cte)`` so
-    downstream oracles (the k-means check itself, SemDeDup) can extend the
-    chain instead of duplicating it. The body starts with ``WITH`` and ends
-    after the last centroid CTE — append ``,`` + more CTEs or a SELECT.
+    downstream oracles (the k-means check itself, SemDeDup, PQ) can extend
+    the chain instead of duplicating it. ``vec_expr`` is the per-row vector
+    expression (e.g. a list slice for PQ subspaces); ``prefix`` namespaces
+    every CTE so several chains can live under one WITH (pass
+    ``leading_with=False`` for every chain after the first).
     """
     scale = f"{KMEANS_SCALE:.1f}"
+
+    def n(name: str) -> str:
+        return f"{prefix}{name}"
+
+    head = "\n    WITH " if leading_with else ""
     parts = [
-        f"""
-    WITH dims AS (SELECT UNNEST(range(1, {dim + 1})) AS i),
-    clusters AS (SELECT UNNEST(range(0, {k})) AS cluster_id),
-    q AS (
+        f"""{head}{n('dims')} AS (SELECT UNNEST(range(1, {dim + 1})) AS i),
+    {n('clusters')} AS (SELECT UNNEST(range(0, {k})) AS cluster_id),
+    {n('q')} AS (
       SELECT vec_id,
              [CAST(round_even(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)
-              for x in embedding] AS qe
+              for x in {vec_expr}] AS qe
       FROM embeddings
     ),
-    c0 AS (
-      SELECT vec_id AS cluster_id, qe AS c FROM q WHERE vec_id < {k}
+    {n('c0')} AS (
+      SELECT vec_id AS cluster_id, qe AS c FROM {n('q')} WHERE vec_id < {k}
     )"""
     ]
-    prev = "c0"
+    prev = n("c0")
     for it in range(1, n_iter + 1):
         parts.append(
             f""",
-    d{it} AS (
+    {n(f'd{it}')} AS (
       SELECT q.vec_id, p.cluster_id,
              list_sum([(q.qe[i] - p.c[i]) * (q.qe[i] - p.c[i])
                        for i in range(1, {dim + 1})]) AS dist
-      FROM q CROSS JOIN {prev} p
+      FROM {n('q')} q CROSS JOIN {prev} p
     ),
-    a{it} AS (
+    {n(f'a{it}')} AS (
       SELECT vec_id, cluster_id FROM (
         SELECT vec_id, cluster_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY dist, cluster_id) AS rn
-        FROM d{it}
+        FROM {n(f'd{it}')}
       ) WHERE rn = 1
     ),
-    s{it} AS (
+    {n(f's{it}')} AS (
       SELECT a.cluster_id, d.i, SUM(q.qe[d.i]) AS s, COUNT(*) AS n
-      FROM a{it} a JOIN q USING (vec_id) CROSS JOIN dims d
+      FROM {n(f'a{it}')} a JOIN {n('q')} q USING (vec_id)
+      CROSS JOIN {n('dims')} d
       GROUP BY 1, 2
     ),
-    c{it} AS (
+    {n(f'c{it}')} AS (
       SELECT cl.cluster_id,
              COALESCE(
                array_agg(CASE WHEN s.s >= 0 THEN s.s // s.n
@@ -181,14 +195,14 @@ def kmeans_chain_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> tuple[str, s
                          ORDER BY s.i) FILTER (WHERE s.i IS NOT NULL),
                any_value(p.c)
              ) AS c
-      FROM clusters cl
-      LEFT JOIN s{it} s ON s.cluster_id = cl.cluster_id
+      FROM {n('clusters')} cl
+      LEFT JOIN {n(f's{it}')} s ON s.cluster_id = cl.cluster_id
       JOIN {prev} p ON p.cluster_id = cl.cluster_id
       GROUP BY cl.cluster_id
     )"""
         )
-        prev = f"c{it}"
-    return "".join(parts), prev, f"a{n_iter}"
+        prev = n(f"c{it}")
+    return "".join(parts), prev, n(f"a{n_iter}")
 
 
 def kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
@@ -387,3 +401,134 @@ def semdedup(
             }
         )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def pq_codes(
+    ds,
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> pd.DataFrame:
+    """Product quantization: split each embedding into ``m`` contiguous
+    subspaces, train an independent integer-exact k-means codebook per
+    subspace, and emit each vector's per-subspace code — the classic
+    memory-compression layout for billion-scale ANN (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search"): dim×4 bytes
+    become m small ints.
+
+    Scale shape: per-subspace training reuses kmeans_fit (shuffle-free
+    broadcast passes over the SLICED column — the slice happens in the
+    map stage, so only sub_dim floats per row move); one final assignment
+    pass scores all subspaces against the broadcast codebook set. The
+    per-element quantize-then-slice equals slice-then-quantize, so the
+    SQL oracle's full-chain recomputation is bit-identical.
+
+    Returns long format: one row per (vec_id, sub_id) with the code.
+    """
+    import ray
+
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    sub = dim // m
+
+    codebooks: list[np.ndarray] = []
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+
+        def slice_batch(batch: pd.DataFrame, _lo=lo, _hi=hi) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].reset_index(drop=True),
+                    "embedding": pd.Series(
+                        [
+                            np.asarray(v, dtype=np.float64)[_lo:_hi].tolist()
+                            for v in batch["embedding"]
+                        ],
+                        dtype="object",
+                    ),
+                }
+            )
+
+        sliced = ds.map_batches(slice_batch, batch_format="pandas")
+        cents, _ = kmeans_fit(sliced, k=k, n_iter=n_iter, dim=sub)
+        codebooks.append(cents)
+
+    ref = ray.put(codebooks)
+
+    def assign_codes(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        cbs = ray.get(_ref)
+        q = quantize_embeddings(
+            np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+        )
+        ids = batch["vec_id"].reset_index(drop=True).astype("int64")
+        frames = []
+        for j, cb in enumerate(cbs):
+            codes = _assign(q[:, j * sub : (j + 1) * sub], cb)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "sub_id": np.int64(j),
+                        "code": pd.Series(codes, dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    out = ds.map_batches(assign_codes, batch_format="pandas").to_pandas()
+    return out.sort_values(["vec_id", "sub_id"]).reset_index(drop=True)
+
+
+def pq_oracle_sql(
+    m: int = 4, k: int = 4, n_iter: int = 2, dim: int = 64
+) -> str:
+    """DuckDB SQL recomputing the PQ run bit-for-bit: one prefixed
+    k-means chain per subspace over the list slice, one extra assignment
+    round against each final codebook, UNION ALL into long format."""
+    sub = dim // m
+    chains = []
+    selects = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        chain, cfin, _ = kmeans_chain_sql(
+            k=k,
+            n_iter=n_iter,
+            dim=sub,
+            vec_expr=f"embedding[{lo}:{hi}]",
+            prefix=f"s{j}_",
+            leading_with=(j == 0),
+        )
+        chains.append(chain if j == 0 else ",\n    " + chain)
+        chains.append(
+            f""",
+    s{j}_dfin AS (
+      SELECT q.vec_id, p.cluster_id,
+             list_sum([(q.qe[i] - p.c[i]) * (q.qe[i] - p.c[i])
+                       for i in range(1, {sub + 1})]) AS dist
+      FROM s{j}_q q CROSS JOIN {cfin} p
+    ),
+    s{j}_afin AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster_id) AS rn
+        FROM s{j}_dfin
+      ) WHERE rn = 1
+    )"""
+        )
+        selects.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS sub_id,"
+            f" CAST(cluster_id AS BIGINT) AS code FROM s{j}_afin"
+        )
+    union = "\n    UNION ALL\n    ".join(selects)
+    return (
+        "".join(chains)
+        + f"""
+    SELECT * FROM (
+    {union}
+    ) ORDER BY vec_id, sub_id
+    """
+    )

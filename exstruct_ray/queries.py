@@ -3564,3 +3564,228 @@ ORACLE_SQL["events_rolling_window"] = """
                            AND CURRENT ROW)
     ORDER BY event_id
     """
+
+
+def doc_chunks(sf_dir: str):
+    """Overlapping fixed-size word chunking (RAG / context-window prep):
+    size-64 word chunks at stride 48 (16-word overlap), chunk starts at
+    0, 48, 96, ... while start < n_words — the trailing partial chunk is
+    emitted. Per-doc map_batches, no shuffle; chunk text assembly is the
+    only scalar work (string join per chunk)."""
+    size, stride = 64, 48
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.findall(r"[^\t\n\f\r ]+")
+        rows_doc: list[int] = []
+        rows_cid: list[int] = []
+        rows_n: list[int] = []
+        rows_text: list[str] = []
+        for doc_id, ws in zip(batch["doc_id"], toks):
+            n = len(ws)
+            start = 0
+            cid = 0
+            while start < n:
+                piece = ws[start : start + size]
+                rows_doc.append(int(doc_id))
+                rows_cid.append(cid)
+                rows_n.append(len(piece))
+                rows_text.append(" ".join(piece))
+                start += stride
+                cid += 1
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows_doc, dtype="int64"),
+                "chunk_id": pd.Series(rows_cid, dtype="int64"),
+                "n_words": pd.Series(rows_n, dtype="int64"),
+                "chunk_text": pd.Series(rows_text, dtype="object"),
+            }
+        )
+
+    out = ds.map_batches(chunk_batch, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+ORACLE_SQL["doc_chunks"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, ws, len(ws) AS n FROM toks),
+    expanded AS (
+      SELECT doc_id, ws, n,
+             unnest(range(0, (n + 47) // 48)) AS chunk_id
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(least(chunk_id * 48 + 64, n) - chunk_id * 48 AS BIGINT)
+             AS n_words,
+           array_to_string(ws[chunk_id * 48 + 1 :
+                              least(chunk_id * 48 + 64, n)], ' ')
+             AS chunk_text
+    FROM expanded
+    ORDER BY doc_id, chunk_id
+    """
+
+
+def doc_bm25_topk(sf_dir: str):
+    """BM25 top-10 retrieval for a fixed query, integer micro-unit
+    scoring (k1=1.2, b=0.75 as exact rationals, SCALE=1e6, floor
+    divisions in a pinned order) so the SQL oracle is a hash check.
+
+    Formula per (doc, term), all int64:
+      idf_u    = N * S // df
+      avgdl_u  = total_tokens * S // N
+      ratio_u  = dl * S * S // avgdl_u
+      norm_u   = 250_000 + 750_000 * ratio_u // S
+      denom_u  = tf * S + 1_200_000 * norm_u // S
+      score_u += idf_u * tf * 2_200_000 // denom_u
+
+    Scale shape: pass 1 aggregates the constant-size statistics (N,
+    total tokens, per-term document frequency — the query is a handful
+    of terms, counted vectorized per batch and combined on the driver);
+    pass 2 scores each doc and keeps a per-batch partial top-k; the
+    driver merges partial top-k lists, never the corpus."""
+    S = 1_000_000
+    terms = ("data", "query", "spark")
+    k = 10
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(
+            r"[^\t\n\f\r ]+"
+        )
+        exploded = toks.reset_index(drop=True).explode().dropna()
+        row = {"n_docs": np.int64(len(batch)),
+               "n_tokens": np.int64(len(exploded))}
+        for t in terms:
+            hits = exploded[exploded == t]
+            row[f"df_{t}"] = np.int64(hits.index.nunique())
+        return pd.DataFrame([row])
+
+    stats = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    n_docs = int(stats["n_docs"].sum())
+    total_tokens = int(stats["n_tokens"].sum())
+    df_by_term = {t: int(stats[f"df_{t}"].sum()) for t in terms}
+    avgdl_u = total_tokens * S // n_docs
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(
+            r"[^\t\n\f\r ]+"
+        )
+        dl = toks.str.len().to_numpy(dtype=np.int64)
+        score = np.zeros(len(batch), dtype=np.int64)
+        exploded = toks.reset_index(drop=True).explode().dropna()
+        ratio_u = dl * S * S // avgdl_u
+        norm_u = 250_000 + 750_000 * ratio_u // S
+        for t in terms:
+            dfreq = df_by_term[t]
+            if dfreq == 0:
+                continue
+            idf_u = n_docs * S // dfreq
+            hits = exploded[exploded == t]
+            tf = np.zeros(len(batch), dtype=np.int64)
+            if len(hits):
+                cnt = hits.groupby(hits.index).size()
+                tf[cnt.index.to_numpy()] = cnt.to_numpy(dtype=np.int64)
+            denom_u = tf * S + 1_200_000 * norm_u // S
+            present = tf > 0
+            score[present] += (
+                idf_u * tf[present] * 2_200_000 // denom_u[present]
+            )
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].reset_index(drop=True).astype(
+                    "int64"
+                ),
+                "score_u": score,
+            }
+        )
+        out = out[out["score_u"] > 0]
+        # per-batch partial top-k: ties broken by lowest doc_id
+        return out.sort_values(
+            ["score_u", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    partials = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
+    return (
+        partials.sort_values(["score_u", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def _bm25_oracle() -> str:
+    S = 1_000_000
+    terms = ("data", "query", "spark")
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(len(ws)) AS total_tokens FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    dfreq AS (
+      SELECT w, count(DISTINCT doc_id) AS df
+      FROM exploded WHERE w IN ({terms_sql}) GROUP BY w
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM exploded WHERE w IN ({terms_sql}) GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    scored AS (
+      SELECT t.doc_id,
+             sum(
+               (s.n_docs * {S} // d.df) * t.tf * 2200000
+               // (t.tf * {S}
+                   + 1200000 * (250000
+                       + 750000 * (l.dl * {S} * {S}
+                                   // (s.total_tokens * {S} // s.n_docs))
+                         // {S})
+                     // {S})
+             ) AS score_u
+      FROM tf t
+      JOIN dfreq d USING (w)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score_u AS BIGINT) AS score_u
+    FROM scored
+    WHERE score_u > 0
+    ORDER BY score_u DESC, doc_id
+    LIMIT 10
+    """
+
+
+ORACLE_SQL["doc_bm25_topk"] = _bm25_oracle()
+
+
+def embedding_pq_codes(sf_dir: str):
+    """Product-quantization codes (m=4 subspaces × k=4 codes over the
+    64-dim embeddings, 2 Lloyd iterations per subspace codebook) — see
+    ops.kmeans.pq_codes for the integer-exactness and scale contract."""
+    from .ops.kmeans import pq_codes
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_codes(ds, m=4, k=4, n_iter=2, dim=64)
+
+
+def _pq_oracle() -> str:
+    from .ops.kmeans import pq_oracle_sql
+
+    return pq_oracle_sql(m=4, k=4, n_iter=2, dim=64)
+
+
+ORACLE_SQL["embedding_pq_codes"] = _pq_oracle()
