@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": q.embedding_neardup_lsh,
         "embedding_semdedup": q.embedding_semdedup,
         "embedding_pq_codes": q.embedding_pq_codes,
+        "embedding_pq_topk": q.embedding_pq_topk,
         # Joins / windows / sessions
         "lineitem_join_orders": q.lineitem_join_orders,
         "supplier_balance_by_region": q.supplier_balance_by_region,

@@ -3789,3 +3789,296 @@ def _pq_oracle() -> str:
 
 
 ORACLE_SQL["embedding_pq_codes"] = _pq_oracle()
+
+
+def embedding_pq_topk(sf_dir: str):
+    """PQ asymmetric-distance top-k (the ADC scan of Jégou et al. 2011):
+    per query, an integer squared-L2 distance table to every codeword per
+    subspace; each vector's approximate distance is the sum of its m
+    table entries — k lookups + adds per vector instead of a dim-wide
+    matmul. All arithmetic int64 (quantized micro-units), ranks break
+    ties by vec_id, so the chained-CTE oracle is a hash check.
+
+    Scale shape: codebooks + query tables broadcast (m·k·dim ints); one
+    map_batches pass assigns codes and sums table entries; per-batch
+    partial top-k per query; the driver merges top-k lists only."""
+    import ray
+
+    from .ops.kmeans import _assign, pq_codes, quantize_embeddings
+
+    m, k_codes, n_iter, dim, topk = 4, 4, 2, 64, 10
+    sub = dim // m
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # Re-train the codebooks (same deterministic run as embedding_pq_codes)
+    from .ops.kmeans import kmeans_fit
+
+    codebooks = []
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+
+        def slice_batch(batch: pd.DataFrame, _lo=lo, _hi=hi) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].reset_index(drop=True),
+                    "embedding": pd.Series(
+                        [
+                            np.asarray(v, dtype=np.float64)[_lo:_hi].tolist()
+                            for v in batch["embedding"]
+                        ],
+                        dtype="object",
+                    ),
+                }
+            )
+
+        cents, _ = kmeans_fit(
+            ds.map_batches(slice_batch, batch_format="pandas"),
+            k=k_codes,
+            n_iter=n_iter,
+            dim=sub,
+        )
+        codebooks.append(cents)
+
+    queries_df = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .to_pandas()
+        .query("vec_id < 5")
+        .sort_values("vec_id")
+    )
+    q_ids = queries_df["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = quantize_embeddings(
+        np.stack(
+            [np.asarray(v, dtype=np.float64) for v in queries_df["embedding"]]
+        )
+    )
+    # tables[qi][j][c] = ||query_sub - codeword||^2, int64
+    tables = np.zeros((len(q_ids), m, k_codes), dtype=np.int64)
+    for qi in range(len(q_ids)):
+        for j in range(m):
+            diff = codebooks[j] - q_mat[qi, j * sub : (j + 1) * sub]
+            tables[qi, j] = np.einsum("ij,ij->i", diff, diff)
+
+    ref = ray.put((codebooks, tables, q_ids))
+
+    def partial_topk(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        cbs, tbls, qids = ray.get(_ref)
+        qv = quantize_embeddings(
+            np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+        )
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        codes = np.stack(
+            [
+                _assign(qv[:, j * sub : (j + 1) * sub], cbs[j])
+                for j in range(m)
+            ],
+            axis=1,
+        )  # (n, m)
+        frames = []
+        for qi, qid in enumerate(qids):
+            # dist = sum over subspaces of the code's table entry
+            dist = tbls[qi][np.arange(m)[None, :], codes].sum(axis=1)
+            f = pd.DataFrame(
+                {"query_id": qid, "vec_id": ids, "dist": dist}
+            )
+            frames.append(
+                f.sort_values(["dist", "vec_id"]).head(topk)
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = (
+        partials.sort_values(["query_id", "dist", "vec_id"])
+        .groupby("query_id")
+        .head(topk)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "vec_id", "rank", "dist"]].astype("int64")
+
+
+def _pq_topk_oracle() -> str:
+    from .ops.kmeans import kmeans_chain_sql
+
+    m, k_codes, n_iter, dim, topk = 4, 4, 2, 64, 10
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        chain, cfin, _ = kmeans_chain_sql(
+            k=k_codes,
+            n_iter=n_iter,
+            dim=sub,
+            vec_expr=f"embedding[{lo}:{hi}]",
+            prefix=f"t{j}_",
+            leading_with=(j == 0),
+        )
+        parts.append(chain if j == 0 else ",\n    " + chain)
+        parts.append(
+            f""",
+    t{j}_dfin AS (
+      SELECT q.vec_id, p.cluster_id,
+             list_sum([(q.qe[i] - p.c[i]) * (q.qe[i] - p.c[i])
+                       for i in range(1, {sub + 1})]) AS dist
+      FROM t{j}_q q CROSS JOIN {cfin} p
+    ),
+    t{j}_afin AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster_id) AS rn
+        FROM t{j}_dfin
+      ) WHERE rn = 1
+    ),
+    t{j}_qd AS (
+      SELECT qq.vec_id AS query_id, p.cluster_id AS code,
+             list_sum([(qq.qe[i] - p.c[i]) * (qq.qe[i] - p.c[i])
+                       for i in range(1, {sub + 1})]) AS d
+      FROM t{j}_q qq CROSS JOIN {cfin} p
+      WHERE qq.vec_id < 5
+    )"""
+        )
+    joins = "\n      ".join(
+        f"JOIN t{j}_afin a{j} USING (vec_id)\n      "
+        f"JOIN t{j}_qd qd{j} ON qd{j}.code = a{j}.cluster_id"
+        + ("" if j == 0 else f" AND qd{j}.query_id = qd0.query_id")
+        for j in range(m)
+    )
+    dist_sum = " + ".join(f"qd{j}.d" for j in range(m))
+    parts.append(
+        f""",
+    approx AS (
+      SELECT qd0.query_id, v.vec_id, ({dist_sum}) AS dist
+      FROM (SELECT DISTINCT vec_id FROM t0_afin) v
+      {joins}
+    )
+    SELECT query_id, vec_id,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(dist AS BIGINT) AS dist
+    FROM (
+      SELECT query_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist, vec_id) AS rank
+      FROM approx
+    )
+    WHERE rank <= {topk}
+    ORDER BY query_id, rank
+    """
+    )
+    sql = "".join(parts)
+    # The join tree consumes each subspace chain several times (afin, qd,
+    # and the DISTINCT vec_id anchor); DuckDB's default CTE inlining then
+    # re-expands the whole k-means chain per consumer and the plan blows
+    # past minutes. Materializing the shared CTEs returns it to seconds.
+    for j in range(m):
+        for cte in (
+            f"t{j}_q AS (",
+            f"t{j}_c{n_iter} AS (",
+            f"t{j}_afin AS (",
+            f"t{j}_qd AS (",
+        ):
+            sql = sql.replace(cte, cte.replace("AS (", "AS MATERIALIZED ("))
+    return sql
+
+
+ORACLE_SQL["embedding_pq_topk"] = _pq_topk_oracle()
+
+
+def doc_pagerank(sf_dir: str):
+    """PageRank over the near-duplicate graph (MinHash pairs at J>=0.7),
+    3 fixed iterations, damping 0.85 as an exact rational, S=1e12
+    integer mass units with floor divisions in a pinned order:
+
+      contrib(v) = pr(v) // deg(v)
+      pr'(u)     = 15 * (S // N) // 100 + 85 * inflow(u) // 100
+
+    The candidate-pair graph is bounded by the duplicate count (the same
+    contract as dedup_groups' driver union-find — tiny relative to the
+    corpus; the label-propagation bucket-merge pattern is the documented
+    scale path for a graph that outgrows the driver). The expensive part
+    — shingling, banding, candidate verification — is fully distributed
+    in minhash_dedup_pairs; the iterations here are numpy int64 over
+    edge arrays."""
+    from .ops.dedup import minhash_dedup_pairs
+
+    S = 1_000_000_000_000
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.7).to_pandas()
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "pr": pd.Series(dtype="int64")}
+    )
+    if "doc_a" not in pairs.columns or not len(pairs):
+        return empty
+    src = np.concatenate(
+        [pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)]
+    )
+    dst = np.concatenate(
+        [pairs["doc_b"].to_numpy(np.int64), pairs["doc_a"].to_numpy(np.int64)]
+    )
+    nodes, src_idx = np.unique(src, return_inverse=True)
+    dst_idx = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    deg = np.bincount(src_idx, minlength=n).astype(np.int64)
+    base = S // n
+    pr = np.full(n, base, dtype=np.int64)
+    for _ in range(3):
+        contrib = pr[src_idx] // deg[src_idx]
+        inflow = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow, dst_idx, contrib)
+        pr = 15 * base // 100 + 85 * inflow // 100
+    return pd.DataFrame({"doc_id": nodes, "pr": pr}).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def _pagerank_oracle() -> str:
+    S = 1_000_000_000_000
+    prefix = (
+        _CHAR5_PAIRS
+        + f"""
+    , edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM jac WHERE j >= 0.7
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac WHERE j >= 0.7
+    ),
+    deg AS (SELECT s, count(*) AS d FROM edges GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (
+      SELECT doc_id, {S} // nn.n AS pr FROM nodes CROSS JOIN nn
+    )"""
+    )
+    its = []
+    prev = "pr0"
+    for it in range(1, 4):
+        its.append(
+            f""",
+    it{it} AS (
+      SELECT nodes.doc_id,
+             15 * ({S} // nn.n) // 100
+               + 85 * coalesce(inf.x, 0) // 100 AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.t AS doc_id, sum(p.pr // d.d) AS x
+        FROM edges e
+        JOIN {prev} p ON p.doc_id = e.s
+        JOIN deg d ON d.s = e.s
+        GROUP BY e.t
+      ) inf USING (doc_id)
+    )"""
+        )
+        prev = f"it{it}"
+    return (
+        prefix
+        + "".join(its)
+        + f"""
+    SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM {prev} ORDER BY doc_id
+    """
+    )
+
+
+ORACLE_SQL["doc_pagerank"] = _pagerank_oracle()

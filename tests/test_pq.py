@@ -64,3 +64,34 @@ class TestPqCodes:
         ds = ray.data.from_pandas(_corpus()[["vec_id", "embedding"]])
         with pytest.raises(ValueError):
             pq_codes(ds, m=5, k=4, n_iter=1, dim=64)
+
+
+class TestPqTopk:
+    def test_self_retrieval_and_oracle(self, ray_session, tmp_path):
+        import ray.data
+
+        from exstruct_ray.queries import ORACLE_SQL, embedding_pq_topk
+
+        frame = _corpus(n=60, seed=19)
+        path = tmp_path / "embeddings.parquet"
+        frame.to_parquet(path)
+        out = embedding_pq_topk(str(tmp_path))
+
+        # 5 queries x 10 ranks, and each query retrieves itself among the
+        # top results (its own cell has the minimal table distance; ties
+        # broken by its low vec_id)
+        assert len(out) == 50
+        for qid in range(5):
+            hits = out[out["query_id"] == qid]["vec_id"].tolist()
+            assert qid in hits
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+        )
+        expected = con.execute(ORACLE_SQL["embedding_pq_topk"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
