@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textdoc_extract": q.textdoc_extract,
         # Relational operators with exact DuckDB oracles
         "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_shipping_priority": q.q3_shipping_priority,
         "q6_revenue": q.q6_revenue,
         "revenue_by_nation": q.revenue_by_nation,
         "top_orders": q.top_orders,
@@ -231,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_duplicated_spans": q.doc_duplicated_spans,
         "doc_lm_rarity": q.doc_lm_rarity,
         "doc_neardup_survivors": q.doc_neardup_survivors,
+        "doc_pagerank": q.doc_pagerank,
         "doc_clean_corpus": q.doc_clean_corpus,
         "doc_chunks": q.doc_chunks,
         "doc_bm25_topk": q.doc_bm25_topk,

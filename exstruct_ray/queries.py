@@ -4082,3 +4082,209 @@ def _pagerank_oracle() -> str:
 
 
 ORACLE_SQL["doc_pagerank"] = _pagerank_oracle()
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: customer(segment) ⋈ orders(date) ⋈ lineitem(date)
+    → revenue per order → top 10. Two tagged-union bucket merges (custkey
+    then orderkey — both sides pre-filtered, lineitem pre-aggregated to
+    per-order integer 1e-4-dollar partials inside each batch before the
+    shuffle); order dates ride the exchange as int64 epoch-us so the
+    tagged union has one frame schema. Driver sees only per-bucket
+    grouped rows."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    cutoff = pd.Timestamp("1995-03-15")
+
+    ocols = [
+        ("key", "int64"),
+        ("orderkey", "int64"),
+        ("odate_us", "int64"),
+        ("priority", "object"),
+        ("is_cust", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["o_orderdate"] < cutoff]
+        if not len(sel):
+            return empty_frame(ocols)
+        return pd.DataFrame(
+            {
+                "key": sel["o_custkey"].astype("int64").to_numpy(),
+                "orderkey": sel["o_orderkey"].astype("int64").to_numpy(),
+                "odate_us": sel["o_orderdate"]
+                .to_numpy("datetime64[us]")
+                .astype(np.int64),
+                "priority": sel["o_orderpriority"].astype("object").to_numpy(),
+                "is_cust": False,
+                "bucket": (sel["o_custkey"] % n_buckets)
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["c_mktsegment"] == "BUILDING"]
+        if not len(sel):
+            return empty_frame(ocols)
+        return pd.DataFrame(
+            {
+                "key": sel["c_custkey"].astype("int64").to_numpy(),
+                "orderkey": np.int64(-1),
+                "odate_us": np.int64(0),
+                "priority": "",
+                "is_cust": True,
+                "bucket": (sel["c_custkey"] % n_buckets)
+                .astype("int64")
+                .to_numpy(),
+            }
+        )
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    tagged1 = orders.map_batches(order_rows, batch_format="pandas").union(
+        customer.map_batches(cust_rows, batch_format="pandas")
+    )
+
+    qcols = [
+        ("orderkey", "int64"),
+        ("odate_us", "int64"),
+        ("priority", "object"),
+        ("dp10000", "int64"),
+        ("is_line", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def merge_custkey(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_cust" not in group.columns or len(group) == 0:
+            return empty_frame(qcols)
+        keys = set(group.loc[group["is_cust"], "key"])
+        o = group[~group["is_cust"] & group["key"].isin(keys)]
+        if not len(o):
+            return empty_frame(qcols)
+        return pd.DataFrame(
+            {
+                "orderkey": o["orderkey"].to_numpy(),
+                "odate_us": o["odate_us"].to_numpy(),
+                "priority": o["priority"].to_numpy(),
+                "dp10000": np.int64(0),
+                "is_line": False,
+                "bucket": (o["orderkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    qualified = tagged1.groupby("bucket").map_groups(
+        merge_custkey, batch_format="pandas"
+    )
+
+    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["l_shipdate"] > cutoff]
+        if not len(sel):
+            return empty_frame(qcols)
+        dp = np.rint(
+            (sel["l_extendedprice"] * (1 - sel["l_discount"])).to_numpy()
+            * 10000
+        ).astype(np.int64)
+        tmp = pd.DataFrame(
+            {"orderkey": sel["l_orderkey"].astype("int64").to_numpy(), "dp10000": dp}
+        )
+        agg = tmp.groupby("orderkey", as_index=False)["dp10000"].sum()
+        return pd.DataFrame(
+            {
+                "orderkey": agg["orderkey"].astype("int64"),
+                "odate_us": np.int64(0),
+                "priority": "",
+                "dp10000": agg["dp10000"].astype("int64"),
+                "is_line": True,
+                "bucket": (agg["orderkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    tagged2 = qualified.union(
+        lineitem.map_batches(line_partials, batch_format="pandas")
+    )
+
+    def merge_orderkey(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            ("l_orderkey", "int64"),
+            ("odate_us", "int64"),
+            ("o_orderpriority", "object"),
+            ("dp10000", "int64"),
+        ]
+        if "is_line" not in group.columns or len(group) == 0:
+            return empty_frame(cols)
+        o = group[~group["is_line"]]
+        li = group[group["is_line"]]
+        if o.empty or li.empty:
+            return empty_frame(cols)
+        lsum = li.groupby("orderkey", as_index=False)["dp10000"].sum()
+        m = o[["orderkey", "odate_us", "priority"]].merge(
+            lsum, on="orderkey", how="inner"
+        )
+        return pd.DataFrame(
+            {
+                "l_orderkey": m["orderkey"].astype("int64"),
+                "odate_us": m["odate_us"].astype("int64"),
+                "o_orderpriority": m["priority"].astype("object"),
+                "dp10000": m["dp10000"].astype("int64"),
+            }
+        )
+
+    out = (
+        tagged2.groupby("bucket")
+        .map_groups(merge_orderkey, batch_format="pandas")
+        .to_pandas()
+    )
+    if "l_orderkey" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.Series(dtype="int64"),
+                "revenue": pd.Series(dtype="float64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series(dtype="object"),
+            }
+        )
+    out["revenue"] = out.pop("dp10000") / 10000.0
+    out["o_orderdate"] = out.pop("odate_us").to_numpy().astype(
+        "datetime64[us]"
+    )
+    out = out.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True],
+    ).head(10)
+    return out[
+        ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
+    ].reset_index(drop=True)
+
+
+ORACLE_SQL["q3_shipping_priority"] = """
+    WITH t AS (
+      SELECT l_orderkey,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS dp10000
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-03-15'
+    )
+    SELECT t.l_orderkey,
+           sum(t.dp10000) / 10000.0 AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """
