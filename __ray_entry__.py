@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q.events_asof_orders,
         "events_in_order_window": q.events_in_order_window,
         "events_rolling_window": q.events_rolling_window,
+        "events_value_histogram": q.events_value_histogram,
+        "events_hourly_rollup": q.events_hourly_rollup,
         "doc_sample_10pct": q.doc_sample_10pct,
         "part_type_stats": q.part_type_stats,
         # Training-data ops

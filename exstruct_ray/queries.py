@@ -4288,3 +4288,142 @@ ORACLE_SQL["q3_shipping_priority"] = """
     ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 10
     """
+
+
+def events_value_histogram(sf_dir: str):
+    """Fixed 32-bin histogram of events.value — the profiling primitive.
+
+    Integer-exact binning: values quantize to micro-units once (np.rint ≡
+    round_even), pass 1 finds the global [min, max] micro range (tiny
+    tree-reduced aggregate), pass 2 computes
+    ``bin = (v - min) * 32 // (max - min + 1)`` per row and pre-counts
+    per batch — only (bin, count) partials ride to the driver. No float
+    boundary arithmetic anywhere, so the SQL mirror is a hash check."""
+    n_bins = 32
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def minmax_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(batch["value"].to_numpy(dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        if not len(v):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="int64"), "hi": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame({"lo": [int(v.min())], "hi": [int(v.max())]})
+
+    mm = ds.map_batches(minmax_partial, batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    span = hi - lo + 1
+
+    def bin_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(batch["value"].to_numpy(dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        bins = (v - lo) * n_bins // span
+        counts = np.bincount(bins, minlength=n_bins).astype(np.int64)
+        return pd.DataFrame(
+            {"bin": np.arange(n_bins, dtype=np.int64), "n": counts}
+        )
+
+    partials = ds.map_batches(bin_partial, batch_format="pandas").to_pandas()
+    out = partials.groupby("bin", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+ORACLE_SQL["events_value_histogram"] = """
+    WITH q AS (
+      SELECT CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events
+    ),
+    mm AS (SELECT min(v) AS lo, max(v) AS hi FROM q),
+    bins AS (SELECT UNNEST(range(0, 32)) AS bin),
+    counted AS (
+      SELECT (q.v - mm.lo) * 32 // (mm.hi - mm.lo + 1) AS bin,
+             count(*) AS n
+      FROM q CROSS JOIN mm GROUP BY 1
+    )
+    SELECT b.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM bins b LEFT JOIN counted c USING (bin)
+    ORDER BY b.bin
+    """
+
+
+def events_hourly_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP(event_type, hour)): leaf
+    partials pre-aggregated in-batch (the only corpus-sized work), the
+    leaf table is then group-count-sized, and the two rollup levels
+    derive from it driver-side — exactly how a rollup should execute
+    distributed: never re-scan the input per level. Sentinels: '' for
+    the rolled-up event_type, -1 for the rolled-up hour, plus the
+    grouping level (0 leaf, 1 per-type, 2 grand total). Value sums in
+    half-even micro-units."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def leaf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hour = (
+            batch["ts"].dt.floor("h").to_numpy("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        v = np.rint(batch["value"].to_numpy(dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        tmp = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].astype("object").to_numpy(),
+                "hour": hour,
+                "n": np.int64(1),
+                "vsum_micro": v,
+            }
+        )
+        return tmp.groupby(["event_type", "hour"], as_index=False).sum()
+
+    leaf = (
+        ds.map_batches(leaf_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "hour"], as_index=False)
+        .sum()
+    )
+    per_type = leaf.groupby("event_type", as_index=False)[
+        ["n", "vsum_micro"]
+    ].sum()
+    per_type["hour"] = np.int64(-1)
+    total = pd.DataFrame(
+        {
+            "event_type": [""],
+            "hour": np.int64(-1),
+            "n": [leaf["n"].sum()],
+            "vsum_micro": [leaf["vsum_micro"].sum()],
+        }
+    )
+    leaf["lvl"] = np.int64(0)
+    per_type["lvl"] = np.int64(1)
+    total["lvl"] = np.int64(2)
+    out = pd.concat([leaf, per_type, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["vsum_micro"] = out["vsum_micro"].astype("int64")
+    out["hour"] = out["hour"].astype("int64")
+    return out.sort_values(["lvl", "event_type", "hour"]).reset_index(
+        drop=True
+    )[["event_type", "hour", "n", "vsum_micro", "lvl"]]
+
+
+ORACLE_SQL["events_hourly_rollup"] = """
+    WITH q AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+               AS hour,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT coalesce(event_type, '') AS event_type,
+           coalesce(hour, -1) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS vsum_micro,
+           CAST(GROUPING(event_type) + GROUPING(hour) AS BIGINT) AS lvl
+    FROM q
+    GROUP BY ROLLUP(event_type, hour)
+    ORDER BY lvl, event_type, hour
+    """
