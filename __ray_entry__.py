@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_window": q.events_rolling_window,
         "events_value_histogram": q.events_value_histogram,
         "events_hourly_rollup": q.events_hourly_rollup,
+        "events_top_users_per_type": q.events_top_users_per_type,
+        "doc_quality_deciles": q.doc_quality_deciles,
         "doc_sample_10pct": q.doc_sample_10pct,
         "part_type_stats": q.part_type_stats,
         # Training-data ops

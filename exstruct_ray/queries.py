@@ -4427,3 +4427,164 @@ ORACLE_SQL["events_hourly_rollup"] = """
     GROUP BY ROLLUP(event_type, hour)
     ORDER BY lvl, event_type, hour
     """
+
+
+def events_top_users_per_type(sf_dir: str):
+    """Top-3 users by event count per event type — grouped top-k.
+
+    In-batch partial counts per (type, user) collapse each batch before
+    the shuffle; one coarse bucket exchange keyed on event_type merges
+    exact counts; top-3 selection happens inside the group (ties break
+    to the lower user_id). Only k rows per type reach the driver."""
+    from .ops.shuffle import empty_frame
+
+    k = 3
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].astype("object").to_numpy(),
+                "user_id": batch["user_id"].astype("int64").to_numpy(),
+                "n": np.int64(1),
+            }
+        )
+        import zlib
+
+        agg = tmp.groupby(["event_type", "user_id"], as_index=False)["n"].sum()
+        # crc32: deterministic across worker processes
+        agg["bucket"] = (
+            agg["event_type"]
+            .map(lambda t: zlib.crc32(str(t).encode("utf-8")) % 16)
+            .astype("int64")
+        )
+        return agg
+
+    def topk_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            ("event_type", "object"),
+            ("user_id", "int64"),
+            ("n", "int64"),
+            ("rank", "int64"),
+        ]
+        if "event_type" not in group.columns or len(group) == 0:
+            return empty_frame(cols)
+        agg = group.groupby(["event_type", "user_id"], as_index=False)[
+            "n"
+        ].sum()
+        agg = agg.sort_values(
+            ["event_type", "n", "user_id"], ascending=[True, False, True]
+        )
+        agg["rank"] = agg.groupby("event_type").cumcount() + 1
+        out = agg[agg["rank"] <= k]
+        return out[[c for c, _ in cols]].reset_index(drop=True)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(topk_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "event_type" not in out.columns:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "user_id": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+
+ORACLE_SQL["events_top_users_per_type"] = """
+    SELECT event_type, user_id, n, rank FROM (
+      SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id
+             ) AS BIGINT) AS rank
+      FROM events GROUP BY event_type, user_id
+    )
+    WHERE rank <= 3
+    ORDER BY event_type, rank
+    """
+
+
+def doc_quality_deciles(sf_dir: str):
+    """Quality deciles: every document assigned its corpus-relative
+    decile of the unigram-LM rarity score — the composition a curation
+    pipeline uses to keep 'the cleanest N%' (CCNet's perplexity buckets).
+
+    Chains two existing subsystems: the rarity scorer (broadcast
+    vocabulary, integer scores) materialized ONCE as a compact derived
+    table (doc-count × 4 ints — never the corpus text), then the exact
+    distributed quantile selector finds the 9 decile thresholds
+    (histogram-refine, no global sort), and one vectorized pass assigns
+    ``decile = 1 + #{t_i < score}`` (ties stay in the lower decile)."""
+    import ray
+
+    from .ops.sketch import distributed_quantile_disc
+    from .ops.text import corpus_token_counts, lm_rarity_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts_df = corpus_token_counts(ds)
+    counts = pd.Series(
+        counts_df["n"].to_numpy(dtype=np.int64),
+        index=counts_df["token"].to_numpy(),
+    )
+    ref = ray.put(counts)
+    scored = lm_rarity_scores(ds, ref).materialize()
+    qdf = distributed_quantile_disc(
+        scored, "mean_rarity", [i / 10 for i in range(1, 10)]
+    )
+    thresholds = np.sort(qdf["value"].to_numpy(dtype=np.int64))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["mean_rarity"].to_numpy(dtype=np.int64)
+        decile = 1 + (s[:, None] > thresholds[None, :]).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].reset_index(drop=True).astype(
+                    "int64"
+                ),
+                "mean_rarity": s,
+                "decile": decile.astype(np.int64),
+            }
+        )
+
+    out = scored.map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _quality_deciles_oracle() -> str:
+    scored = ORACLE_SQL["doc_lm_rarity"]
+    return f"""
+    WITH scored AS (
+      {scored}
+    ),
+    ranked AS (
+      SELECT mean_rarity AS v,
+             row_number() OVER (ORDER BY mean_rarity) - 1 AS r
+      FROM scored
+    ),
+    nn AS (SELECT count(*) AS n FROM scored),
+    qs(q) AS (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+                     (0.6), (0.7), (0.8), (0.9)),
+    thr AS (
+      SELECT ranked.v
+      FROM qs CROSS JOIN nn
+      JOIN ranked
+        ON ranked.r = greatest(0, CAST(ceil(qs.q * nn.n) AS BIGINT) - 1)
+    )
+    SELECT s.doc_id, s.mean_rarity,
+           CAST(1 + (SELECT count(*) FROM thr WHERE s.mean_rarity > thr.v)
+                AS BIGINT) AS decile
+    FROM scored s
+    ORDER BY s.doc_id
+    """
+
+
+ORACLE_SQL["doc_quality_deciles"] = _quality_deciles_oracle()

@@ -91,3 +91,85 @@ class TestHourlyRollup:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestTopUsersPerType:
+    def test_grouped_topk_with_ties(self, ray_session, tmp_path):
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            events_top_users_per_type,
+        )
+
+        # type a: user 1 x3, user 2 x2, users 3/4 x1 (tie -> lower id)
+        rows = (
+            [("a", 1)] * 3 + [("a", 2)] * 2 + [("a", 3), ("a", 4)]
+            + [("b", 9)] * 2 + [("b", 7)]
+        )
+        frame = pd.DataFrame(
+            {
+                "event_id": np.arange(len(rows), dtype=np.int64),
+                "ts": pd.Timestamp("2024-01-01"),
+                "user_id": [u for _, u in rows],
+                "event_type": [t for t, _ in rows],
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        frame.to_parquet(tmp_path / "events.parquet")
+        out = events_top_users_per_type(str(tmp_path))
+        a = out[out["event_type"] == "a"]
+        assert a["user_id"].tolist() == [1, 2, 3]  # tie 3 vs 4 -> lower id
+        assert a["n"].tolist() == [3, 2, 1]
+        b = out[out["event_type"] == "b"]
+        assert b["user_id"].tolist() == [9, 7]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        expected = con.execute(ORACLE_SQL["events_top_users_per_type"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+class TestQualityDeciles:
+    def test_monotone_and_oracle(self, ray_session, tmp_path):
+        from exstruct_ray.queries import ORACLE_SQL, doc_quality_deciles
+
+        # 20 docs with strictly increasing rarity: doc i repeats a token
+        # seen nowhere else i+1 times -> unique-token-heavy docs score high
+        texts = []
+        common = "the common filler words appear in every document "
+        for i in range(20):
+            texts.append(common + " ".join(f"rare{i}x{j}" for j in range(i)))
+        frame = pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "text": texts,
+                "lang": "en",
+                "source": "t",
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        frame.to_parquet(tmp_path / "documents.parquet")
+        out = doc_quality_deciles(str(tmp_path))
+        # deciles are monotone in the score
+        s = out.sort_values("mean_rarity")
+        assert (np.diff(s["decile"].to_numpy()) >= 0).all()
+        assert out["decile"].between(1, 10).all()
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_quality_deciles"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
