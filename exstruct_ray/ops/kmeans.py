@@ -134,6 +134,7 @@ def kmeans_chain_sql(
     vec_expr: str = "embedding",
     prefix: str = "",
     leading_with: bool = True,
+    materialized: bool = False,
 ) -> tuple[str, str, str]:
     """The shared k-means CTE chain (quantize → iterate assign/update).
 
@@ -149,11 +150,16 @@ def kmeans_chain_sql(
     def n(name: str) -> str:
         return f"{prefix}{name}"
 
+    # `AS MATERIALIZED` pins shared CTEs when a downstream oracle consumes
+    # the chain more than once — DuckDB's default inlining otherwise
+    # re-expands the whole chain per consumer (measured: minutes vs
+    # seconds on the PQ-ADC oracle).
+    mat = "MATERIALIZED " if materialized else ""
     head = "\n    WITH " if leading_with else ""
     parts = [
         f"""{head}{n('dims')} AS (SELECT UNNEST(range(1, {dim + 1})) AS i),
     {n('clusters')} AS (SELECT UNNEST(range(0, {k})) AS cluster_id),
-    {n('q')} AS (
+    {n('q')} AS {mat}(
       SELECT vec_id,
              [CAST(round_even(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)
               for x in {vec_expr}] AS qe
@@ -187,7 +193,7 @@ def kmeans_chain_sql(
       CROSS JOIN {n('dims')} d
       GROUP BY 1, 2
     ),
-    {n(f'c{it}')} AS (
+    {n(f'c{it}')} AS {mat}(
       SELECT cl.cluster_id,
              COALESCE(
                array_agg(CASE WHEN s.s >= 0 THEN s.s // s.n
@@ -432,28 +438,7 @@ def pq_codes(
         raise ValueError("dim must divide evenly into m subspaces")
     sub = dim // m
 
-    codebooks: list[np.ndarray] = []
-    for j in range(m):
-        lo, hi = j * sub, (j + 1) * sub
-
-        def slice_batch(batch: pd.DataFrame, _lo=lo, _hi=hi) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"].reset_index(drop=True),
-                    "embedding": pd.Series(
-                        [
-                            np.asarray(v, dtype=np.float64)[_lo:_hi].tolist()
-                            for v in batch["embedding"]
-                        ],
-                        dtype="object",
-                    ),
-                }
-            )
-
-        sliced = ds.map_batches(slice_batch, batch_format="pandas")
-        cents, _ = kmeans_fit(sliced, k=k, n_iter=n_iter, dim=sub)
-        codebooks.append(cents)
-
+    codebooks = train_pq_codebooks(ds, m=m, k=k, n_iter=n_iter, dim=dim)
     ref = ray.put(codebooks)
 
     def assign_codes(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
@@ -532,3 +517,43 @@ def pq_oracle_sql(
     ) ORDER BY vec_id, sub_id
     """
     )
+
+
+def train_pq_codebooks(
+    ds, m: int, k: int, n_iter: int, dim: int
+) -> list[np.ndarray]:
+    """Train one integer-exact k-means codebook per contiguous subspace.
+
+    Shared by pq_codes and the ADC scan (embedding_pq_topk) — the two
+    MUST see bit-identical codebooks, so the slicing + quantization
+    order lives in exactly one place. Only sub_dim floats per row move
+    through each training pass (the slice happens in the map stage)."""
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    sub = dim // m
+    codebooks: list[np.ndarray] = []
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+
+        def slice_batch(batch: pd.DataFrame, _lo=lo, _hi=hi) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].reset_index(drop=True),
+                    "embedding": pd.Series(
+                        [
+                            np.asarray(v, dtype=np.float64)[_lo:_hi].tolist()
+                            for v in batch["embedding"]
+                        ],
+                        dtype="object",
+                    ),
+                }
+            )
+
+        cents, _ = kmeans_fit(
+            ds.map_batches(slice_batch, batch_format="pandas"),
+            k=k,
+            n_iter=n_iter,
+            dim=sub,
+        )
+        codebooks.append(cents)
+    return codebooks

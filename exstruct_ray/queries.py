@@ -3524,6 +3524,14 @@ def events_rolling_window(sf_dir: str):
         u_codes = np.unique(u, return_inverse=True)[1].astype(np.int64)
         tn = t - t.min() + window_us  # tn - window >= 0, stays in-segment
         span = int(tn.max()) + window_us + 1
+        # Loud guard: the disjoint-range trick needs n_users x span to fit
+        # int64; a wrapped key silently breaks searchsorted's sort order.
+        # Raise instead (remedy: more buckets -> fewer users per bucket).
+        if int(u_codes.max() + 1) * span >= 2**63:
+            raise ValueError(
+                "rolling-window composite key would overflow int64: "
+                "raise the bucket count so fewer users share a bucket"
+            )
         comp = u_codes * span + tn
         lo = np.searchsorted(comp, u_codes * span + tn - window_us, "left")
         hi = np.searchsorted(comp, comp, "right")
@@ -3661,8 +3669,13 @@ def doc_bm25_topk(sf_dir: str):
             r"[^\t\n\f\r ]+"
         )
         exploded = toks.reset_index(drop=True).explode().dropna()
-        row = {"n_docs": np.int64(len(batch)),
-               "n_tokens": np.int64(len(exploded))}
+        row = {
+            "n_docs": np.int64(len(batch)),
+            "n_tokens": np.int64(len(exploded)),
+            "max_dl": np.int64(
+                int(toks.str.len().max()) if len(toks) else 0
+            ),
+        }
         for t in terms:
             hits = exploded[exploded == t]
             row[f"df_{t}"] = np.int64(hits.index.nunique())
@@ -3673,6 +3686,19 @@ def doc_bm25_topk(sf_dir: str):
     total_tokens = int(stats["n_tokens"].sum())
     df_by_term = {t: int(stats[f"df_{t}"].sum()) for t in terms}
     avgdl_u = total_tokens * S // n_docs
+    # Overflow guard: the per-term product idf_u * tf * 2_200_000 must fit
+    # int64 or numpy would wrap silently while the oracle's BIGINT multiply
+    # errors — fail loudly on both sides instead. tf is bounded by the
+    # longest document; idf by the rarest present term.
+    max_idf = max(
+        (n_docs * S // d for d in df_by_term.values() if d), default=0
+    )
+    max_tf = int(stats["max_dl"].max() or 0)  # tf <= longest doc
+    if max_idf * max_tf * 2_200_000 >= 2**63:
+        raise ValueError(
+            "exact-int BM25 would overflow int64 at this corpus scale; "
+            "lower the idf scale S or cap tf"
+        )
 
     def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].fillna("").str.lower().str.findall(
@@ -3804,41 +3830,17 @@ def embedding_pq_topk(sf_dir: str):
     partial top-k per query; the driver merges top-k lists only."""
     import ray
 
-    from .ops.kmeans import _assign, pq_codes, quantize_embeddings
+    from .ops.kmeans import _assign, quantize_embeddings
 
     m, k_codes, n_iter, dim, topk = 4, 4, 2, 64, 10
     sub = dim // m
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    # Re-train the codebooks (same deterministic run as embedding_pq_codes)
-    from .ops.kmeans import kmeans_fit
+    # Same deterministic codebooks as embedding_pq_codes — shared trainer
+    from .ops.kmeans import train_pq_codebooks
 
-    codebooks = []
-    for j in range(m):
-        lo, hi = j * sub, (j + 1) * sub
-
-        def slice_batch(batch: pd.DataFrame, _lo=lo, _hi=hi) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"].reset_index(drop=True),
-                    "embedding": pd.Series(
-                        [
-                            np.asarray(v, dtype=np.float64)[_lo:_hi].tolist()
-                            for v in batch["embedding"]
-                        ],
-                        dtype="object",
-                    ),
-                }
-            )
-
-        cents, _ = kmeans_fit(
-            ds.map_batches(slice_batch, batch_format="pandas"),
-            k=k_codes,
-            n_iter=n_iter,
-            dim=sub,
-        )
-        codebooks.append(cents)
+    codebooks = train_pq_codebooks(ds, m=m, k=k_codes, n_iter=n_iter, dim=dim)
 
     queries_df = (
         pq.read_table(
@@ -3916,6 +3918,7 @@ def _pq_topk_oracle() -> str:
             vec_expr=f"embedding[{lo}:{hi}]",
             prefix=f"t{j}_",
             leading_with=(j == 0),
+            materialized=True,
         )
         parts.append(chain if j == 0 else ",\n    " + chain)
         parts.append(
@@ -3926,7 +3929,7 @@ def _pq_topk_oracle() -> str:
                        for i in range(1, {sub + 1})]) AS dist
       FROM t{j}_q q CROSS JOIN {cfin} p
     ),
-    t{j}_afin AS (
+    t{j}_afin AS MATERIALIZED (
       SELECT vec_id, cluster_id FROM (
         SELECT vec_id, cluster_id,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -3934,7 +3937,7 @@ def _pq_topk_oracle() -> str:
         FROM t{j}_dfin
       ) WHERE rn = 1
     ),
-    t{j}_qd AS (
+    t{j}_qd AS MATERIALIZED (
       SELECT qq.vec_id AS query_id, p.cluster_id AS code,
              list_sum([(qq.qe[i] - p.c[i]) * (qq.qe[i] - p.c[i])
                        for i in range(1, {sub + 1})]) AS d
@@ -3969,20 +3972,11 @@ def _pq_topk_oracle() -> str:
     ORDER BY query_id, rank
     """
     )
-    sql = "".join(parts)
-    # The join tree consumes each subspace chain several times (afin, qd,
-    # and the DISTINCT vec_id anchor); DuckDB's default CTE inlining then
-    # re-expands the whole k-means chain per consumer and the plan blows
-    # past minutes. Materializing the shared CTEs returns it to seconds.
-    for j in range(m):
-        for cte in (
-            f"t{j}_q AS (",
-            f"t{j}_c{n_iter} AS (",
-            f"t{j}_afin AS (",
-            f"t{j}_qd AS (",
-        ):
-            sql = sql.replace(cte, cte.replace("AS (", "AS MATERIALIZED ("))
-    return sql
+    # Shared CTEs are MATERIALIZED (chain via the kmeans_chain_sql flag,
+    # afin/qd inline) — the join tree consumes each subspace chain several
+    # times and DuckDB's default inlining re-expands it per consumer
+    # (measured: minutes vs seconds).
+    return "".join(parts)
 
 
 ORACLE_SQL["embedding_pq_topk"] = _pq_topk_oracle()
@@ -4372,7 +4366,12 @@ def events_hourly_rollup(sf_dir: str):
         )
         tmp = pd.DataFrame(
             {
-                "event_type": batch["event_type"].astype("object").to_numpy(),
+                # NULL types get their own sentinel (pandas groupby would
+                # silently drop them; '' is taken by the grand total)
+                "event_type": batch["event_type"]
+                .fillna("<null>")
+                .astype("object")
+                .to_numpy(),
                 "hour": hour,
                 "n": np.int64(1),
                 "vsum_micro": v,
@@ -4412,7 +4411,7 @@ def events_hourly_rollup(sf_dir: str):
 
 ORACLE_SQL["events_hourly_rollup"] = """
     WITH q AS (
-      SELECT event_type,
+      SELECT coalesce(event_type, '<null>') AS event_type,
              CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
                AS hour,
              CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v

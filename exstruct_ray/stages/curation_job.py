@@ -38,10 +38,12 @@ def _curation_manifest_path(output_dir: str) -> str:
     return os.path.join(output_dir, "curation_manifest.jsonl")
 
 
-def _load_curation_manifest(output_dir: str) -> tuple[str | None, dict[int, dict]]:
-    """Returns (job_id, {partition_id: record})."""
+def _load_curation_manifest(
+    output_dir: str,
+) -> tuple[dict | None, dict[int, dict]]:
+    """Returns (header, {partition_id: record})."""
     path = _curation_manifest_path(output_dir)
-    job_id = None
+    header = None
     records: dict[int, dict] = {}
     if os.path.exists(path):
         with open(path) as f:
@@ -51,10 +53,10 @@ def _load_curation_manifest(output_dir: str) -> tuple[str | None, dict[int, dict
                     continue
                 obj = json.loads(line)
                 if "job_id" in obj:
-                    job_id = obj["job_id"]
+                    header = obj
                 else:
                     records[obj["partition_id"]] = obj
-    return job_id, records
+    return header, records
 
 
 def _append_line(output_dir: str, obj: dict) -> None:
@@ -86,12 +88,24 @@ def run_curation_job(
         f"curation-v1|{files_per_partition}|{bench_mod}".encode()
     ).hexdigest()[:12]
 
-    job_id, manifest = _load_curation_manifest(output_dir)
-    if job_id is None:
+    header, manifest = _load_curation_manifest(output_dir)
+    if header is not None and header.get("cfg_hash") != cfg_hash:
+        # A config change over an existing output dir would recompute
+        # every partition against a dedup index whose admissions were
+        # claimed under the OLD config's filter decisions — content whose
+        # only claimant is now filtered out would vanish from the output.
+        # Refuse instead of silently dropping data.
+        raise ValueError(
+            "curation config changed for an existing output dir "
+            f"(manifest cfg {header.get('cfg_hash')} != {cfg_hash}); "
+            "use a fresh --output directory"
+        )
+    if header is None:
         import uuid
 
-        job_id = uuid.uuid4().hex
-        _append_line(output_dir, {"job_id": job_id, "cfg_hash": cfg_hash})
+        header = {"job_id": uuid.uuid4().hex, "cfg_hash": cfg_hash}
+        _append_line(output_dir, header)
+    job_id = header["job_id"]
 
     files = list_input_files(input_path)
     partitions = [
@@ -99,64 +113,82 @@ def run_curation_job(
         for pid, i in enumerate(range(0, len(files), files_per_partition))
     ]
 
-    # Benchmark gram set: distributed scan, only the bench slice's grams
-    # reach the driver (eval-suite-sized), broadcast once.
-    bench_rows = (
-        ray.data.read_parquet(files)
-        .map_batches(
-            lambda b: b[b["doc_id"] % bench_mod == 0], batch_format="pandas"
-        )
-        .to_pandas()
-    )
-    bench_grams: set[str] = set()
-    for text in bench_rows.get("text", []):
-        bench_grams |= word_ngram_set(text, 3)
-    grams_ref = ray.put(bench_grams)
+    # Benchmark grams + index actors are built lazily on the first
+    # NON-skipped partition — a fully-resumed no-op re-run must not pay
+    # a whole-corpus scan or spin up shard actors just to skip everything.
+    setup: dict = {}
 
-    # The dedup index: checkpoints under the job's own output dir, run id
-    # pinned to the persisted job id so a resumed/recomputed partition
-    # re-receives its own admissions (no loss), while a DIFFERENT job
-    # directory gets a fresh id and sees re-ingested docs as duplicates.
-    ckpt_dir = os.path.join(output_dir, "dedup_ckpt")
-    index = DedupIndex(
-        n_shards=n_shards,
-        checkpoint_dir=ckpt_dir,
-        name_prefix=f"curation:{job_id[:8]}",
-        run_id=job_id,
-    )
-
-    def curate(batch: pd.DataFrame, _ref=grams_ref) -> pd.DataFrame:
-        grams = ray.get(_ref)
-        g = gopher_signals_batch(batch)
-        keep_q = g["keep"].to_numpy(dtype=bool)
-        ids = batch["doc_id"].reset_index(drop=True).astype("int64")
-        is_bench = (ids % bench_mod == 0).to_numpy()
-        texts = batch["text"].fillna("").reset_index(drop=True)
-        contam = np.fromiter(
-            (
-                True if b else bool(word_ngram_set(t, 3) & grams)
-                for t, b in zip(texts, is_bench)
-            ),
-            dtype=bool,
-            count=len(texts),
-        )
-        keep = keep_q & ~contam
-        out = batch.reset_index(drop=True).loc[keep].copy()
-        if len(out):
-            redacted, n_pii = redact_pii_batch(
-                out["text"].fillna("").astype(str)
+    def _ensure_setup() -> None:
+        if "index" in setup:
+            return
+        # Benchmark gram set: distributed scan, only the bench slice's
+        # grams reach the driver (eval-suite-sized), broadcast once.
+        bench_rows = (
+            ray.data.read_parquet(files)
+            .map_batches(
+                lambda b: b[b["doc_id"] % bench_mod == 0],
+                batch_format="pandas",
             )
-            out["text"] = redacted
-            out["n_pii"] = n_pii.astype("int64")
-        else:
-            out["n_pii"] = pd.Series(dtype="int64")
-        return out
+            .to_pandas()
+        )
+        bench_grams: set[str] = set()
+        for text in bench_rows.get("text", []):
+            bench_grams |= word_ngram_set(text, 3)
+        grams_ref = ray.put(bench_grams)
+
+        def curate(batch: pd.DataFrame, _ref=grams_ref) -> pd.DataFrame:
+            grams = ray.get(_ref)
+            g = gopher_signals_batch(batch)
+            keep_q = g["keep"].to_numpy(dtype=bool)
+            ids = batch["doc_id"].reset_index(drop=True).astype("int64")
+            is_bench = (ids % bench_mod == 0).to_numpy()
+            texts = batch["text"].fillna("").reset_index(drop=True)
+            contam = np.fromiter(
+                (
+                    True if b else bool(word_ngram_set(t, 3) & grams)
+                    for t, b in zip(texts, is_bench)
+                ),
+                dtype=bool,
+                count=len(texts),
+            )
+            keep = keep_q & ~contam
+            out = batch.reset_index(drop=True).loc[keep].copy()
+            if len(out):
+                redacted, n_pii = redact_pii_batch(
+                    out["text"].fillna("").astype(str)
+                )
+                out["text"] = redacted
+                out["n_pii"] = n_pii.astype("int64")
+            else:
+                out["n_pii"] = pd.Series(dtype="int64")
+            return out
+
+        # The dedup index: checkpoints under the job's own output dir,
+        # run id pinned to the persisted job id so a resumed/recomputed
+        # partition re-receives its own admissions (no loss), while a
+        # DIFFERENT job directory gets a fresh id and sees re-ingested
+        # docs as duplicates.
+        setup["curate"] = curate
+        setup["index"] = DedupIndex(
+            n_shards=n_shards,
+            checkpoint_dir=os.path.join(output_dir, "dedup_ckpt"),
+            name_prefix=f"curation:{job_id[:8]}",
+            run_id=job_id,
+        )
 
     skipped = 0
     totals = {"docs_in": 0, "kept": 0}
     for pid, part_files in partitions:
         prior = manifest.get(pid)
-        if prior is not None and prior.get("cfg_hash") == cfg_hash:
+        # A record only skips if its recorded input files are EXACTLY this
+        # run's partition membership — adding/removing a corpus file
+        # shifts every partition and must force recomputes, not silent
+        # stale-skip.
+        if (
+            prior is not None
+            and prior.get("cfg_hash") == cfg_hash
+            and prior.get("input_files") == part_files
+        ):
             skipped += 1
             totals["docs_in"] += prior["docs_in"]
             totals["kept"] += prior["kept"]
@@ -167,15 +199,16 @@ def run_curation_job(
             import shutil
 
             shutil.rmtree(part_dir)
+        _ensure_setup()
         ds = ray.data.read_parquet(
             part_files, override_num_blocks=len(part_files)
         )
         docs_in = ds.count()
         curated = ds.map_batches(
-            curate, batch_format="pandas", batch_size=batch_size
+            setup["curate"], batch_format="pandas", batch_size=batch_size
         )
         surviving = dedup_against_index(
-            curated, index, batch_size=batch_size
+            curated, setup["index"], batch_size=batch_size
         )
         surviving.write_parquet(part_dir)
         kept = 0
@@ -183,7 +216,7 @@ def run_curation_job(
             kept = ray.data.read_parquet(
                 part_dir, columns=["doc_id"]
             ).count()
-        index.checkpoint()
+        setup["index"].checkpoint()
         _append_line(
             output_dir,
             {

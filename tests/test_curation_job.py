@@ -140,3 +140,48 @@ class TestCurationJob:
         # still recognized as a duplicate of doc 2
         assert _read_output(out_dir)["doc_id"].tolist() == [1, 2, 5, 7]
         assert summary["kept"] == 4
+
+
+class TestCurationJobSafety:
+    def test_config_change_refused(self, ray_session, tmp_path):
+        input_dir = _write_corpus(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        with pytest.raises(ValueError, match="config changed"):
+            run_curation_job(
+                input_dir, out_dir, files_per_partition=2, n_shards=4
+            )
+
+    def test_input_drift_forces_recompute(self, ray_session, tmp_path):
+        input_dir = _write_corpus(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        # a new file whose name sorts FIRST shifts every partition's
+        # membership — nothing may stale-skip, and the new doc must land
+        pd.DataFrame(
+            {
+                "doc_id": [100],
+                "text": [
+                    "a brand new late arriving document with plenty of "
+                    "fully distinct vocabulary to sail through the "
+                    "quality thresholds easily"
+                ],
+                "lang": "en",
+                "source": "t",
+                "n_chars": [120],
+            }
+        ).to_parquet(os.path.join(input_dir, "part-0a.parquet"))
+
+        summary = run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        assert summary["partitions"] == 4
+        assert summary["docs_in"] == 9
+        out = _read_output(out_dir)
+        # prior survivors all keep surviving (claimants re-granted) and
+        # the new doc is curated in
+        assert out["doc_id"].tolist() == [1, 2, 5, 7, 100]
