@@ -4587,3 +4587,103 @@ def _quality_deciles_oracle() -> str:
 
 
 ORACLE_SQL["doc_quality_deciles"] = _quality_deciles_oracle()
+
+
+def events_funnel(sf_dir: str):
+    """Two-step funnel: per user, how many 'purchase' events had at least
+    one 'click' by the same user in the strictly-preceding hour
+    (``click_ts ∈ [purchase_ts − 1h, purchase_ts)``). Only converting
+    users are emitted.
+
+    Shape: the read filters to the two funnel stages, one coarse
+    user-hash bucket shuffle, then a single composite-key searchsorted
+    pass per bucket (the rolling-window trick: user segments offset onto
+    disjoint int64 ranges, purchases probe the sorted click array — no
+    per-user loop, no self-join)."""
+    from .ops.shuffle import empty_frame, hash_bucket
+
+    window_us = 3_600_000_000
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            ("user_id", "int64"),
+            ("t_us", "int64"),
+            ("is_purchase", "bool"),
+            ("bucket", "int64"),
+        ]
+        sel = batch[batch["event_type"].isin(("click", "purchase"))]
+        if not len(sel):
+            return empty_frame(cols)
+        out = pd.DataFrame(
+            {
+                "user_id": sel["user_id"].astype("int64").to_numpy(),
+                "t_us": sel["ts"]
+                .to_numpy("datetime64[us]")
+                .astype(np.int64),
+                "is_purchase": (sel["event_type"] == "purchase").to_numpy(),
+            }
+        )
+        out["bucket"] = hash_bucket(out["user_id"], 64)
+        return out
+
+    def funnel(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [("user_id", "int64"), ("n_conversions", "int64")]
+        if "user_id" not in group.columns or len(group) == 0:
+            return empty_frame(cols)
+        u = group["user_id"].to_numpy(dtype=np.int64)
+        t = group["t_us"].to_numpy(dtype=np.int64)
+        users, u_codes = np.unique(u, return_inverse=True)
+        tn = t - t.min() + window_us
+        span = int(tn.max()) + window_us + 1
+        if len(users) * span >= 2**63:
+            raise ValueError(
+                "funnel composite key would overflow int64: raise the "
+                "bucket count so fewer users share a bucket"
+            )
+        comp = u_codes.astype(np.int64) * span + tn
+        is_p = group["is_purchase"].to_numpy(dtype=bool)
+        click_comp = np.sort(comp[~is_p])
+        p_comp = comp[is_p]
+        lo = np.searchsorted(click_comp, p_comp - window_us, "left")
+        hi = np.searchsorted(click_comp, p_comp, "left")  # strictly before
+        converted = hi > lo
+        counts = np.bincount(
+            u_codes[is_p][converted], minlength=len(users)
+        ).astype(np.int64)
+        nz = counts > 0
+        return pd.DataFrame(
+            {"user_id": users[nz], "n_conversions": counts[nz]}
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+        .to_pandas()
+    )
+    if "user_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "n_conversions": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ORACLE_SQL["events_funnel"] = """
+    SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_conversions
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.user_id = p.user_id
+          AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR
+          AND c.ts < p.ts
+      )
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """

@@ -72,3 +72,48 @@ class TestRollingWindow:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestFunnel:
+    def test_boundaries_and_counts(self, ray_session, tmp_path):
+        from exstruct_ray.queries import ORACLE_SQL, events_funnel
+
+        rows = [
+            # user 1: click at 10:00, purchases at 11:00 (exactly 1h ->
+            # included), 11:00:01 (click now outside), 10:30 (inside)
+            (0, "2024-01-01 10:00:00", 1, "click"),
+            (1, "2024-01-01 11:00:00", 1, "purchase"),
+            (2, "2024-01-01 11:00:01", 1, "purchase"),
+            (3, "2024-01-01 10:30:00", 1, "purchase"),
+            # user 2: click at same instant as purchase -> NOT before
+            (4, "2024-01-01 09:00:00", 2, "click"),
+            (5, "2024-01-01 09:00:00", 2, "purchase"),
+            # user 3: purchase with no click at all
+            (6, "2024-01-01 12:00:00", 3, "purchase"),
+            # user 4: click after the purchase -> no conversion
+            (7, "2024-01-01 13:00:00", 4, "purchase"),
+            (8, "2024-01-01 13:30:00", 4, "click"),
+        ]
+        frame = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type"]
+        )
+        frame["ts"] = pd.to_datetime(frame["ts"])
+        frame["value"] = 1.0
+        frame["props"] = "{}"
+        frame.to_parquet(tmp_path / "events.parquet")
+
+        out = events_funnel(str(tmp_path))
+        assert out["user_id"].tolist() == [1]
+        assert out["n_conversions"].tolist() == [2]  # 11:00 and 10:30
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        expected = con.execute(ORACLE_SQL["events_funnel"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
