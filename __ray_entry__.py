@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_groups": q.doc_dedup_groups,
         "doc_dedup_groups_distributed": q.doc_dedup_groups_distributed,
         "doc_simhash": q.doc_simhash,
+        "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_ngram_verified_pairs": q.doc_ngram_verified_pairs,
         "embedding_topk": q.embedding_topk,
         "embedding_topk_ivf": q.embedding_topk_ivf,

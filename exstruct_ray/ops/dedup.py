@@ -1043,3 +1043,105 @@ def duplicated_ngram_spans(ds, n: int = 5, n_buckets: int = 512):
     return hits.groupby("dbucket").map_groups(
         merge_intervals, batch_format="pandas"
     )
+
+
+def simhash_pairs(ds, max_hamming: int = 3, n_buckets: int = 256):
+    """SimHash near-duplicate pairs at hamming distance <= max_hamming.
+
+    Pigeonhole completeness: with 4 disjoint 16-bit bands, any two
+    64-bit signatures within hamming distance 3 agree on at least one
+    whole band — so band-equality candidates have recall exactly 1 for
+    the default threshold (<= 3), unlike MinHash's probabilistic bands.
+
+    Shape: signatures computed per batch, each doc emits 4 (band_id,
+    band_val) rows; a coarse bucket shuffle groups equal bands, pairs
+    verify by popcount in-group; a doc-keyed second group collapses the
+    pair found via several bands. Only band rows (4 x 24 bytes per doc)
+    ride the first exchange; only candidate pairs ride the second."""
+
+    sigs = ds.map_batches(simhash_batch, batch_format="pandas")
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for band in range(4):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band_id": np.int64(band),
+                        "band_val": batch[f"band{band}"].to_numpy(
+                            dtype=np.int64
+                        ),
+                        "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                        "simhash": batch["simhash"].to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            (out["band_id"] * 65536 + out["band_val"]) % n_buckets
+        ).astype("int64")
+        return out
+
+    pcols = [
+        ("doc_a", "int64"),
+        ("doc_b", "int64"),
+        ("hamming", "int64"),
+        ("pbucket", "int64"),
+    ]
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "band_id" not in group.columns or len(group) == 0:
+            return _empty(pcols)
+        rows_a: list[int] = []
+        rows_b: list[int] = []
+        rows_h: list[int] = []
+        for _, g in group.groupby(["band_id", "band_val"]):
+            if len(g) < 2:
+                continue
+            sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy(dtype=np.int64)
+            hs = sub["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1 :]
+                hams = np.array(
+                    [int(v).bit_count() for v in x], dtype=np.int64
+                )
+                hit = hams <= max_hamming
+                rows_a.extend([int(ids[i])] * int(hit.sum()))
+                rows_b.extend(ids[i + 1 :][hit].tolist())
+                rows_h.extend(hams[hit].tolist())
+        if not rows_a:
+            return _empty(pcols)
+        out = pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+                "hamming": pd.Series(rows_h, dtype="int64"),
+            }
+        )
+        out["pbucket"] = (out["doc_a"] % 64).astype("int64")
+        return out
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [("doc_a", "int64"), ("doc_b", "int64"), ("hamming", "int64")]
+        if "doc_a" not in group.columns or len(group) == 0:
+            return _empty(cols)
+        return (
+            group.drop_duplicates(["doc_a", "doc_b"])[
+                ["doc_a", "doc_b", "hamming"]
+            ].reset_index(drop=True)
+        )
+
+    return (
+        sigs.map_batches(band_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
+def _empty(cols: list[tuple[str, object]]) -> pd.DataFrame:
+    from .shuffle import empty_frame
+
+    return empty_frame(cols)

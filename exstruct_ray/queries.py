@@ -4687,3 +4687,40 @@ ORACLE_SQL["events_funnel"] = """
     GROUP BY p.user_id
     ORDER BY p.user_id
     """
+
+
+def doc_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at hamming distance <= 3 — the banding is
+    pigeonhole-COMPLETE at this threshold (4 disjoint 16-bit bands), so
+    the candidate stage has recall exactly 1 and the brute-force SQL
+    oracle is the precise ground truth, not a bound."""
+    from .ops.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    if "doc_a" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _simhash_pairs_oracle() -> str:
+    sim = ORACLE_SQL["doc_simhash"]
+    return f"""
+    WITH s AS MATERIALIZED (
+      {sim}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+ORACLE_SQL["doc_simhash_pairs"] = _simhash_pairs_oracle()
