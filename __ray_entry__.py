@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pushdown": q.lineitem_pushdown,
         "doc_fingerprints": q.doc_fingerprints,
         "doc_winnow_fingerprints": q.doc_winnow_fingerprints,
+        "doc_winnow_pairs": q.doc_winnow_pairs,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_lang_counts": q.doc_lang_counts,
         "doc_lang_detect": q.doc_lang_detect,

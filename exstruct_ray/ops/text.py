@@ -567,3 +567,91 @@ def lm_rarity_scores(ds, counts_ref) -> "object":
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def winnow_overlap_pairs(
+    ds,
+    min_shared: int = 5,
+    max_postings: int = 200,
+    n_buckets: int = 256,
+):
+    """MOSS-style overlap detection (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: local algorithms for document fingerprinting"): document
+    pairs sharing >= min_shared winnowing fingerprints, with the shared
+    count. Fingerprints appearing in more than ``max_postings`` documents
+    are skipped — MOSS's own boilerplate rule, and the skew guard that
+    keeps per-posting pair generation bounded.
+
+    Shape: per-doc fingerprints (no shuffle) → coarse fingerprint-bucket
+    exchange of (fingerprint, doc_id) pairs → per-posting pair counts
+    in-group → doc-pair-bucket exchange sums shared counts exactly and
+    applies the threshold. Both exchanges move ids only."""
+
+    fps = ds.map_batches(winnow_fingerprints_batch, batch_format="pandas")
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "fingerprint"]].copy()
+        out["bucket"] = (out["fingerprint"] % n_buckets).astype("int64")
+        return out
+
+    pcols = [
+        ("doc_a", "int64"),
+        ("doc_b", "int64"),
+        ("n", "int64"),
+        ("pbucket", "int64"),
+    ]
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import empty_frame
+
+        if "fingerprint" not in group.columns or len(group) == 0:
+            return empty_frame(pcols)
+        rows_a: list[int] = []
+        rows_b: list[int] = []
+        for _, g in group.groupby("fingerprint"):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2 or len(ids) > max_postings:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            rows_a.extend(ids[ii].tolist())
+            rows_b.extend(ids[jj].tolist())
+        if not rows_a:
+            return empty_frame(pcols)
+        out = (
+            pd.DataFrame(
+                {
+                    "doc_a": pd.Series(rows_a, dtype="int64"),
+                    "doc_b": pd.Series(rows_b, dtype="int64"),
+                }
+            )
+            .groupby(["doc_a", "doc_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        out["pbucket"] = (out["doc_a"] % 64).astype("int64")
+        return out
+
+    def merge_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import empty_frame
+
+        cols = [("doc_a", "int64"), ("doc_b", "int64"), ("n_shared", "int64")]
+        if "doc_a" not in group.columns or len(group) == 0:
+            return empty_frame(cols)
+        agg = group.groupby(["doc_a", "doc_b"], as_index=False)["n"].sum()
+        agg = agg[agg["n"] >= min_shared]
+        return pd.DataFrame(
+            {
+                "doc_a": agg["doc_a"].astype("int64"),
+                "doc_b": agg["doc_b"].astype("int64"),
+                "n_shared": agg["n"].astype("int64"),
+            }
+        ).reset_index(drop=True)
+
+    return (
+        fps.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(merge_pairs, batch_format="pandas")
+    )

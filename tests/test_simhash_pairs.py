@@ -68,3 +68,36 @@ class TestSimhashPairs:
             .set_index(["doc_a", "doc_b"])
         )
         assert out.loc[(0, 1), "hamming"] == 0
+
+
+class TestWinnowPairs:
+    def test_overlap_detection_and_boilerplate_skip(self, ray_session):
+        import ray.data
+
+        from exstruct_ray.ops.text import winnow_overlap_pairs
+
+        shared = (
+            "a very long shared passage that produces many identical "
+            "rolling window fingerprints across both documents because "
+            "it is well beyond the thirty two character gram size"
+        )
+        texts = [
+            "first document intro " + shared,
+            "second document different intro " + shared,
+            "totally unrelated content with none of that passage inside "
+            "and enough length to carry its own fingerprints around",
+        ]
+        frame = pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": pd.Series(texts, dtype="object")}
+        )
+        ds = ray.data.from_pandas(frame)
+        out = winnow_overlap_pairs(ds, min_shared=5).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (0, 1) in pairs
+        assert not any(2 in p for p in pairs)
+
+        # with max_postings=1 every posting list is "boilerplate" -> none
+        out2 = winnow_overlap_pairs(
+            ray.data.from_pandas(frame), min_shared=1, max_postings=1
+        ).to_pandas()
+        assert "doc_a" not in out2.columns or len(out2) == 0
