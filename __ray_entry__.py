@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_per_type": q.events_top_users_per_type,
         "doc_quality_deciles": q.doc_quality_deciles,
         "events_funnel": q.events_funnel,
+        "events_cohort_retention": q.events_cohort_retention,
         "doc_sample_10pct": q.doc_sample_10pct,
         "part_type_stats": q.part_type_stats,
         # Training-data ops

@@ -4769,3 +4769,98 @@ def _winnow_pairs_oracle() -> str:
 
 
 ORACLE_SQL["doc_winnow_pairs"] = _winnow_pairs_oracle()
+
+
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by their first active DAY,
+    counted as retained in each later day-offset where they were active.
+    Output one row per (cohort_day, day_offset) with the distinct-user
+    count — the standard product-analytics retention triangle, all
+    integer day arithmetic.
+
+    Shape: one coarse user-hash bucket shuffle; inside each bucket the
+    per-user first day and distinct active days compute vectorized
+    (groupby-min + drop_duplicates), emitting (cohort_day, day_offset,
+    partial count) rows; a tiny second groupby sums partials — distinct
+    users never recount because each user lives in exactly one bucket."""
+    from .ops.shuffle import empty_frame, hash_bucket
+
+    us_per_day = 86_400_000_000
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64").to_numpy(),
+                "day": batch["ts"]
+                .to_numpy("datetime64[us]")
+                .astype(np.int64)
+                // us_per_day,
+            }
+        )
+        out = out.drop_duplicates()
+        out["bucket"] = hash_bucket(out["user_id"], 64)
+        return out
+
+    def retention_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            ("cohort_day", "int64"),
+            ("day_offset", "int64"),
+            ("n_users", "int64"),
+        ]
+        if "user_id" not in group.columns or len(group) == 0:
+            return empty_frame(cols)
+        g = group[["user_id", "day"]].drop_duplicates()
+        first = g.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": first.to_numpy(dtype=np.int64),
+                "day_offset": (g["day"] - first).to_numpy(dtype=np.int64),
+            }
+        )
+        agg = (
+            out.groupby(["cohort_day", "day_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        agg["n_users"] = agg["n_users"].astype("int64")
+        return agg
+
+    partials = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(retention_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "cohort_day" not in partials.columns or not len(partials):
+        return pd.DataFrame(
+            {
+                "cohort_day": pd.Series(dtype="int64"),
+                "day_offset": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64"),
+            }
+        )
+    out = partials.groupby(
+        ["cohort_day", "day_offset"], as_index=False
+    )["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(
+        drop=True
+    )
+
+
+ORACLE_SQL["events_cohort_retention"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(day) AS c FROM ud GROUP BY user_id)
+    SELECT c.c AS cohort_day,
+           CAST(ud.day - c.c AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+    FROM ud JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """

@@ -173,3 +173,52 @@ class TestQualityDeciles:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestCohortRetention:
+    def test_hand_computed_matrix(self, ray_session, tmp_path):
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            events_cohort_retention,
+        )
+
+        rows = [
+            # user 1: first day 0, active days 0 and 2
+            (0, "2024-01-01 08:00:00", 1),
+            (1, "2024-01-01 20:00:00", 1),  # same day, no double count
+            (2, "2024-01-03 10:00:00", 1),
+            # user 2: same cohort, only day 0
+            (3, "2024-01-01 09:00:00", 2),
+            # user 3: cohort day 1, active days 1 and 2
+            (4, "2024-01-02 12:00:00", 3),
+            (5, "2024-01-03 12:00:00", 3),
+        ]
+        frame = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        frame["ts"] = pd.to_datetime(frame["ts"])
+        frame["event_type"] = "t"
+        frame["value"] = 1.0
+        frame["props"] = "{}"
+        frame.to_parquet(tmp_path / "events.parquet")
+
+        out = events_cohort_retention(str(tmp_path))
+        m = {
+            (r.cohort_day, r.day_offset): r.n_users
+            for r in out.itertuples()
+        }
+        d0 = pd.Timestamp("2024-01-01").value // (86_400 * 10**9)
+        assert m[(d0, 0)] == 2  # users 1 and 2 on their first day
+        assert m[(d0, 2)] == 1  # user 1 returns two days later
+        assert m[(d0 + 1, 0)] == 1 and m[(d0 + 1, 1)] == 1  # user 3
+        assert (d0, 1) not in m  # nobody from cohort 0 active on day 1
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        expected = con.execute(ORACLE_SQL["events_cohort_retention"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
