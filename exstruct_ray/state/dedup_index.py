@@ -46,7 +46,12 @@ def _make_shard_actor():
     requires an initialized Ray runtime."""
     import ray
 
-    @ray.remote(num_cpus=0.1)
+    # num_cpus=0: shards are tiny mostly-idle RPC servers (dict ops), and
+    # the process-lifetime handle registry keeps them alive — a nonzero
+    # reservation would accumulate across jobs in one process and starve
+    # task scheduling on small clusters (observed as a suite hang at 4
+    # CPUs with 0.1-CPU shards).
+    @ray.remote(num_cpus=0)
     class _DedupShard:
         """One shard: an owned map of admitted content hash → claimant."""
 
@@ -117,6 +122,11 @@ def _make_shard_actor():
     return _DedupShard
 
 
+# Process-lifetime strong references to shard actor handles (see the
+# registry comment in DedupIndex.__init__).
+_SHARD_HANDLES: dict[str, object] = {}
+
+
 class DedupIndex:
     """Handle over the shard actors (create once per job on the driver)."""
 
@@ -147,12 +157,25 @@ class DedupIndex:
         cfg = hashlib.md5(
             f"{n_shards}|{checkpoint_dir or ''}".encode()
         ).hexdigest()[:8]
-        self._actors = [
-            shard_cls.options(
-                name=f"{name_prefix}:{cfg}:{i}", get_if_exists=True
-            ).remote(i, checkpoint_dir)
-            for i in range(n_shards)
-        ]
+        # Handles are held in a process-level registry: named NON-detached
+        # actors are reference-counted, so when a prior DedupIndex over
+        # the same shards goes out of scope the actors start dying
+        # asynchronously — a quick successor's get_if_exists can then
+        # resolve the name to a DYING actor and every RPC fails with
+        # ActorDiedError (observed as an order-dependent flake under
+        # back-to-back job runs). Keeping one strong handle per name for
+        # the process lifetime removes the race; a fresh process simply
+        # re-creates actors, which reload from the checkpoint dir.
+        self._actors = []
+        for i in range(n_shards):
+            name = f"{name_prefix}:{cfg}:{i}"
+            handle = _SHARD_HANDLES.get(name)
+            if handle is None:
+                handle = shard_cls.options(
+                    name=name, get_if_exists=True
+                ).remote(i, checkpoint_dir)
+                _SHARD_HANDLES[name] = handle
+            self._actors.append(handle)
 
     def shard_of(self, digest: bytes) -> int:
         return digest[0] % self.n_shards
