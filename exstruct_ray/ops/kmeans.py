@@ -36,6 +36,46 @@ def quantize_embeddings(vectors: np.ndarray) -> np.ndarray:
     )
 
 
+def quantize_dataset(ds, dim: int = 64, vec_column: str = "embedding"):
+    """ONE quantization pass over the embedding table, materialized.
+
+    Every integer-exact embedding op (k-means iterations, SemDeDup's final
+    assignment, PQ codebook training + code assignment, ADC scans) starts
+    from the same μ-unit quantization of the same column. Re-running it
+    inside each consumer re-reads and re-quantizes the corpus once per
+    pass — k-means alone is n_iter passes, and a Dataset consumed by N
+    branches re-executes its lineage N times. Materializing the quantized
+    table once (same bytes as a float64 input; rows are (vec_id, qe))
+    turns all of that into object-store reads.
+
+    ``qe`` is the row's int64 μ-unit vector packed little-endian into one
+    ``dim*8``-byte binary value — a fixed-width Arrow binary column, not a
+    Python list-of-ints object column, so shuffles and object-store copies
+    stay zero-copy and decode is a single ``np.frombuffer``.
+    """
+
+    def quantize_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quantize_embeddings(
+            np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_column]]
+            )
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].reset_index(drop=True).astype("int64"),
+                "qe": pd.Series([row.tobytes() for row in q], dtype="object"),
+            }
+        )
+
+    return ds.map_batches(quantize_batch, batch_format="pandas").materialize()
+
+
+def decode_qe(qe_values, dim: int) -> np.ndarray:
+    """Packed qe binary column → (n, dim) int64 matrix (one frombuffer)."""
+    joined = b"".join(qe_values)
+    return np.frombuffer(joined, dtype=np.int64).reshape(-1, dim).copy()
+
+
 def _assign(q_vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     """Nearest centroid per row (int64 squared L2; ties → lowest id)."""
     # (n, k) distances without materializing (n, k, dim): ||v||² − 2v·c + ||c||²
@@ -53,18 +93,46 @@ def kmeans_fit(
     n_iter: int = 3,
     dim: int = 64,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Fit k-means; returns (centroids int64 (k, dim) μ-units, counts (k,)).
+    """Fit k-means over a raw (vec_id, embedding) dataset.
+
+    Convenience wrapper: quantizes ONCE (materialized) and fits on the
+    quantized table. Callers that also need the quantized table afterwards
+    (SemDeDup, PQ) should call quantize_dataset themselves and use
+    kmeans_fit_q so the corpus is quantized exactly once end to end.
+    """
+    return kmeans_fit_q(quantize_dataset(ds, dim=dim), k=k, n_iter=n_iter, dim=dim)
+
+
+def kmeans_fit_q(
+    qds,
+    k: int = 4,
+    n_iter: int = 3,
+    dim: int = 64,
+    *,
+    qe_dim: int | None = None,
+    lo: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit k-means on a quantize_dataset table; returns (centroids int64
+    (k, dim) μ-units, counts (k,)).
 
     Init: the k lowest vec_ids' quantized embeddings (deterministic,
     collected via a distributed scan — only k rows reach the driver).
     Counts are the final assignment's cluster sizes (the assignment that
     produced the returned centroids).
+
+    ``qe_dim``/``lo`` read a contiguous subspace slice ``[lo, lo+dim)`` of
+    qe rows stored at width ``qe_dim`` — PQ trains all its codebooks off
+    ONE materialized quantized table instead of m sliced re-quantizations
+    (per-element quantize-then-slice ≡ slice-then-quantize).
     """
     import ray
 
+    qe_dim = dim if qe_dim is None else qe_dim
+    hi = lo + dim
+
     # deterministic init: vec_id < k (tiny collect)
     init_rows = (
-        ds.map_batches(
+        qds.map_batches(
             lambda b: b[b["vec_id"] < k], batch_format="pandas"
         )
         .to_pandas()
@@ -72,9 +140,7 @@ def kmeans_fit(
     )
     if len(init_rows) < k:
         raise ValueError(f"need at least {k} vectors with vec_id < {k}")
-    centroids = quantize_embeddings(
-        np.stack([np.asarray(v, dtype=np.float64) for v in init_rows["embedding"]])
-    )
+    centroids = decode_qe(init_rows["qe"].to_numpy(), qe_dim)[:, lo:hi]
 
     counts = np.zeros(k, dtype=np.int64)
     for _ in range(n_iter):
@@ -87,11 +153,7 @@ def kmeans_fit(
             # n_iter dominated at sandbox scale); ray.get of the broadcast
             # is a local shared-memory hit per batch, not a re-ship.
             cents = ray.get(_centroids_ref)
-            q = quantize_embeddings(
-                np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
-                )
-            )
+            q = decode_qe(batch["qe"].to_numpy(), qe_dim)[:, lo:hi]
             labels = _assign(q, cents)
             rows_c: list[int] = []
             rows_n: list[int] = []
@@ -109,7 +171,7 @@ def kmeans_fit(
                 }
             )
 
-        partials = ds.map_batches(
+        partials = qds.map_batches(
             assign_partial, batch_format="pandas"
         ).to_pandas()  # ≤ k rows per block — tiny
 
@@ -223,7 +285,7 @@ def kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
         + f"""
     SELECT c.cluster_id,
            d.i - 1 AS dim_idx,
-           c.c[d.i] AS centroid_q,
+           CAST(c.c[d.i] AS BIGINT) AS centroid_q,
            COALESCE(n.n, 0) AS n_members
     FROM {final_c} c
     CROSS JOIN dims d
@@ -330,24 +392,25 @@ def semdedup(
     """
     import ray
 
-    centroids, _ = kmeans_fit(ds, k=k, n_iter=n_iter, dim=dim)
+    # ONE quantization pass feeds the fit's n_iter scans AND the final
+    # assignment — previously each was a fresh read+quantize of the corpus.
+    qds = quantize_dataset(ds, dim=dim)
+    centroids, _ = kmeans_fit_q(qds, k=k, n_iter=n_iter, dim=dim)
     ref = ray.put(centroids)
 
     def assign_final(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
         cents = ray.get(_ref)
-        q = quantize_embeddings(
-            np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
-        )
+        q = decode_qe(batch["qe"].to_numpy(), dim)
         labels = _assign(q, cents)
         return pd.DataFrame(
             {
                 "vec_id": batch["vec_id"].astype("int64").reset_index(drop=True),
                 "cluster_id": pd.Series(labels, dtype="int64"),
-                "qe": pd.Series([row.tolist() for row in q], dtype="object"),
+                "qe": batch["qe"].reset_index(drop=True),
             }
         )
 
-    assigned = ds.map_batches(assign_final, batch_format="pandas")
+    assigned = qds.map_batches(assign_final, batch_format="pandas")
 
     def prune_group(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -363,12 +426,7 @@ def semdedup(
         ids = group["vec_id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
-        q = np.stack(
-            [
-                np.asarray(v, dtype=np.int64)
-                for v in group["qe"].to_numpy()[order]
-            ]
-        )
+        q = decode_qe(group["qe"].to_numpy()[order], dim)
         dots = q @ q.T  # <= dim * (|qe|max)^2 — int64-safe at mu-scale
         norms2 = np.einsum("ij,ij->i", q, q)
         n2f = norms2.astype(np.float64)
@@ -438,16 +496,15 @@ def pq_codes(
         raise ValueError("dim must divide evenly into m subspaces")
     sub = dim // m
 
-    codebooks = train_pq_codebooks(ds, m=m, k=k, n_iter=n_iter, dim=dim)
+    # ONE quantization pass feeds all m codebook trainings AND the final
+    # code assignment.
+    qds = quantize_dataset(ds, dim=dim)
+    codebooks = train_pq_codebooks(qds, m=m, k=k, n_iter=n_iter, dim=dim, quantized=True)
     ref = ray.put(codebooks)
 
     def assign_codes(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
         cbs = ray.get(_ref)
-        q = quantize_embeddings(
-            np.stack(
-                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
-            )
-        )
+        q = decode_qe(batch["qe"].to_numpy(), dim)
         ids = batch["vec_id"].reset_index(drop=True).astype("int64")
         frames = []
         for j, cb in enumerate(cbs):
@@ -463,7 +520,7 @@ def pq_codes(
             )
         return pd.concat(frames, ignore_index=True)
 
-    out = ds.map_batches(assign_codes, batch_format="pandas").to_pandas()
+    out = qds.map_batches(assign_codes, batch_format="pandas").to_pandas()
     return out.sort_values(["vec_id", "sub_id"]).reset_index(drop=True)
 
 
@@ -520,40 +577,22 @@ def pq_oracle_sql(
 
 
 def train_pq_codebooks(
-    ds, m: int, k: int, n_iter: int, dim: int
+    ds, m: int, k: int, n_iter: int, dim: int, *, quantized: bool = False
 ) -> list[np.ndarray]:
     """Train one integer-exact k-means codebook per contiguous subspace.
 
     Shared by pq_codes and the ADC scan (embedding_pq_topk) — the two
     MUST see bit-identical codebooks, so the slicing + quantization
-    order lives in exactly one place. Only sub_dim floats per row move
-    through each training pass (the slice happens in the map stage)."""
+    order lives in exactly one place: all m trainings read subspace
+    slices of ONE materialized quantize_dataset table (per-element
+    quantize-then-slice ≡ slice-then-quantize). Pass ``quantized=True``
+    when ``ds`` already IS that table, so a caller that also assigns
+    codes quantizes exactly once end to end."""
     if dim % m:
         raise ValueError("dim must divide evenly into m subspaces")
     sub = dim // m
-    codebooks: list[np.ndarray] = []
-    for j in range(m):
-        lo, hi = j * sub, (j + 1) * sub
-
-        def slice_batch(batch: pd.DataFrame, _lo=lo, _hi=hi) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"].reset_index(drop=True),
-                    "embedding": pd.Series(
-                        [
-                            np.asarray(v, dtype=np.float64)[_lo:_hi].tolist()
-                            for v in batch["embedding"]
-                        ],
-                        dtype="object",
-                    ),
-                }
-            )
-
-        cents, _ = kmeans_fit(
-            ds.map_batches(slice_batch, batch_format="pandas"),
-            k=k,
-            n_iter=n_iter,
-            dim=sub,
-        )
-        codebooks.append(cents)
-    return codebooks
+    qds = ds if quantized else quantize_dataset(ds, dim=dim)
+    return [
+        kmeans_fit_q(qds, k=k, n_iter=n_iter, dim=sub, qe_dim=dim, lo=j * sub)[0]
+        for j in range(m)
+    ]

@@ -1239,7 +1239,9 @@ def doc_streaming_dedup(sf_dir: str):
 
     from .state import DedupIndex, dedup_against_index
 
-    index = DedupIndex(n_shards=8, name_prefix=f"q_{uuid.uuid4().hex[:8]}")
+    index = DedupIndex(
+        n_shards=8, name_prefix=f"q_{uuid.uuid4().hex[:8]}", ephemeral=True
+    )
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     kept = dedup_against_index(ds, index, batch_size=512)
 
@@ -2505,7 +2507,7 @@ ORACLE_SQL["lineitem_price_quantiles"] = """
     ),
     nn AS (SELECT count(*) AS n FROM lineitem),
     qs(q) AS (VALUES (0.01), (0.25), (0.5), (0.75), (0.99))
-    SELECT qs.q AS quantile,
+    SELECT CAST(qs.q AS DOUBLE) AS quantile,
            greatest(0, CAST(ceil(qs.q * nn.n) AS BIGINT) - 1) AS rank,
            nn.n AS n,
            ranked.v AS value
@@ -2892,8 +2894,8 @@ ORACLE_SQL["doc_pack_sequences"] = f"""
       FROM counts
     )
     SELECT doc_id, n_tokens,
-           start // {PACK_SEQ_LEN} AS pack_id,
-           start % {PACK_SEQ_LEN} AS offset_in_pack
+           CAST(start // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_pack
     FROM pref ORDER BY doc_id
 """
 
@@ -3830,17 +3832,21 @@ def embedding_pq_topk(sf_dir: str):
     partial top-k per query; the driver merges top-k lists only."""
     import ray
 
-    from .ops.kmeans import _assign, quantize_embeddings
+    from .ops.kmeans import _assign, decode_qe, quantize_dataset, quantize_embeddings
 
     m, k_codes, n_iter, dim, topk = 4, 4, 2, 64, 10
     sub = dim // m
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # ONE quantization pass feeds all m codebook trainings and the scan.
+    qds = quantize_dataset(ds, dim=dim)
 
     # Same deterministic codebooks as embedding_pq_codes — shared trainer
     from .ops.kmeans import train_pq_codebooks
 
-    codebooks = train_pq_codebooks(ds, m=m, k=k_codes, n_iter=n_iter, dim=dim)
+    codebooks = train_pq_codebooks(
+        qds, m=m, k=k_codes, n_iter=n_iter, dim=dim, quantized=True
+    )
 
     queries_df = (
         pq.read_table(
@@ -3867,11 +3873,7 @@ def embedding_pq_topk(sf_dir: str):
 
     def partial_topk(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
         cbs, tbls, qids = ray.get(_ref)
-        qv = quantize_embeddings(
-            np.stack(
-                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
-            )
-        )
+        qv = decode_qe(batch["qe"].to_numpy(), dim)
         ids = batch["vec_id"].to_numpy(dtype=np.int64)
         codes = np.stack(
             [
@@ -3892,7 +3894,7 @@ def embedding_pq_topk(sf_dir: str):
             )
         return pd.concat(frames, ignore_index=True)
 
-    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    partials = qds.map_batches(partial_topk, batch_format="pandas").to_pandas()
     out = (
         partials.sort_values(["query_id", "dist", "vec_id"])
         .groupby("query_id")

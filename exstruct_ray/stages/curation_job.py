@@ -84,8 +84,14 @@ def run_curation_job(
     from ..state.dedup_index import DedupIndex, dedup_against_index
 
     os.makedirs(output_dir, exist_ok=True)
+    # n_shards is part of the config fingerprint: the dedup checkpoint
+    # layout is per-shard and routing is digest-prefix % n_shards, so
+    # resuming with a different shard count would reload checkpoints that
+    # no longer align with routing — previously-admitted hashes would miss
+    # and duplicate content would be silently re-admitted. (v2 also marks
+    # the 4-byte shard routing, which changed the persisted layout.)
     cfg_hash = hashlib.md5(
-        f"curation-v1|{files_per_partition}|{bench_mod}".encode()
+        f"curation-v2|{files_per_partition}|{bench_mod}|{n_shards}".encode()
     ).hexdigest()[:12]
 
     header, manifest = _load_curation_manifest(output_dir)
@@ -108,6 +114,23 @@ def run_curation_job(
     job_id = header["job_id"]
 
     files = list_input_files(input_path)
+    # Refuse resume when a previously-processed input file has been
+    # REMOVED from the corpus: the dedup index still holds that file's
+    # documents' claims, so content whose only claimant was a removed doc
+    # would return False for every surviving doc during the forced
+    # recompute (shifted partitions) and silently vanish from the output.
+    # Adding files is safe (shifted partitions recompute; surviving docs
+    # re-present their own claims and re-receive True).
+    recorded = {f for rec in manifest.values() for f in rec.get("input_files", [])}
+    missing = sorted(recorded - set(files))
+    if missing:
+        raise ValueError(
+            "input corpus lost files recorded in the curation manifest "
+            f"({missing[:3]}{'...' if len(missing) > 3 else ''}); the dedup "
+            "checkpoint holds claims from their documents — resume would "
+            "silently drop content they claimed. Use a fresh --output "
+            "directory (or restore the files)."
+        )
     partitions = [
         (pid, files[i : i + files_per_partition])
         for pid, i in enumerate(range(0, len(files), files_per_partition))

@@ -136,10 +136,13 @@ class DedupIndex:
         checkpoint_dir: str | None = None,
         name_prefix: str = "dedup_index",
         run_id: str | None = None,
+        ephemeral: bool = False,
     ):
         import ray
         import uuid
 
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
         shard_cls = _make_shard_actor()
         self.n_shards = n_shards
         # Run token scoping the retry-idempotence window: claimant ids are
@@ -166,19 +169,32 @@ class DedupIndex:
         # back-to-back job runs). Keeping one strong handle per name for
         # the process lifetime removes the race; a fresh process simply
         # re-creates actors, which reload from the checkpoint dir.
+        # Ephemeral mode skips the registry: an index whose name is unique
+        # per call (e.g. a uuid prefix) can never hit the dying-actor name
+        # race the registry exists to fix, and pinning such handles would
+        # leak one actor set (plus its hash map) per call in a long-lived
+        # driver. Ephemeral actors die with this handle via normal
+        # reference counting.
         self._actors = []
         for i in range(n_shards):
             name = f"{name_prefix}:{cfg}:{i}"
-            handle = _SHARD_HANDLES.get(name)
-            if handle is None:
+            if ephemeral:
                 handle = shard_cls.options(
                     name=name, get_if_exists=True
                 ).remote(i, checkpoint_dir)
-                _SHARD_HANDLES[name] = handle
+            else:
+                handle = _SHARD_HANDLES.get(name)
+                if handle is None:
+                    handle = shard_cls.options(
+                        name=name, get_if_exists=True
+                    ).remote(i, checkpoint_dir)
+                    _SHARD_HANDLES[name] = handle
             self._actors.append(handle)
 
     def shard_of(self, digest: bytes) -> int:
-        return digest[0] % self.n_shards
+        # Four prefix bytes, not one: digest[0] % n silently caps the
+        # effective shard count at 256 and skews when n doesn't divide 256.
+        return int.from_bytes(digest[:4], "big") % self.n_shards
 
     def claimant_of(self, doc_id) -> int:
         """Compact int64 claimant token for (run_id, doc_id)."""

@@ -38,11 +38,44 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def dtype_mismatches(ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+    """Columns whose pandas dtypes differ between engine and oracle.
+
+    The driver hash-compares serialized values, so an oracle column that
+    DuckDB renders as float64/object (HUGEINT, DECIMAL) against an engine
+    int64 is a hash miss even when every value is numerically equal —
+    normalize()'s int64 coercion used to mask exactly that. Differences
+    the driver demonstrably normalizes are allowed: integer WIDTH only
+    (textdoc_extract's int32 offset and embedding_label_centroids' int32
+    label were driver hash-green in round 3 against int64 engine columns)
+    and datetime unit (both sides hash as timestamps). Everything else —
+    int vs float, numeric vs object/Decimal, bool vs int — is flagged.
+    """
+    bad = []
+    for col in sorted(ray_df.columns):
+        a, b = ray_df[col], sql_df[col]
+        if a.dtype == b.dtype:
+            continue
+        if pd.api.types.is_datetime64_any_dtype(a) and pd.api.types.is_datetime64_any_dtype(b):
+            continue
+        if (
+            pd.api.types.is_integer_dtype(a)
+            and pd.api.types.is_integer_dtype(b)
+            and getattr(a.dtype, "kind", None) == getattr(b.dtype, "kind", None)
+        ):
+            continue  # signed-width-only difference (driver-normalized)
+        bad.append(f"{col}: ray={a.dtype} sql={b.dtype}")
+    return bad
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     if set(ray_df.columns) != set(sql_df.columns):
         return f"SCHEMA MISMATCH ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
     if len(ray_df) != len(sql_df):
         return f"ROWCOUNT MISMATCH ray={len(ray_df)} sql={len(sql_df)}"
+    mm = dtype_mismatches(ray_df, sql_df)
+    if mm:
+        return "DTYPE MISMATCH " + "; ".join(mm)
     a, b = normalize(ray_df), normalize(sql_df)
     for col in a.columns:
         av, bv = a[col], b[col]

@@ -154,6 +154,35 @@ class TestCurationJobSafety:
                 input_dir, out_dir, files_per_partition=2, n_shards=4
             )
 
+    def test_shard_count_change_refused(self, ray_session, tmp_path):
+        """n_shards is part of the dedup checkpoint layout (per-shard files
+        + prefix routing); resuming with a different count must refuse, not
+        reload misaligned checkpoints and re-admit duplicates."""
+        input_dir = _write_corpus(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        with pytest.raises(ValueError, match="config changed"):
+            run_curation_job(
+                input_dir, out_dir, files_per_partition=1, n_shards=8
+            )
+
+    def test_removed_input_file_refused(self, ray_session, tmp_path):
+        """Removing a processed corpus file leaves its documents' claims in
+        the dedup index; a resume would recompute shifted partitions against
+        stale claims and silently drop content they owned — refuse."""
+        input_dir = _write_corpus(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=4
+        )
+        os.remove(os.path.join(input_dir, "part-0.parquet"))
+        with pytest.raises(ValueError, match="lost files"):
+            run_curation_job(
+                input_dir, out_dir, files_per_partition=1, n_shards=4
+            )
+
     def test_input_drift_forces_recompute(self, ray_session, tmp_path):
         input_dir = _write_corpus(tmp_path)
         out_dir = str(tmp_path / "curated")

@@ -122,3 +122,39 @@ class TestDedupIndex:
         assert not any(index.admit_hashes(digests))
         shards = {index.shard_of(d) for d in digests}
         assert shards == {0, 1, 2, 3}
+
+    def test_shard_routing_not_capped_at_256(self, ray_session):
+        """Single-byte routing silently left shards >=256 permanently
+        empty; the 4-byte prefix must reach the whole shard range."""
+        from exstruct_ray.state import DedupIndex
+        from exstruct_ray.state.dedup_index import _content_hash
+
+        # routing is a pure function of (digest, n_shards) — no need to
+        # spin up 300 actors to test it
+        index = DedupIndex.__new__(DedupIndex)
+        index.n_shards = 300
+        shards = {
+            index.shard_of(_content_hash(f"wide {i}")) for i in range(20000)
+        }
+        assert max(shards) >= 256
+        assert len(shards) == 300
+
+    def test_ephemeral_mode_does_not_pin_handles(self, ray_session):
+        """Per-call uuid-named indexes must not leak one actor set per call
+        into the process-lifetime registry."""
+        import uuid
+
+        from exstruct_ray.state import DedupIndex
+        from exstruct_ray.state import dedup_index as mod
+        from exstruct_ray.state.dedup_index import _content_hash
+
+        before = set(mod._SHARD_HANDLES)
+        index = DedupIndex(
+            n_shards=2,
+            name_prefix=f"eph_{uuid.uuid4().hex[:8]}",
+            ephemeral=True,
+        )
+        digests = [_content_hash(f"eph-{i}") for i in range(10)]
+        assert all(index.admit_hashes(digests))
+        assert not any(index.admit_hashes(digests))
+        assert set(mod._SHARD_HANDLES) == before
