@@ -3992,43 +3992,18 @@ def doc_pagerank(sf_dir: str):
       contrib(v) = pr(v) // deg(v)
       pr'(u)     = 15 * (S // N) // 100 + 85 * inflow(u) // 100
 
-    The candidate-pair graph is bounded by the duplicate count (the same
-    contract as dedup_groups' driver union-find — tiny relative to the
-    corpus; the label-propagation bucket-merge pattern is the documented
-    scale path for a graph that outgrows the driver). The expensive part
-    — shingling, banding, candidate verification — is fully distributed
-    in minhash_dedup_pairs; the iterations here are numpy int64 over
-    edge arrays."""
+    The expensive part — shingling, banding, candidate verification — is
+    fully distributed in minhash_dedup_pairs. The iterations auto-route by
+    pair count (ops/graph.py, mirroring dedup_groups_auto): bounded pair
+    sets run numpy on the driver; a graph that outgrows the driver (a
+    boilerplate-heavy web corpus at scale) runs the bucket-merged
+    contribution exchange, and only the final (doc_id, pr) table — one
+    row per duplicated doc — reaches the driver."""
     from .ops.dedup import minhash_dedup_pairs
+    from .ops.graph import pagerank_auto
 
-    S = 1_000_000_000_000
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.7).to_pandas()
-    empty = pd.DataFrame(
-        {"doc_id": pd.Series(dtype="int64"), "pr": pd.Series(dtype="int64")}
-    )
-    if "doc_a" not in pairs.columns or not len(pairs):
-        return empty
-    src = np.concatenate(
-        [pairs["doc_a"].to_numpy(np.int64), pairs["doc_b"].to_numpy(np.int64)]
-    )
-    dst = np.concatenate(
-        [pairs["doc_b"].to_numpy(np.int64), pairs["doc_a"].to_numpy(np.int64)]
-    )
-    nodes, src_idx = np.unique(src, return_inverse=True)
-    dst_idx = np.searchsorted(nodes, dst)
-    n = len(nodes)
-    deg = np.bincount(src_idx, minlength=n).astype(np.int64)
-    base = S // n
-    pr = np.full(n, base, dtype=np.int64)
-    for _ in range(3):
-        contrib = pr[src_idx] // deg[src_idx]
-        inflow = np.zeros(n, dtype=np.int64)
-        np.add.at(inflow, dst_idx, contrib)
-        pr = 15 * base // 100 + 85 * inflow // 100
-    return pd.DataFrame({"doc_id": nodes, "pr": pr}).sort_values(
-        "doc_id"
-    ).reset_index(drop=True)
+    return pagerank_auto(minhash_dedup_pairs(ds, jaccard_threshold=0.7))
 
 
 def _pagerank_oracle() -> str:
