@@ -187,150 +187,68 @@ def lsh_neardup_pairs(ds, dim: int, threshold: float = 0.38, concurrency=None):
         candidate_pairs, batch_format="pandas"
     )
 
-    # Attach both embeddings with the tagged-union bucket merge (the
-    # engine's manual shuffle join; Dataset.join's aggregator cannot
-    # finalize partitions that received no blocks — routine for tiny pair
-    # sets). A pair colliding in several bands dedups inside merge_a: the
-    # duplicates always share vec_a and therefore the same bucket.
-    n_merge_buckets = 64
+    # Attach both embeddings with the Arrow-native tagged-union bucket
+    # merge (ops/shuffle.py:attach_payload): vectors ride both exchanges
+    # as packed float64 Arrow binary buffers, never pandas object columns
+    # of pickled bytes. A pair colliding in several bands dedups inside
+    # the first merge (duplicates share vec_a and therefore the bucket).
+    import pyarrow as pa
 
-    from .shuffle import empty_frame as _empty, hash_bucket
+    from .shuffle import attach_payload
 
-    def _bucket_of(values: _pd.Series) -> _pd.Series:
-        return hash_bucket(values, n_merge_buckets)
-
-    A_COLS = [
-        ("bucket", "int64"), ("key", "int64"), ("vec_a", "int64"),
-        ("vec_b", "int64"), ("vec", object), ("is_vec", "bool"),
-    ]
-
-    def tag_pairs_a(batch: _pd.DataFrame) -> _pd.DataFrame:
-        if "vec_a" not in batch.columns or batch.empty:
-            return _empty(A_COLS)
+    def pack_vecs(batch: _pd.DataFrame) -> _pd.DataFrame:
         return _pd.DataFrame(
             {
-                "bucket": _bucket_of(batch["vec_a"]),
-                "key": batch["vec_a"],
-                "vec_a": batch["vec_a"],
-                "vec_b": batch["vec_b"],
-                "vec": b"",
-                "is_vec": False,
+                "vec_id": batch["vec_id"].astype("int64"),
+                "emb": _pd.Series(
+                    [
+                        np.asarray(v, dtype=np.float64).tobytes()
+                        for v in batch["embedding"]
+                    ],
+                    index=batch.index,
+                    dtype=object,
+                ),
             }
         )
 
-    def tag_vecs(batch: _pd.DataFrame) -> _pd.DataFrame:
-        raw = [
-            np.asarray(v, dtype=np.float64).tobytes() for v in batch["embedding"]
-        ]
-        ids = batch["vec_id"].astype("int64")
-        return _pd.DataFrame(
-            {
-                "bucket": _bucket_of(ids),
-                "key": ids,
-                "vec_a": ids,
-                "vec_b": ids,
-                "vec": _pd.Series(raw, index=batch.index, dtype=object),
-                "is_vec": True,
-            }
-        )
+    packed = vecs_ds.map_batches(pack_vecs, batch_format="pandas")
 
-    tagged_a = cand.map_batches(tag_pairs_a, batch_format="pandas").union(
-        vecs_ds.map_batches(tag_vecs, batch_format="pandas")
+    with_a = attach_payload(
+        cand, packed,
+        on="vec_a", out="emb_a", payload_key="vec_id", payload_col="emb",
+        carry_ids=["vec_a", "vec_b"], dedup_pairs=True,
+    )
+    with_b = attach_payload(
+        with_a, packed,
+        on="vec_b", out="emb_b", payload_key="vec_id", payload_col="emb",
+        carry_ids=["vec_a", "vec_b"], carry_payloads={"emb_a": pa.binary()},
     )
 
-    def merge_a(group: _pd.DataFrame) -> _pd.DataFrame:
-        pair_rows = group[~group["is_vec"]]
-        vec_rows = group[group["is_vec"]]
-        if pair_rows.empty or vec_rows.empty:
-            return _empty(
-                [("vec_a", "int64"), ("vec_b", "int64"), ("emb_a", object)]
-            )
-        m = pair_rows[["vec_a", "vec_b"]].drop_duplicates().merge(
-            vec_rows[["key", "vec"]].drop_duplicates("key"),
-            left_on="vec_a", right_on="key", how="inner",
-        )
-        return _pd.DataFrame(
-            {"vec_a": m["vec_a"], "vec_b": m["vec_b"], "emb_a": m["vec"]}
-        )
+    VERIFY_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
 
-    with_a = tagged_a.groupby("bucket").map_groups(merge_a, batch_format="pandas")
-
-    B_COLS = [
-        ("bucket", "int64"), ("key", "int64"), ("vec_a", "int64"),
-        ("vec_b", "int64"), ("emb_a", object), ("vec", object),
-        ("is_vec", "bool"),
-    ]
-
-    def tag_pairs_b(batch: _pd.DataFrame) -> _pd.DataFrame:
-        if "vec_a" not in batch.columns or batch.empty:
-            return _empty(B_COLS)
-        return _pd.DataFrame(
-            {
-                "bucket": _bucket_of(batch["vec_b"]),
-                "key": batch["vec_b"],
-                "vec_a": batch["vec_a"],
-                "vec_b": batch["vec_b"],
-                "emb_a": batch["emb_a"],
-                "vec": b"",
-                "is_vec": False,
-            }
-        )
-
-    def tag_vecs_b(batch: _pd.DataFrame) -> _pd.DataFrame:
-        out = tag_vecs(batch)
-        out["emb_a"] = b""
-        return out[[c for c, _ in B_COLS]]
-
-    tagged_b = with_a.map_batches(tag_pairs_b, batch_format="pandas").union(
-        vecs_ds.map_batches(tag_vecs_b, batch_format="pandas")
-    )
-
-    def merge_b(group: _pd.DataFrame) -> _pd.DataFrame:
-        pair_rows = group[~group["is_vec"]]
-        vec_rows = group[group["is_vec"]]
-        if pair_rows.empty or vec_rows.empty:
-            return _empty(
-                [("vec_a", "int64"), ("vec_b", "int64"),
-                 ("emb_a", object), ("emb_b", object)]
-            )
-        m = pair_rows[["vec_a", "vec_b", "emb_a"]].merge(
-            vec_rows[["key", "vec"]].drop_duplicates("key"),
-            left_on="vec_b", right_on="key", how="inner",
-        )
-        return _pd.DataFrame(
-            {
-                "vec_a": m["vec_a"],
-                "vec_b": m["vec_b"],
-                "emb_a": m["emb_a"],
-                "emb_b": m["vec"],
-            }
-        )
-
-    with_b = tagged_b.groupby("bucket").map_groups(merge_b, batch_format="pandas")
-
-    def verify(batch: _pd.DataFrame) -> _pd.DataFrame:
-        if "vec_a" not in batch.columns or batch.empty:
-            return _empty([("vec_a", "int64"), ("vec_b", "int64")])
-        a = np.asarray(
-            [np.frombuffer(v, dtype=np.float64) for v in batch["emb_a"]]
-        )
-        b = np.asarray(
-            [np.frombuffer(v, dtype=np.float64) for v in batch["emb_b"]]
-        )
+    def verify(batch: pa.Table) -> pa.Table:
+        if "vec_a" not in batch.column_names or batch.num_rows == 0:
+            return VERIFY_SCHEMA.empty_table()
+        a = np.frombuffer(
+            b"".join(batch["emb_a"].to_pylist()), dtype=np.float64
+        ).reshape(batch.num_rows, -1)
+        b = np.frombuffer(
+            b"".join(batch["emb_b"].to_pylist()), dtype=np.float64
+        ).reshape(batch.num_rows, -1)
         na = np.linalg.norm(a, axis=1)
         nb = np.linalg.norm(b, axis=1)
         na[na == 0] = 1.0
         nb[nb == 0] = 1.0
         cos = np.einsum("ij,ij->i", a, b) / (na * nb)
         keep = cos >= threshold
-        return _pd.DataFrame(
+        return pa.table(
             {
-                "vec_a": batch["vec_a"].to_numpy()[keep].astype("int64"),
-                "vec_b": batch["vec_b"].to_numpy()[keep].astype("int64"),
+                "vec_a": batch["vec_a"].combine_chunks().to_numpy()[keep],
+                "vec_b": batch["vec_b"].combine_chunks().to_numpy()[keep],
             }
         )
 
-    return with_b.map_batches(verify, batch_format="pandas")
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 IVF_SEED = 11

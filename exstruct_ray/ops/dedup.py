@@ -283,163 +283,54 @@ def minhash_dedup_pairs(
         candidate_pairs, batch_format="pandas"
     )
 
-    # Attach each candidate's two signatures with a tagged-union bucket
-    # merge — the engine's standard manual shuffle join. (Dataset.join is
-    # avoided here: its hash aggregator cannot finalize partitions that
-    # received no blocks, which tiny candidate sets produce routinely.)
-    # Duplicate pairs surfaced by several bands dedup INSIDE merge_a: they
-    # always share doc_a and therefore the same bucket, so no separate
-    # dedup shuffle is needed. map_groups emits ZERO-COLUMN blocks for
-    # hash partitions that held no groups; downstream UDFs guard for
-    # missing columns.
-    id_dtype = ds.schema().base_schema.field("doc_id").type.to_pandas_dtype()
-    n_merge_buckets = 64
+    # Attach each candidate's two signatures with the Arrow-native
+    # tagged-union bucket merge (ops/shuffle.py:attach_payload) — the
+    # signatures ride both exchanges as Arrow binary buffers, never pandas
+    # object columns of pickled bytes. Duplicate pairs surfaced by several
+    # bands dedup inside the first merge (they always share doc_a and
+    # therefore the same bucket).
+    import pyarrow as pa
 
-    from .shuffle import empty_frame as _empty, hash_bucket
+    from .shuffle import attach_payload
 
-    def _bucket_of(values: pd.Series) -> pd.Series:
-        return hash_bucket(values, n_merge_buckets)
-
-    PAIR_A_COLS = [
-        ("bucket", "int64"), ("key", id_dtype), ("doc_a", id_dtype),
-        ("doc_b", id_dtype), ("sig", object), ("is_sig", "bool"),
-    ]
-
-    def tag_pairs_a(batch: pd.DataFrame) -> pd.DataFrame:
-        if "doc_a" not in batch.columns or batch.empty:
-            return _empty(PAIR_A_COLS)
-        return pd.DataFrame(
-            {
-                "bucket": _bucket_of(batch["doc_a"]),
-                "key": batch["doc_a"],
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "sig": b"",
-                "is_sig": False,
-            }
-        )
-
-    def tag_sigs_a(batch: pd.DataFrame) -> pd.DataFrame:
-        # "sig" arrives as raw bytes (fixed-size binary column) — no
-        # per-row list→bytes conversion needed anymore.
-        return pd.DataFrame(
-            {
-                "bucket": _bucket_of(batch["doc_id"]),
-                "key": batch["doc_id"],
-                "doc_a": batch["doc_id"],
-                "doc_b": batch["doc_id"],
-                "sig": batch["sig"].astype(object),
-                "is_sig": True,
-            }
-        )
-
-    tagged_a = cand.map_batches(tag_pairs_a, batch_format="pandas").union(
-        sigs.map_batches(tag_sigs_a, batch_format="pandas")
+    with_a = attach_payload(
+        cand, sigs,
+        on="doc_a", out="sig_a", payload_key="doc_id", payload_col="sig",
+        carry_ids=["doc_a", "doc_b"], dedup_pairs=True,
+    )
+    with_b = attach_payload(
+        with_a, sigs,
+        on="doc_b", out="sig_b", payload_key="doc_id", payload_col="sig",
+        carry_ids=["doc_a", "doc_b"], carry_payloads={"sig_a": pa.binary()},
     )
 
-    A_OUT_COLS = [("doc_a", id_dtype), ("doc_b", id_dtype), ("sig_a", object)]
-
-    def merge_a(group: pd.DataFrame) -> pd.DataFrame:
-        pair_rows = group[~group["is_sig"]]
-        sig_rows = group[group["is_sig"]]
-        if pair_rows.empty or sig_rows.empty:
-            return _empty(A_OUT_COLS)
-        m = pair_rows[["doc_a", "doc_b"]].drop_duplicates().merge(
-            sig_rows[["key", "sig"]].drop_duplicates("key"),
-            left_on="doc_a",
-            right_on="key",
-            how="inner",
-        )
-        return pd.DataFrame(
-            {"doc_a": m["doc_a"], "doc_b": m["doc_b"], "sig_a": m["sig"]}
-        )
-
-    with_a = tagged_a.groupby("bucket").map_groups(merge_a, batch_format="pandas")
-
-    PAIR_B_COLS = [
-        ("bucket", "int64"), ("key", id_dtype), ("doc_a", id_dtype),
-        ("doc_b", id_dtype), ("sig_a", object), ("sig", object),
-        ("is_sig", "bool"),
-    ]
-
-    def tag_pairs_b(batch: pd.DataFrame) -> pd.DataFrame:
-        if "doc_a" not in batch.columns or batch.empty:
-            return _empty(PAIR_B_COLS)
-        return pd.DataFrame(
-            {
-                "bucket": _bucket_of(batch["doc_b"]),
-                "key": batch["doc_b"],
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "sig_a": batch["sig_a"],
-                "sig": b"",
-                "is_sig": False,
-            }
-        )
-
-    def tag_sigs_b(batch: pd.DataFrame) -> pd.DataFrame:
-        out = tag_sigs_a(batch)
-        out["sig_a"] = b""
-        return out[[c for c, _ in PAIR_B_COLS]]
-
-    tagged_b = with_a.map_batches(tag_pairs_b, batch_format="pandas").union(
-        sigs.map_batches(tag_sigs_b, batch_format="pandas")
+    OUT_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("est_jaccard", pa.float64())]
     )
 
-    B_OUT_COLS = [
-        ("doc_a", id_dtype), ("doc_b", id_dtype),
-        ("sig_a", object), ("sig_b", object),
-    ]
-
-    def merge_b(group: pd.DataFrame) -> pd.DataFrame:
-        pair_rows = group[~group["is_sig"]]
-        sig_rows = group[group["is_sig"]]
-        if pair_rows.empty or sig_rows.empty:
-            return _empty(B_OUT_COLS)
-        m = pair_rows[["doc_a", "doc_b", "sig_a"]].merge(
-            sig_rows[["key", "sig"]].drop_duplicates("key"),
-            left_on="doc_b",
-            right_on="key",
-            how="inner",
-        )
-        return pd.DataFrame(
+    def verify_est(batch: pa.Table) -> pa.Table:
+        if "doc_a" not in batch.column_names or batch.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        # Uniform-width sig rows decode to one (n, num_perm) matrix each;
+        # the estimate is a single vectorized row-mean of equality.
+        sa = np.frombuffer(
+            b"".join(batch["sig_a"].to_pylist()), dtype=np.uint32
+        ).reshape(-1, num_perm)
+        sb = np.frombuffer(
+            b"".join(batch["sig_b"].to_pylist()), dtype=np.uint32
+        ).reshape(-1, num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= jaccard_threshold
+        return pa.table(
             {
-                "doc_a": m["doc_a"],
-                "doc_b": m["doc_b"],
-                "sig_a": m["sig_a"],
-                "sig_b": m["sig"],
+                "doc_a": batch["doc_a"].combine_chunks().to_numpy()[keep],
+                "doc_b": batch["doc_b"].combine_chunks().to_numpy()[keep],
+                "est_jaccard": est[keep],
             }
         )
 
-    with_b = tagged_b.groupby("bucket").map_groups(merge_b, batch_format="pandas")
-
-    def verify_est(batch: pd.DataFrame) -> pd.DataFrame:
-        if "doc_a" not in batch.columns or batch.empty:
-            return _empty(
-                [("doc_a", id_dtype), ("doc_b", id_dtype),
-                 ("est_jaccard", "float64")]
-            )
-        rows = {"doc_a": [], "doc_b": [], "est_jaccard": []}
-        for a, b, sa, sb in zip(
-            batch["doc_a"], batch["doc_b"], batch["sig_a"], batch["sig_b"]
-        ):
-            est = float(
-                (np.frombuffer(sa, dtype=np.uint32)
-                 == np.frombuffer(sb, dtype=np.uint32)).mean()
-            )
-            if est >= jaccard_threshold:
-                rows["doc_a"].append(a)
-                rows["doc_b"].append(b)
-                rows["est_jaccard"].append(est)
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(rows["doc_a"], dtype=batch["doc_a"].dtype),
-                "doc_b": pd.Series(rows["doc_b"], dtype=batch["doc_b"].dtype),
-                "est_jaccard": pd.Series(rows["est_jaccard"], dtype="float64"),
-            }
-        )
-
-    return with_b.map_batches(verify_est, batch_format="pandas")
+    return with_b.map_batches(verify_est, batch_format="pyarrow")
 
 
 def minhash_dedup_pairs_sigcarry(

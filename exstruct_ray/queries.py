@@ -1403,140 +1403,45 @@ def doc_ngram_verified_pairs(sf_dir: str):
     """MinHash candidates verified by exact word-3-gram Jaccard.
 
     Fully distributed: candidate pairs attach their two texts with the
-    tagged-union bucket merge (Dataset.join's hash aggregator cannot
-    finalize partitions that received no blocks — routine with tiny or
-    empty candidate sets), then each batch verifies its own pairs inside
-    map_batches. Texts never materialize on the driver.
+    Arrow-native tagged-union bucket merge (ops/shuffle.py:attach_payload
+    — texts ride the exchanges as Arrow string buffers, not pandas object
+    columns), then each batch verifies its own pairs inside map_batches.
+    Texts never materialize on the driver.
     """
+    import pyarrow as pa
+
     from .ops.dedup import minhash_dedup_pairs, ngram_jaccard
+    from .ops.shuffle import attach_payload
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     candidates = minhash_dedup_pairs(docs, jaccard_threshold=0.5)
 
-    n_buckets = 64
-
-    def _bucket(values: pd.Series) -> pd.Series:
-        hashed = pd.util.hash_array(values.to_numpy()) % n_buckets
-        return pd.Series(hashed.astype("int64"), index=values.index)
-
-    def _empty(cols: list[tuple[str, object]]) -> pd.DataFrame:
-        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols})
-
-    A_COLS = [
-        ("bucket", "int64"), ("key", "int64"), ("doc_a", "int64"),
-        ("doc_b", "int64"), ("text", "object"), ("is_doc", "bool"),
-    ]
-
-    def tag_pairs_a(batch: pd.DataFrame) -> pd.DataFrame:
-        if "doc_a" not in batch.columns or batch.empty:
-            return _empty(A_COLS)
-        return pd.DataFrame(
-            {
-                "bucket": _bucket(batch["doc_a"]),
-                "key": batch["doc_a"].astype("int64"),
-                "doc_a": batch["doc_a"].astype("int64"),
-                "doc_b": batch["doc_b"].astype("int64"),
-                "text": "",
-                "is_doc": False,
-            }
-        )
-
-    def tag_docs_a(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "bucket": _bucket(batch["doc_id"]),
-                "key": batch["doc_id"].astype("int64"),
-                "doc_a": batch["doc_id"].astype("int64"),
-                "doc_b": batch["doc_id"].astype("int64"),
-                "text": batch["text"].fillna(""),
-                "is_doc": True,
-            }
-        )
-
-    def merge_a(group: pd.DataFrame) -> pd.DataFrame:
-        pairs = group[~group["is_doc"]]
-        texts = group[group["is_doc"]]
-        if pairs.empty or texts.empty:
-            return _empty(
-                [("doc_a", "int64"), ("doc_b", "int64"), ("text_a", "object")]
-            )
-        m = pairs[["doc_a", "doc_b"]].merge(
-            texts[["key", "text"]].drop_duplicates("key"),
-            left_on="doc_a", right_on="key", how="inner",
-        )
-        return pd.DataFrame(
-            {"doc_a": m["doc_a"], "doc_b": m["doc_b"], "text_a": m["text"]}
-        )
-
-    with_a = (
-        candidates.map_batches(tag_pairs_a, batch_format="pandas")
-        .union(docs.map_batches(tag_docs_a, batch_format="pandas"))
-        .groupby("bucket")
-        .map_groups(merge_a, batch_format="pandas")
+    with_a = attach_payload(
+        candidates, docs,
+        on="doc_a", out="text_a", payload_key="doc_id", payload_col="text",
+        carry_ids=["doc_a", "doc_b"], payload_type=pa.large_string(),
+        dedup_pairs=True,
+    )
+    with_b = attach_payload(
+        with_a, docs,
+        on="doc_b", out="text_b", payload_key="doc_id", payload_col="text",
+        carry_ids=["doc_a", "doc_b"],
+        carry_payloads={"text_a": pa.large_string()},
+        payload_type=pa.large_string(),
     )
 
-    B_COLS = [
-        ("bucket", "int64"), ("key", "int64"), ("doc_a", "int64"),
-        ("doc_b", "int64"), ("text_a", "object"), ("text", "object"),
-        ("is_doc", "bool"),
-    ]
-
-    def tag_pairs_b(batch: pd.DataFrame) -> pd.DataFrame:
-        if "doc_a" not in batch.columns or batch.empty:
-            return _empty(B_COLS)
-        return pd.DataFrame(
-            {
-                "bucket": _bucket(batch["doc_b"]),
-                "key": batch["doc_b"].astype("int64"),
-                "doc_a": batch["doc_a"].astype("int64"),
-                "doc_b": batch["doc_b"].astype("int64"),
-                "text_a": batch["text_a"],
-                "text": "",
-                "is_doc": False,
-            }
-        )
-
-    def tag_docs_b(batch: pd.DataFrame) -> pd.DataFrame:
-        out = tag_docs_a(batch)
-        out["text_a"] = ""
-        return out[[c for c, _ in B_COLS]]
-
-    def merge_b(group: pd.DataFrame) -> pd.DataFrame:
-        pairs = group[~group["is_doc"]]
-        texts = group[group["is_doc"]]
-        if pairs.empty or texts.empty:
-            return _empty(
-                [
-                    ("doc_a", "int64"), ("doc_b", "int64"),
-                    ("text_a", "object"), ("text_b", "object"),
-                ]
-            )
-        m = pairs[["doc_a", "doc_b", "text_a"]].merge(
-            texts[["key", "text"]].drop_duplicates("key"),
-            left_on="doc_b", right_on="key", how="inner",
-        )
-        return pd.DataFrame(
-            {
-                "doc_a": m["doc_a"], "doc_b": m["doc_b"],
-                "text_a": m["text_a"], "text_b": m["text"],
-            }
-        )
-
-    with_b = (
-        with_a.map_batches(tag_pairs_b, batch_format="pandas")
-        .union(docs.map_batches(tag_docs_b, batch_format="pandas"))
-        .groupby("bucket")
-        .map_groups(merge_b, batch_format="pandas")
+    OUT_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("jaccard", pa.float64())]
     )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if "doc_a" not in batch.columns or batch.empty:
-            return _empty(
-                [("doc_a", "int64"), ("doc_b", "int64"), ("jaccard", "float64")]
-            )
+    def verify(batch: pa.Table) -> pa.Table:
+        if "doc_a" not in batch.column_names or batch.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
         rows = {"doc_a": [], "doc_b": [], "jaccard": []}
         for a, b, ta, tb in zip(
-            batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
+            batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+            batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
         ):
             # Raw float jaccard: inter/union of identical integer
             # cardinalities divides to the identical double in DuckDB.
@@ -1545,15 +1450,15 @@ def doc_ngram_verified_pairs(sf_dir: str):
                 rows["doc_a"].append(int(a))
                 rows["doc_b"].append(int(b))
                 rows["jaccard"].append(jac)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": pd.Series(rows["doc_a"], dtype="int64"),
-                "doc_b": pd.Series(rows["doc_b"], dtype="int64"),
-                "jaccard": pd.Series(rows["jaccard"], dtype="float64"),
+                "doc_a": pa.array(rows["doc_a"], pa.int64()),
+                "doc_b": pa.array(rows["doc_b"], pa.int64()),
+                "jaccard": pa.array(rows["jaccard"], pa.float64()),
             }
         )
 
-    out = with_b.map_batches(verify, batch_format="pandas").to_pandas()
+    out = with_b.map_batches(verify, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
