@@ -216,7 +216,9 @@ def _extract_sheet(
                 drawing = parse_sheet_drawing(package, drawing_path, grid.metrics)
                 if opts.include_shapes:
                     shapes = build_shapes_from_drawing(
-                        drawing.shapes, drawing.connectors
+                        drawing.shapes,
+                        drawing.connectors,
+                        smartarts=drawing.smartarts,
                     )
                 if opts.include_charts:
                     charts = [

@@ -18,7 +18,7 @@ from ..functions.geometry import (
     distance_to_box,
 )
 from ..models import Arrow, Shape, SmartArt
-from ..ooxml.drawing import ConnectorInfo, ShapeInfo
+from ..ooxml.drawing import ConnectorInfo, ShapeInfo, SmartArtInfo
 
 _Box = tuple[float, float, float, float]  # left, top, right, bottom
 
@@ -27,6 +27,7 @@ def build_shapes_from_drawing(
     shapes: list[ShapeInfo],
     connectors: list[ConnectorInfo],
     provenance: str = "python_ooxml",
+    smartarts: list[SmartArtInfo] | None = None,
 ) -> list[Shape | Arrow | SmartArt]:
     emitted: list[Shape | Arrow | SmartArt] = []
     drawing_to_shape_id: dict[int, int] = {}
@@ -84,6 +85,27 @@ def build_shapes_from_drawing(
                 provenance=provenance,
                 approximation_level=approximation_level,
                 confidence=confidence,
+            )
+        )
+    # SmartArt continues the per-sheet shape id sequence (the reference's
+    # COM walker numbers every shape-like object in one sequence; light
+    # emits shapes, then connectors, then SmartArt — same convention as
+    # the shapes-then-connectors ordering above).
+    for sa in smartarts or []:
+        next_shape_id += 1
+        emitted.append(
+            SmartArt(
+                id=next_shape_id,
+                text="",
+                l=sa.anchor_left or 0,
+                t=sa.anchor_top or 0,
+                w=sa.anchor_width,
+                h=sa.anchor_height,
+                layout=sa.layout,
+                nodes=sa.nodes,
+                provenance=provenance,
+                approximation_level="partial",
+                confidence=0.75,
             )
         )
     return emitted

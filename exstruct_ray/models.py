@@ -131,7 +131,13 @@ class SmartArtNode:
     kids: list["SmartArtNode"] = field(default_factory=list)
 
     def to_payload(self) -> dict:
-        return {"text": self.text, "kids": [k.to_payload() for k in self.kids]}
+        # Leaf nodes serialize as {"text": ...} with no "kids" key — the
+        # reference golden (sample/smartart/sample_smartart.json) drops
+        # empty child lists.
+        payload: dict = {"text": self.text}
+        if self.kids:
+            payload["kids"] = [k.to_payload() for k in self.kids]
+        return payload
 
 
 @dataclass
@@ -153,7 +159,8 @@ class SmartArt:
     def to_payload(self, *, include_backend_metadata: bool = False) -> dict:
         payload = {
             "id": self.id,
-            "text": self.text,
+            # empty container text drops, matching the reference golden
+            "text": self.text or None,
             "l": self.l,
             "t": self.t,
             "w": self.w,

@@ -12,12 +12,18 @@ from dataclasses import dataclass, field
 import xml.etree.ElementTree as ET
 
 from ..functions.geometry import emu_to_points
-from ..models import ChartSeries
-from .package import CHART_REL_TYPE, DRAWING_REL_TYPE, VirtualPackage
+from ..models import ChartSeries, SmartArtNode
+from .package import (
+    CHART_REL_TYPE,
+    DIAGRAM_DATA_REL_TYPE,
+    DRAWING_REL_TYPE,
+    VirtualPackage,
+)
 from .sheet_parser import SheetMetrics
 
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _C = "{http://schemas.openxmlformats.org/drawingml/2006/chart}"
+_DGM = "{http://schemas.openxmlformats.org/drawingml/2006/diagram}"
 _R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _XDR = "{http://schemas.openxmlformats.org/drawingml/2006/spreadsheetDrawing}"
 
@@ -102,11 +108,23 @@ class ChartInfo:
     anchor_height: int | None
 
 
+@dataclass(frozen=True)
+class SmartArtInfo:
+    name: str
+    layout: str
+    nodes: list[SmartArtNode]
+    anchor_left: int | None
+    anchor_top: int | None
+    anchor_width: int | None
+    anchor_height: int | None
+
+
 @dataclass
 class SheetDrawing:
     shapes: list[ShapeInfo] = field(default_factory=list)
     connectors: list[ConnectorInfo] = field(default_factory=list)
     charts: list[ChartInfo] = field(default_factory=list)
+    smartarts: list[SmartArtInfo] = field(default_factory=list)
 
 
 def resolve_sheet_drawing_path(package: VirtualPackage, sheet_path: str) -> str | None:
@@ -144,6 +162,10 @@ def parse_sheet_drawing(
             chart = _parse_chart_node(package, anchor, frame, rel_map, metrics)
             if chart is not None:
                 out.charts.append(chart)
+                continue
+            smartart = _parse_smartart_node(package, anchor, frame, rel_map, metrics)
+            if smartart is not None:
+                out.smartarts.append(smartart)
     return out
 
 
@@ -256,6 +278,116 @@ def _parse_chart_node(
         anchor_width=width,
         anchor_height=height,
     )
+
+
+def _parse_smartart_node(
+    package: VirtualPackage,
+    anchor: ET.Element,
+    node: ET.Element,
+    rel_map: dict,
+    metrics: SheetMetrics,
+) -> SmartArtInfo | None:
+    """Light-mode SmartArt from the OOXML diagram data part.
+
+    The reference reads SmartArt only through COM
+    (/root/reference/src/exstruct/core/shapes.py:185-305: AllNodes levels +
+    TextFrame2 text + Layout.Name); this parses the same hierarchy byte-
+    level from xl/diagrams/data*.xml — a graphicFrame whose graphicData is
+    the diagram namespace carries dgm:relIds, whose r:dm relationship
+    points at the dgm:dataModel part. Node trees reproduce the COM goldens
+    exactly (verified on sample/smartart); the one documented delta is the
+    layout string — COM reports Excel's LOCALIZED layout name ("基本の循環"),
+    OOXML only carries the layout URN, so light emits its tail ("cycle2").
+    """
+    c_nv_pr = node.find(f"{_XDR}nvGraphicFramePr/{_XDR}cNvPr")
+    name = c_nv_pr.attrib.get("name", "SmartArt") if c_nv_pr is not None else "SmartArt"
+    rel_ids = _find(node, f"{_A}graphic/{_A}graphicData/{_DGM}relIds")
+    if rel_ids is None:
+        return None
+    rel = rel_map.get(rel_ids.attrib.get(f"{_R}dm", ""))
+    if rel is None or rel.relationship_type != DIAGRAM_DATA_REL_TYPE:
+        return None
+    if rel.target not in package:
+        return None
+    layout, nodes = _parse_diagram_data(package.read_xml(rel.target))
+    left, top, width, height, _rot, _fh, _fv = _parse_xfrm(node.find(f"{_XDR}xfrm"))
+    left, top, width, height = _merge_anchor_geometry(
+        anchor, left, top, width, height, metrics
+    )
+    return SmartArtInfo(
+        name=name,
+        layout=layout,
+        nodes=nodes,
+        anchor_left=left,
+        anchor_top=top,
+        anchor_width=width,
+        anchor_height=height,
+    )
+
+
+def _parse_diagram_data(root: ET.Element) -> tuple[str, list[SmartArtNode]]:
+    """dgm:dataModel → (layout tail, SmartArtNode roots).
+
+    Points (dgm:pt) carry modelId/type/text; parent-child structure is the
+    type="parOf" connection list ordered by srcOrd. Roots are the doc
+    point's parOf children; parTrans/sibTrans transition points never
+    appear as parOf destinations, so no type filtering is needed beyond
+    following the connection graph (matches COM AllNodes, which walks the
+    semantic node tree only). A visited set guards malformed cycles.
+    """
+    texts: dict[str, str] = {}
+    doc_id = None
+    layout = ""
+    pt_lst = root.find(f"{_DGM}ptLst")
+    if pt_lst is None:
+        return layout, []
+    for pt in pt_lst.findall(f"{_DGM}pt"):
+        model_id = pt.attrib.get("modelId", "")
+        paras: list[str] = []
+        t = pt.find(f"{_DGM}t")
+        if t is not None:
+            for p in t.findall(f"{_A}p"):
+                runs = "".join(el.text or "" for el in p.iter(f"{_A}t"))
+                if runs:
+                    paras.append(runs)
+        texts[model_id] = "\n".join(paras)
+        if pt.attrib.get("type", "node") == "doc":
+            doc_id = model_id
+            pr_set = pt.find(f"{_DGM}prSet")
+            if pr_set is not None:
+                layout = pr_set.attrib.get("loTypeId", "").rsplit("/", 1)[-1]
+    children: dict[str, list[tuple[int, str]]] = {}
+    cxn_lst = root.find(f"{_DGM}cxnLst")
+    if cxn_lst is not None:
+        for cxn in cxn_lst.findall(f"{_DGM}cxn"):
+            if cxn.attrib.get("type", "parOf") != "parOf":
+                continue
+            src = cxn.attrib.get("srcId", "")
+            dst = cxn.attrib.get("destId", "")
+            try:
+                src_ord = int(cxn.attrib.get("srcOrd", "0"))
+            except ValueError:
+                src_ord = 0
+            children.setdefault(src, []).append((src_ord, dst))
+
+    def build(model_id: str, seen: frozenset) -> SmartArtNode | None:
+        if model_id in seen:
+            return None
+        kids = [
+            built
+            for _, child in sorted(children.get(model_id, []))
+            if (built := build(child, seen | {model_id})) is not None
+        ]
+        return SmartArtNode(text=texts.get(model_id, ""), kids=kids)
+
+    if doc_id is None:
+        return layout, []
+    roots = [
+        built
+        for _, child in sorted(children.get(doc_id, []))
+        if (built := build(child, frozenset({doc_id}))) is not None
+    ]
+    return layout, roots
 
 
 def _extract_chart_type(chart_root: ET.Element) -> str:

@@ -32,6 +32,9 @@ CHART_REL_TYPE = (
 HYPERLINK_REL_TYPE = (
     "http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink"
 )
+DIAGRAM_DATA_REL_TYPE = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships/diagramData"
+)
 
 
 @dataclass(frozen=True)

@@ -231,17 +231,19 @@ class TestGanttSample:
 
 
 class TestSmartArtSample:
-    def test_light_mode_gracefully_skips_smartart(self):
-        """SmartArt trees are COM-only enrichment (reference core/shapes.py
-        :185-305); the light path must extract the rest of the workbook
-        cleanly and simply emit no shapes for the diagram frame."""
+    def test_light_mode_produces_smartart(self):
+        """SmartArt trees are COM-only in the reference (core/shapes.py
+        :185-305); the light path parses the xl/diagrams data parts
+        directly and must reproduce the COM golden's node trees exactly
+        (full parity assertions live in tests/test_smartart.py)."""
         mine = _extract_payload(REF / "sample/smartart/sample_smartart.xlsx")
-        # The sheet holds only the diagram; with no light-extractable
-        # content its payload strips to empty (the reference's own
-        # dict_without_empty_values behavior drops empty sheet dicts).
-        sheet = mine["sheets"].get("Sheet1", {})
-        assert sheet.get("shapes", []) == []
-        assert sheet.get("rows", []) == []
+        golden = json.loads(
+            (REF / "sample/smartart/sample_smartart.json").read_text()
+        )
+        ms = mine["sheets"]["Sheet1"]["shapes"]
+        gs = golden["sheets"]["Sheet1"]["shapes"]
+        assert [m["nodes"] for m in ms] == [g["nodes"] for g in gs]
+        assert mine["sheets"]["Sheet1"].get("rows", []) == []
 
 
 class TestFastParserDifferential:
