@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pq_topk": q.embedding_pq_topk,
         # Joins / windows / sessions
         "lineitem_join_orders": q.lineitem_join_orders,
+        "order_priority_counts": q.order_priority_counts,
+        "customers_inactive_2001": q.customers_inactive_2001,
         "supplier_balance_by_region": q.supplier_balance_by_region,
         "orders_running_total": q.orders_running_total,
         "events_sessionize": q.events_sessionize,

@@ -817,6 +817,197 @@ def lineitem_join_orders(sf_dir: str):
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def order_priority_counts(sf_dir: str):
+    """Distributed SEMI-join (TPC-H Q4 shape, adapted to this schema):
+    orders in Q1-1995 having at least one returned lineitem
+    (l_returnflag='R'), counted by priority.
+
+    The EXISTS side never joins row-to-row: each lineitem batch reduces to
+    its distinct returned orderkeys (partial distinct), the tagged-union
+    bucket merge tests membership per orders row inside each group, and
+    only per-(bucket, priority) count partials reach the driver. Exchange
+    bytes = distinct keys + filtered orders ids, never the lineitem table.
+    """
+    from .ops.shuffle import empty_frame, hash_bucket
+
+    n_buckets = 64
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1995-04-01")
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    TAG_COLS = [
+        ("bucket", "int64"), ("key", "int64"),
+        ("priority", "object"), ("is_order", "bool"),
+    ]
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[(batch["o_orderdate"] >= lo) & (batch["o_orderdate"] < hi)]
+        if sel.empty:
+            return empty_frame(TAG_COLS)
+        keys = sel["o_orderkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "bucket": hash_bucket(keys, n_buckets),
+                "key": keys,
+                "priority": sel["o_orderpriority"].astype(object),
+                "is_order": True,
+            }
+        )
+
+    def tag_returned(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = (
+            batch.loc[batch["l_returnflag"] == "R", "l_orderkey"]
+            .drop_duplicates()
+            .astype("int64")
+        )
+        if keys.empty:
+            return empty_frame(TAG_COLS)
+        return pd.DataFrame(
+            {
+                "bucket": hash_bucket(keys, n_buckets),
+                "key": keys,
+                "priority": "",
+                "is_order": False,
+            }
+        )
+
+    def semi_count(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [("o_orderpriority", "object"), ("order_count", "int64")]
+        if "key" not in group.columns or group.empty:
+            return empty_frame(cols)
+        o = group[group["is_order"]]
+        returned = group.loc[~group["is_order"], "key"].unique()
+        if o.empty or not len(returned):
+            return empty_frame(cols)
+        hit = o[o["key"].isin(returned)]
+        out = (
+            hit.groupby("priority").size().rename("order_count").reset_index()
+        )
+        return out.rename(columns={"priority": "o_orderpriority"})
+
+    partials = (
+        orders.map_batches(tag_orders, batch_format="pandas")
+        .union(lineitem.map_batches(tag_returned, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(semi_count, batch_format="pandas")
+        .to_pandas()  # <= n_buckets × priorities rows
+    )
+    if "o_orderpriority" not in partials.columns or partials.empty:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series(dtype="object"),
+                "order_count": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        partials.groupby("o_orderpriority", as_index=False)["order_count"]
+        .sum()
+        .astype({"order_count": "int64"})
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def customers_inactive_2001(sf_dir: str):
+    """Distributed ANTI-join: customers with NO order on/after 2001-01-01,
+    counted per market segment with their total account balance.
+
+    Same exchange shape as the semi-join above, inverted membership test:
+    the orders side reduces to per-batch distinct active custkeys, the
+    bucket merge keeps customers whose key is absent, and per-(bucket,
+    segment) partials (count + integer-cent balance sums — the suite's
+    standard exact-float protocol) reach the driver.
+    """
+    from .ops.shuffle import empty_frame, hash_bucket
+
+    n_buckets = 64
+    cutoff = pd.Timestamp("2001-01-01")
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    TAG_COLS = [
+        ("bucket", "int64"), ("key", "int64"), ("segment", "object"),
+        ("bal100", "int64"), ("is_cust", "bool"),
+    ]
+
+    def tag_cust(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["c_custkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "bucket": hash_bucket(keys, n_buckets),
+                "key": keys,
+                "segment": batch["c_mktsegment"].astype(object),
+                "bal100": np.rint(batch["c_acctbal"] * 100).astype("int64"),
+                "is_cust": True,
+            }
+        )
+
+    def tag_active(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = (
+            batch.loc[batch["o_orderdate"] >= cutoff, "o_custkey"]
+            .drop_duplicates()
+            .astype("int64")
+        )
+        if keys.empty:
+            return empty_frame(TAG_COLS)
+        return pd.DataFrame(
+            {
+                "bucket": hash_bucket(keys, n_buckets),
+                "key": keys,
+                "segment": "",
+                "bal100": np.int64(0),
+                "is_cust": False,
+            }
+        )
+
+    def anti_agg(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            ("c_mktsegment", "object"), ("n_customers", "int64"),
+            ("bal100", "int64"),
+        ]
+        if "key" not in group.columns or group.empty:
+            return empty_frame(cols)
+        c = group[group["is_cust"]]
+        if c.empty:
+            return empty_frame(cols)
+        active = group.loc[~group["is_cust"], "key"].unique()
+        miss = c[~c["key"].isin(active)]
+        if miss.empty:
+            return empty_frame(cols)
+        out = miss.groupby("segment").agg(
+            n_customers=("key", "size"), bal100=("bal100", "sum")
+        ).reset_index()
+        return out.rename(columns={"segment": "c_mktsegment"})
+
+    partials = (
+        cust.map_batches(tag_cust, batch_format="pandas")
+        .union(orders.map_batches(tag_active, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(anti_agg, batch_format="pandas")
+        .to_pandas()
+    )
+    if "c_mktsegment" not in partials.columns or partials.empty:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series(dtype="object"),
+                "n_customers": pd.Series(dtype="int64"),
+                "total_acctbal": pd.Series(dtype="float64"),
+            }
+        )
+    out = partials.groupby("c_mktsegment", as_index=False).agg(
+        n_customers=("n_customers", "sum"), bal100=("bal100", "sum")
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["total_acctbal"] = out.pop("bal100") / 100.0
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def supplier_balance_by_region(sf_dir: str):
     """Broadcast dimension chain supplier → nation → region."""
     import ray
@@ -1619,6 +1810,32 @@ ORACLE_SQL: dict[str, str] = {
         JOIN orders ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "customers_inactive_2001": """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               sum(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0
+                 AS total_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
     "supplier_balance_by_region": """
         SELECT r_name,
