@@ -249,6 +249,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q.pii_redact,
         "doc_decontaminate": q.doc_decontaminate,
         "doc_streaming_dedup": q.doc_streaming_dedup,
+        # Web-extraction pipelines (north-rule: HTML boilerplate strip,
+        # DOM heuristics, PDF/layout parse)
+        "doc_html_main_content": q.doc_html_main_content,
+        "doc_pdf_layout_text": q.doc_pdf_layout_text,
         # Sketch / selection aggregates
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "doc_shingle_hll": q.doc_shingle_hll,

@@ -211,6 +211,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_lm_rarity", q.doc_lm_rarity),
         ("embedding_semdedup", q.embedding_semdedup),
         ("doc_clean_corpus", q.doc_clean_corpus),
+        ("doc_html_main_content", q.doc_html_main_content),
+        ("doc_pdf_layout_text", q.doc_pdf_layout_text),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

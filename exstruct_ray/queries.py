@@ -4963,3 +4963,139 @@ ORACLE_SQL["events_cohort_retention"] = """
     GROUP BY 1, 2
     ORDER BY cohort_day, day_offset
     """
+
+
+# ---------------------------------------------------------------------------
+# Web-extraction pipelines (extract/html_content.py, extract/pdf_text.py)
+# ---------------------------------------------------------------------------
+
+
+def doc_html_main_content(sf_dir: str):
+    """HTML boilerplate strip via DOM link-density heuristics.
+
+    Synthesizes a deterministic boilerplate-heavy page per document
+    (nav/linked-title/sidebar/ads/footer, main text chunked into 40-word
+    paragraphs), then recovers the main content with the Boilerpipe-style
+    link-density block classifier (extract/html_content.py). The oracle
+    re-derives every output column from the raw documents table — a
+    hash-exact end-to-end check that the classifier drops exactly the
+    boilerplate. Stateless per-row parse → task-based map_batches.
+    """
+    from .extract.html_content import extract_main_content, synth_page
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {
+            "doc_id": [],
+            "title": [],
+            "main_text": [],
+            "n_content_blocks": [],
+            "n_boilerplate_blocks": [],
+        }
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            page = synth_page(int(doc_id), text or "")
+            res = extract_main_content(page)
+            rows["doc_id"].append(int(doc_id))
+            rows["title"].append(res["title"])
+            rows["main_text"].append(res["main_text"])
+            rows["n_content_blocks"].append(res["n_content_blocks"])
+            rows["n_boilerplate_blocks"].append(res["n_boilerplate_blocks"])
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "title": pd.Series(rows["title"], dtype="object"),
+                "main_text": pd.Series(rows["main_text"], dtype="object"),
+                "n_content_blocks": pd.Series(
+                    rows["n_content_blocks"], dtype="int64"
+                ),
+                "n_boilerplate_blocks": pd.Series(
+                    rows["n_boilerplate_blocks"], dtype="int64"
+                ),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(run, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Word count of the normalized text (documents text is space-joined words,
+# but normalize defensively like the engine does).
+_NWORDS_SQL = (
+    "CASE WHEN trim(coalesce(text, '')) = '' THEN 0 "
+    "ELSE array_length(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) "
+    "END"
+)
+
+ORACLE_SQL["doc_html_main_content"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+             trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS norm,
+             {_NWORDS_SQL} AS nwords
+      FROM documents
+    )
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           norm AS main_text,
+           CAST(CASE WHEN nwords = 0 THEN 0
+                ELSE ceil(nwords / 40.0) END AS BIGINT) AS n_content_blocks,
+           CAST(6 + doc_id % 3
+                + CASE WHEN doc_id % 2 = 0 AND nwords > 40 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_boilerplate_blocks
+    FROM base
+    ORDER BY doc_id
+"""
+
+
+def doc_pdf_layout_text(sf_dir: str):
+    """PDF layout parse: write each document to a real (subset) PDF, then
+    recover reading-order text from the content streams.
+
+    The writer emits lines in a doc_id-rotated stream order, so the parser
+    must reconstruct order from the text-matrix geometry (y desc, x asc) —
+    the layout step. Oracle: recovered text equals the normalized source
+    text, n_pages equals the deterministic pagination formula.
+    """
+    from .extract.pdf_text import pdf_extract_text, text_to_pdf_bytes
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, texts, pages = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            pdf = text_to_pdf_bytes(int(doc_id), text or "")
+            res = pdf_extract_text(pdf)
+            ids.append(int(doc_id))
+            texts.append(res["text"])
+            pages.append(res["n_pages"])
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pdf_text": pd.Series(texts, dtype="object"),
+                "n_pages": pd.Series(pages, dtype="int64"),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(run, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_pdf_layout_text"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+             trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS norm,
+             {_NWORDS_SQL} AS nwords
+      FROM documents
+    )
+    SELECT doc_id,
+           norm AS pdf_text,
+           CAST(CASE WHEN nwords = 0 THEN 1
+                ELSE ceil(ceil(nwords / 8.0) / 36.0) END AS BIGINT) AS n_pages
+    FROM base
+    ORDER BY doc_id
+"""
