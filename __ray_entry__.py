@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DOM heuristics, PDF/layout parse)
         "doc_html_main_content": q.doc_html_main_content,
         "doc_pdf_layout_text": q.doc_pdf_layout_text,
+        "doc_source_quota": q.doc_source_quota,
+        "doc_bpe_token_counts": q.doc_bpe_token_counts,
         # Sketch / selection aggregates
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "doc_shingle_hll": q.doc_shingle_hll,

@@ -5099,3 +5099,140 @@ ORACLE_SQL["doc_pdf_layout_text"] = f"""
     FROM base
     ORDER BY doc_id
 """
+
+
+def doc_source_quota(sf_dir: str):
+    """Per-source quota cap (CommonCrawl-style domain cap): keep at most
+    QUOTA docs per source, lowest doc_id first.
+
+    Scale shape: sources (domains) are high-cardinality and skewed on a
+    real crawl, so the groupby runs on a coarse 64-way hash bucket of the
+    source and the exact per-source ranking happens vectorized inside the
+    bucket (sort + cumcount) — the same micro-group-avoidance pattern as
+    events_sessionize. Only (doc_id, source) ever shuffles.
+    """
+    QUOTA = 10
+    n_buckets = 64
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        # md5 once per UNIQUE source in the batch (domains ≪ docs), then a
+        # vectorized map — no per-row hashing in the hot stage.
+        bucket = hash_bucket_str(n_buckets)
+        lut = {s: bucket(s) for s in batch["source"].unique()}
+        batch = batch.copy()
+        batch["bucket"] = batch["source"].map(lut).astype("int64")
+        return batch
+
+    def rank_cap(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or not len(group):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "source": pd.Series(dtype="object"),
+                    "rank_in_source": pd.Series(dtype="int64"),
+                }
+            )
+        group = group.sort_values(["source", "doc_id"], kind="mergesort")
+        rank = group.groupby("source").cumcount()
+        out = pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].astype("int64"),
+                "source": group["source"],
+                "rank_in_source": rank.astype("int64"),
+            }
+        )
+        return out[out["rank_in_source"] < QUOTA]
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rank_cap, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def hash_bucket_str(n_buckets: int):
+    """Deterministic md5-based string bucketer (stable across processes,
+    unlike Python's salted hash())."""
+    import hashlib
+
+    def bucket(s) -> int:
+        return (
+            int.from_bytes(
+                hashlib.md5(str(s).encode()).digest()[:4], "big"
+            )
+            % n_buckets
+        )
+
+    return bucket
+
+
+ORACLE_SQL["doc_source_quota"] = """
+    SELECT doc_id, source, rank_in_source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+               AS rank_in_source
+      FROM documents
+    )
+    WHERE rank_in_source < 10
+    ORDER BY doc_id
+"""
+
+
+def doc_bpe_token_counts(sf_dir: str):
+    """BPE-ish pretokenizer token counts (GPT-2 pretokenize pattern,
+    ASCII form) — vectorized end to end.
+
+    Both sides run the SAME RE2 engine: pyarrow's count_substring_regex
+    kernel here, DuckDB's regexp_extract_all in the oracle, so the count
+    is bit-identical by construction. No Python row loop: the whole
+    stage is two Arrow compute kernels over zero-copy batches.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # ASCII GPT-2 pretokenizer: contractions, space-prefixed word/number
+    # runs, punctuation runs. Non-overlapping matches == token count.
+    pattern = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch.column("text"), "")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(text, r"\s+", " ")
+        )
+        n_tokens = pc.count_substring_regex(norm, pattern)
+        n_words = pc.count_substring_regex(norm, r"[^\s]+")
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").cast(pa.int64()),
+                n_tokens.cast(pa.int64()),
+                n_words.cast(pa.int64()),
+            ],
+            names=["doc_id", "n_tokens", "n_words"],
+        )
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(count, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_bpe_token_counts"] = r"""
+    WITH base AS (
+      SELECT doc_id,
+             trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(norm,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+             AS BIGINT) AS n_tokens,
+           CAST(length(regexp_extract_all(norm, '[^\s]+')) AS BIGINT)
+             AS n_words
+    FROM base
+    ORDER BY doc_id
+"""

@@ -1,0 +1,81 @@
+"""Per-source quota cap and BPE-ish pretokenizer counts."""
+
+import duckdb
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
+    from exstruct_ray.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+class TestSourceQuota:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import doc_source_quota
+
+        got = doc_source_quota(SF_DIR)
+        want = _oracle("doc_source_quota", SF_DIR)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+    def test_cap_enforced_with_skewed_source(self, ray_session, tmp_path):
+        """A source with far more docs than the quota keeps exactly the
+        quota, lowest doc_id first — the domain-cap semantics."""
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(100),
+                "source": ["hot.example"] * 90 + ["cold.example"] * 10,
+                "text": "x",
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        from exstruct_ray.queries import doc_source_quota
+
+        got = doc_source_quota(str(tmp_path))
+        hot = got[got["source"] == "hot.example"]
+        assert len(hot) == 10
+        assert hot["doc_id"].tolist() == list(range(10))
+        assert len(got[got["source"] == "cold.example"]) == 10
+
+
+class TestBpeTokenCounts:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import doc_bpe_token_counts
+
+        got = doc_bpe_token_counts(SF_DIR)
+        want = _oracle("doc_bpe_token_counts", SF_DIR)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+    def test_pretokenizer_shapes(self, ray_session, tmp_path):
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "it's a test",  # contraction splits: it|'s| a| test
+                    "abc123 x-y",  # word|number then word|punct|word
+                    "",
+                    None,
+                ],
+                "source": "s",
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        from exstruct_ray.queries import doc_bpe_token_counts
+
+        got = doc_bpe_token_counts(str(tmp_path)).set_index("doc_id")
+        assert got.loc[0, "n_tokens"] == 4
+        assert got.loc[0, "n_words"] == 3
+        assert got.loc[1, "n_tokens"] == 5
+        assert got.loc[2, "n_tokens"] == 0
+        assert got.loc[3, "n_tokens"] == 0
