@@ -77,6 +77,11 @@ class ExtractOptions:
     include_shape_size: bool | None = None  # None -> verbose only
     include_chart_size: bool | None = None
     include_backend_metadata: bool = False
+    # HTML span handling on the interleaved text+media path:
+    # "visible" = strip invisible subtrees only (script/style/head/nav...);
+    # "density" = Boilerpipe-style link-density block classifier
+    # (extract/html_content.py) — drops link-dense boilerplate too.
+    html_strategy: str = "visible"
     table_params: TableDetectionParams = field(default_factory=TableDetectionParams)
     scan_limits: TableScanLimits = field(default_factory=TableScanLimits)
 
@@ -84,6 +89,8 @@ class ExtractOptions:
         mode = self.mode
         if mode not in {"light", "verbose"}:
             raise ValueError(f"Unsupported mode: {mode}")
+        if self.html_strategy not in {"visible", "density"}:
+            raise ValueError(f"Unsupported html_strategy: {self.html_strategy}")
         verbose = mode == "verbose"
         links = self.include_cell_links if self.include_cell_links is not None else verbose
         print_areas = (
@@ -125,6 +132,7 @@ class ExtractOptions:
             include_shape_size=shape_size,
             include_chart_size=chart_size,
             include_backend_metadata=self.include_backend_metadata,
+            html_strategy=self.html_strategy,
             table_params=self.table_params,
             scan_limits=scan,
         )
@@ -154,5 +162,6 @@ class ResolvedOptions:
     include_shape_size: bool
     include_chart_size: bool
     include_backend_metadata: bool
+    html_strategy: str
     table_params: TableDetectionParams
     scan_limits: TableScanLimits

@@ -105,7 +105,9 @@ def extract_document_spans_columnar(
             from .textdoc import extract_interleaved_spans
 
             n_err = 0
-            for k, t, m, _ in extract_interleaved_spans(kinds, texts, media_refs):
+            for k, t, m, _ in extract_interleaved_spans(
+                kinds, texts, media_refs, html_strategy=opts.html_strategy
+            ):
                 out_kinds.append(k)
                 out_texts.append(t)
                 out_refs.append(m)

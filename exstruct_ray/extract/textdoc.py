@@ -67,9 +67,25 @@ def looks_like_html(kind: str, text: str) -> bool:
 
 
 def extract_interleaved_spans(
-    kinds: list[str], texts: list[str], media_refs: list[str]
+    kinds: list[str],
+    texts: list[str],
+    media_refs: list[str],
+    html_strategy: str = "visible",
 ) -> list[tuple[str, str, str, int]]:
-    """(kind, text, media_ref, offset) output spans for a text+media doc."""
+    """(kind, text, media_ref, offset) output spans for a text+media doc.
+
+    ``html_strategy="density"`` routes HTML spans through the link-density
+    block classifier (html_content.py) instead of the visible-text strip —
+    the boilerplate-dropping main-content mode.
+    """
+    if html_strategy == "density":
+        from .html_content import extract_main_content
+
+        def strip(html: str) -> str:
+            return extract_main_content(html)["main_text"]
+
+    else:
+        strip = html_main_text
     out: list[tuple[str, str, str, int]] = []
     for kind, text, ref in zip(kinds, texts, media_refs):
         kind = kind or ""
@@ -78,7 +94,7 @@ def extract_interleaved_spans(
         if kind == "media" or (ref and not text):
             out.append(("media", "", ref, len(out)))
         elif looks_like_html(kind, text):
-            out.append(("text", html_main_text(text), ref, len(out)))
+            out.append(("text", strip(text), ref, len(out)))
         else:
             out.append(("text", normalize_text(text), ref, len(out)))
     return out

@@ -5236,3 +5236,96 @@ ORACLE_SQL["doc_bpe_token_counts"] = r"""
     FROM base
     ORDER BY doc_id
 """
+
+
+def textdoc_html_density(sf_dir: str):
+    """The flagship interleaved pipeline in main-content mode: each doc's
+    span carries a full boilerplate-heavy HTML page (kind="html"), and the
+    SAME build_extraction_pipeline — with html_strategy="density" — must
+    strip the chrome via the link-density classifier and emit exactly the
+    original text. The end-to-end hash check of the north rule's
+    "HTML boilerplate strip, DOM heuristics" inside the document pipeline
+    (not just as a standalone query).
+    """
+    import ray.data
+
+    from .config import ExtractOptions
+    from .extract.html_content import synth_page
+    from .stages.pipeline import build_extraction_pipeline
+
+    def to_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_spans = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            did = int(doc_id)
+            spans = [
+                {
+                    "kind": "html",
+                    "text": synth_page(did, text or ""),
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ]
+            if did % 3 == 0:
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": "",
+                        "media_ref": f"media/img-{did}.png",
+                        "offset": 1,
+                    }
+                )
+            rows_id.append(str(did))
+            rows_spans.append(spans)
+        return pd.DataFrame({"doc_id": rows_id, "spans": rows_spans})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_docs, batch_format="pandas"
+    )
+    out = build_extraction_pipeline(
+        docs, ExtractOptions(html_strategy="density"), batch_size=64
+    )
+
+    def flatten(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "offset": [], "kind": [], "media_ref": [], "text": []}
+        for doc_id, spans in zip(batch["doc_id"], batch["spans"]):
+            if spans is None:
+                continue
+            for s in spans:
+                rows["doc_id"].append(doc_id)
+                rows["offset"].append(int(s["offset"]))
+                rows["kind"].append(s["kind"])
+                rows["media_ref"].append(s["media_ref"])
+                rows["text"].append(s["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="object"),
+                "offset": pd.Series(rows["offset"], dtype="int64"),
+                "kind": pd.Series(rows["kind"], dtype="object"),
+                "media_ref": pd.Series(rows["media_ref"], dtype="object"),
+                "text": pd.Series(rows["text"], dtype="object"),
+            }
+        )
+
+    result = (
+        out.select_columns(["doc_id", "spans"])
+        .map_batches(flatten, batch_format="pandas")
+        .to_pandas()
+    )
+    return result.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+
+
+ORACLE_SQL["textdoc_html_density"] = """
+    SELECT * FROM (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             0 AS "offset",
+             'text' AS kind,
+             '' AS media_ref,
+             trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS text
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 1, 'media',
+             'media/img-' || CAST(doc_id AS VARCHAR) || '.png', ''
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    ORDER BY doc_id, "offset"
+"""

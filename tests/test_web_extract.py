@@ -174,3 +174,48 @@ class TestQueriesVsOracle:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+class TestDensityStrategyInPipeline:
+    def test_textdoc_html_density_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import textdoc_html_density
+
+        got = textdoc_html_density(SF_DIR)
+        want = _oracle("textdoc_html_density", SF_DIR)
+        # the literal 0/1 offsets come back int32 from DuckDB (same as the
+        # driver-green textdoc_extract oracle) — values must match exactly
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_visible_strategy_keeps_nav_density_drops_it(self):
+        from exstruct_ray.extract.textdoc import extract_interleaved_spans
+
+        page = (
+            '<html><body><nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+            "<p>body text of the page</p></body></html>"
+        )
+        visible = extract_interleaved_spans(["html"], [page], [""])
+        dense = extract_interleaved_spans(
+            ["html"], [page], [""], html_strategy="density"
+        )
+        # visible mode structurally skips <nav>; density mode needs no tag
+        # names — but on a <div>-wrapped nav only density still strips it
+        assert visible[0][1] == "body text of the page"
+        assert dense[0][1] == "body text of the page"
+        div_page = page.replace("<nav>", "<div>").replace("</nav>", "</div>")
+        visible2 = extract_interleaved_spans(["html"], [div_page], [""])
+        dense2 = extract_interleaved_spans(
+            ["html"], [div_page], [""], html_strategy="density"
+        )
+        assert "Home" in visible2[0][1]  # tag-skip can't know a div is nav
+        assert dense2[0][1] == "body text of the page"
+
+    def test_bad_strategy_rejected(self):
+        import pytest as _pytest
+
+        from exstruct_ray.config import ExtractOptions
+
+        with _pytest.raises(ValueError):
+            ExtractOptions(html_strategy="nope").resolved()
