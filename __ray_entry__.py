@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_quota": q.doc_source_quota,
         "doc_bpe_token_counts": q.doc_bpe_token_counts,
         "textdoc_html_density": q.textdoc_html_density,
+        "doc_bigram_rarity": q.doc_bigram_rarity,
         # Sketch / selection aggregates
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "doc_shingle_hll": q.doc_shingle_hll,

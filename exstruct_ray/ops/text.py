@@ -655,3 +655,124 @@ def winnow_overlap_pairs(
         .groupby("pbucket")
         .map_groups(merge_pairs, batch_format="pandas")
     )
+
+
+BIGRAM_RARITY_SCALE = 1_000_000  # smaller than unigram scale: the per-
+# bigram score multiplies by the prefix count (see bigram_rarity_table),
+# and 1e6 * prefix_count must stay inside int64 (safe to ~9e12 corpus
+# bigram occurrences of one prefix — far beyond the sandbox; re-scale per
+# shard before broadcast at true web scale).
+_BIGRAM_SEP = "\x1f"  # unit separator: cannot appear in whitespace tokens
+
+
+def _bigram_lists(texts: pd.Series) -> pd.Series:
+    """Per-row list of w1␟w2 bigram keys from lowercased whitespace tokens."""
+    tokens = texts.fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
+    return tokens.apply(
+        lambda ws: [a + _BIGRAM_SEP + b for a, b in zip(ws, ws[1:])]
+    )
+
+
+def corpus_bigram_counts(ds, n_buckets: int = 256) -> pd.DataFrame:
+    """Corpus-wide bigram -> count (the 2-gram LM table): vectorized
+    in-batch partials, one coarse bigram-hash bucket shuffle, exact merge
+    in-group — corpus_token_counts' shape one order up. Result is
+    bigram-vocabulary-sized (the broadcast small side); truncate to top-V
+    before broadcasting at web scale."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bigrams = _bigram_lists(batch["text"]).explode().dropna()
+        if not len(bigrams):
+            return pd.DataFrame(
+                {
+                    "bigram": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "bucket": pd.Series(dtype="int64"),
+                }
+            )
+        counts = bigrams.value_counts()
+        out = pd.DataFrame(
+            {"bigram": counts.index, "n": counts.to_numpy(dtype=np.int64)}
+        )
+        import zlib
+
+        out["bucket"] = (
+            out["bigram"]
+            .map(lambda t: zlib.crc32(t.encode("utf-8")) % n_buckets)
+            .astype("int64")
+        )
+        return out
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        if "bigram" not in group.columns or not len(group):
+            return pd.DataFrame(
+                {
+                    "bigram": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        agg = group.groupby("bigram", as_index=False)["n"].sum()
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def bigram_rarity_table(counts_df: pd.DataFrame) -> pd.Series:
+    """bigram -> integer conditional rarity:
+    ``(SCALE * prefix_count(w1)) // count(w1,w2)`` — the floor-division
+    analogue of -log P(w2|w1), where prefix_count is the sum of the
+    bigram counts sharing w1 (NOT the unigram count: doc-final tokens
+    never open a bigram, and the SQL oracle uses the same definition)."""
+    if not len(counts_df) or "bigram" not in counts_df.columns:
+        # zero-column block from a groupby with no groups (the corpus has
+        # no bigrams at all) — an empty rarity table scores everything 0
+        return pd.Series(dtype="int64")
+    w1 = counts_df["bigram"].str.split(_BIGRAM_SEP, n=1).str[0]
+    prefix = counts_df["n"].groupby(w1.to_numpy()).sum()
+    p = w1.map(prefix).to_numpy(dtype=np.int64)
+    c = counts_df["n"].to_numpy(dtype=np.int64)
+    return pd.Series(
+        (BIGRAM_RARITY_SCALE * p) // c,
+        index=counts_df["bigram"].to_numpy(),
+    )
+
+
+def bigram_rarity_scores(ds, rarity_ref) -> "object":
+    """Per-document bigram-LM rarity sum/mean (CCNet-perplexity analogue,
+    one LM order up from lm_rarity_scores). ``rarity_ref`` is a ray.put
+    broadcast of the bigram->rarity table."""
+    import ray
+
+    def score(batch: pd.DataFrame, _ref=rarity_ref) -> pd.DataFrame:
+        rarity_map: pd.Series = ray.get(_ref)
+        exploded = (
+            _bigram_lists(batch["text"]).reset_index(drop=True).explode().dropna()
+        )
+        n = len(batch)
+        n_bigrams = np.zeros(n, dtype=np.int64)
+        rarity = np.zeros(n, dtype=np.int64)
+        if len(exploded):
+            per_bi = exploded.map(rarity_map).to_numpy(dtype=np.int64)
+            idx = exploded.index.to_numpy()
+            np.add.at(rarity, idx, per_bi)
+            cnt = pd.Series(idx).value_counts()
+            n_bigrams[cnt.index.to_numpy()] = cnt.to_numpy(dtype=np.int64)
+        mean = np.zeros(n, dtype=np.int64)
+        nz = n_bigrams > 0
+        mean[nz] = rarity[nz] // n_bigrams[nz]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].reset_index(drop=True).astype("int64"),
+                "n_bigrams": n_bigrams,
+                "brarity_sum": rarity,
+                "mean_brarity": mean,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

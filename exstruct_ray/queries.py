@@ -5329,3 +5329,63 @@ ORACLE_SQL["textdoc_html_density"] = """
     )
     ORDER BY doc_id, "offset"
 """
+
+
+def doc_bigram_rarity(sf_dir: str):
+    """Bigram-LM rarity (CCNet perplexity proxy, one LM order above
+    doc_lm_rarity): corpus bigram counts via one coarse-bucket shuffle,
+    conditional rarity table ``(1e6 * prefix_count) // bigram_count``
+    built driver-side from the vocabulary²-sized counts and broadcast,
+    then a vectorized scoring pass. Two corpus passes, one
+    bigram-vocabulary exchange — same scale shape as the unigram op."""
+    import ray
+
+    from .ops.text import (
+        bigram_rarity_scores,
+        bigram_rarity_table,
+        corpus_bigram_counts,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts_df = corpus_bigram_counts(ds)
+    ref = ray.put(bigram_rarity_table(counts_df))
+    out = bigram_rarity_scores(ds, ref).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_bigram_rarity"] = """
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr)),
+                                   i -> arr[i] || chr(31) || arr[i + 1])) AS b
+      FROM arrs WHERE len(arr) >= 2
+    ),
+    cnt AS (SELECT b, count(*) AS c FROM bi GROUP BY b),
+    pre AS (
+      SELECT split_part(b, chr(31), 1) AS w1, sum(c) AS p
+      FROM cnt GROUP BY 1
+    ),
+    scored AS (
+      SELECT bi.doc_id,
+             count(*) AS n_bigrams,
+             sum((1000000 * pre.p) // cnt.c) AS r
+      FROM bi
+      JOIN cnt USING (b)
+      JOIN pre ON split_part(bi.b, chr(31), 1) = pre.w1
+      GROUP BY bi.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s.r, 0) AS BIGINT) AS brarity_sum,
+           CAST(CASE WHEN coalesce(s.n_bigrams, 0) > 0
+                     THEN s.r // s.n_bigrams ELSE 0 END AS BIGINT)
+             AS mean_brarity
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+"""
