@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_counts": q.doc_bpe_token_counts,
         "textdoc_html_density": q.textdoc_html_density,
         "doc_bigram_rarity": q.doc_bigram_rarity,
+        "corpus_profile": q.corpus_profile,
         # Sketch / selection aggregates
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "doc_shingle_hll": q.doc_shingle_hll,

@@ -5389,3 +5389,76 @@ ORACLE_SQL["doc_bigram_rarity"] = """
     FROM documents d LEFT JOIN scored s USING (doc_id)
     ORDER BY d.doc_id
 """
+
+
+def corpus_profile(sf_dir: str):
+    """One-pass whole-corpus profile: doc/token/char totals, distinct
+    languages and sources, max doc length — the summary a curation run
+    prints before committing to a mix.
+
+    Single streaming pass: each batch collapses to one partial row
+    (counts + small unique-value lists); the driver merges the handful of
+    partials. No shuffle — distinct-counting rides on lang/source being
+    bounded-cardinality metadata columns (true for crawl corpora:
+    languages and registered sources, not URLs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        n_tokens = pc.count_substring_regex(text, r"[^\s]+")
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_tokens": pa.array(
+                    [pc.sum(n_tokens).as_py() or 0], pa.int64()
+                ),
+                "n_chars": pa.array(
+                    [pc.sum(pc.utf8_length(text)).as_py() or 0], pa.int64()
+                ),
+                "max_doc_tokens": pa.array(
+                    [pc.max(n_tokens).as_py() or 0], pa.int64()
+                ),
+                "langs": pa.array(
+                    [pc.unique(batch.column("lang")).to_pylist()],
+                    pa.list_(pa.string()),
+                ),
+                "sources": pa.array(
+                    [pc.unique(batch.column("source")).to_pylist()],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    langs = {x for xs in parts["langs"] for x in xs if x is not None}
+    sources = {x for xs in parts["sources"] for x in xs if x is not None}
+    return pd.DataFrame(
+        {
+            "n_docs": [int(parts["n_docs"].sum())],
+            "n_tokens": [int(parts["n_tokens"].sum())],
+            "n_chars": [int(parts["n_chars"].sum())],
+            "max_doc_tokens": [int(parts["max_doc_tokens"].max())],
+            "n_langs": [len(langs)],
+            "n_sources": [len(sources)],
+        }
+    ).astype("int64")
+
+
+ORACLE_SQL["corpus_profile"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(length(regexp_extract_all(
+               coalesce(text, ''), '[^\\s]+'))), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(length(coalesce(text, ''))), 0) AS BIGINT)
+             AS n_chars,
+           CAST(coalesce(max(length(regexp_extract_all(
+               coalesce(text, ''), '[^\\s]+'))), 0) AS BIGINT)
+             AS max_doc_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+"""

@@ -58,3 +58,32 @@ class TestBigramRarity:
         got = doc_bigram_rarity(str(tmp_path))
         assert got.loc[0, "n_bigrams"] == 0
         assert got.loc[0, "mean_brarity"] == 0
+
+
+class TestCorpusProfile:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import corpus_profile
+
+        got = corpus_profile(SF_DIR)
+        want = _oracle("corpus_profile", SF_DIR)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+    def test_empty_and_null_text(self, ray_session, tmp_path):
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["", None],
+                "source": ["s1", "s2"],
+                "lang": ["en", "en"],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        from exstruct_ray.queries import corpus_profile
+
+        got = corpus_profile(str(tmp_path))
+        assert got.loc[0, "n_docs"] == 2
+        assert got.loc[0, "n_tokens"] == 0
+        assert got.loc[0, "n_langs"] == 1
+        assert got.loc[0, "n_sources"] == 2
