@@ -258,6 +258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textdoc_html_density": q.textdoc_html_density,
         "doc_bigram_rarity": q.doc_bigram_rarity,
         "corpus_profile": q.corpus_profile,
+        # Multimodal: perceptual-hash image dedup
+        "image_ahash": q.image_ahash,
+        "image_neardup_pairs": q.image_neardup_pairs,
         # Sketch / selection aggregates
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "doc_shingle_hll": q.doc_shingle_hll,

@@ -939,31 +939,50 @@ def duplicated_ngram_spans(ds, n: int = 5, n_buckets: int = 512):
 def simhash_pairs(ds, max_hamming: int = 3, n_buckets: int = 256):
     """SimHash near-duplicate pairs at hamming distance <= max_hamming.
 
+    Signature computation per batch, then the generic 64-bit pigeonhole
+    banding pipeline (hamming64_pairs) — shared with the perceptual-hash
+    image dedup in queries.image_neardup_pairs."""
+
+    sigs = ds.map_batches(simhash_batch, batch_format="pandas")
+    return hamming64_pairs(
+        sigs, max_hamming=max_hamming, n_buckets=n_buckets
+    )
+
+
+def hamming64_pairs(
+    sigs,
+    max_hamming: int = 3,
+    n_buckets: int = 256,
+    sig_col: str = "simhash",
+):
+    """Near-duplicate pairs for ANY dataset of 64-bit signatures
+    (doc_id, sig_col int64) at hamming distance <= max_hamming.
+
     Pigeonhole completeness: with 4 disjoint 16-bit bands, any two
     64-bit signatures within hamming distance 3 agree on at least one
     whole band — so band-equality candidates have recall exactly 1 for
-    the default threshold (<= 3), unlike MinHash's probabilistic bands.
+    thresholds <= 3, unlike MinHash's probabilistic bands.
 
-    Shape: signatures computed per batch, each doc emits 4 (band_id,
-    band_val) rows; a coarse bucket shuffle groups equal bands, pairs
-    verify by popcount in-group; a doc-keyed second group collapses the
-    pair found via several bands. Only band rows (4 x 24 bytes per doc)
-    ride the first exchange; only candidate pairs ride the second."""
-
-    sigs = ds.map_batches(simhash_batch, batch_format="pandas")
+    Shape: each doc emits 4 (band_id, band_val) rows; a coarse bucket
+    shuffle groups equal bands, pairs verify by popcount in-group; a
+    doc-keyed second group collapses the pair found via several bands.
+    Only band rows (4 x 24 bytes per doc) ride the first exchange; only
+    candidate pairs ride the second."""
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        arr = batch[sig_col].to_numpy(dtype=np.int64).view(np.uint64)
         frames = []
         for band in range(4):
             frames.append(
                 pd.DataFrame(
                     {
                         "band_id": np.int64(band),
-                        "band_val": batch[f"band{band}"].to_numpy(
-                            dtype=np.int64
-                        ),
+                        "band_val": (
+                            (arr >> np.uint64(band * 16))
+                            & np.uint64(0xFFFF)
+                        ).astype(np.int64),
                         "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
-                        "simhash": batch["simhash"].to_numpy(dtype=np.int64),
+                        "simhash": batch[sig_col].to_numpy(dtype=np.int64),
                     }
                 )
             )

@@ -444,3 +444,45 @@ def extract_audio_features(ds, batch_size: int = 16, concurrency=None):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (average hash) — the image-dedup signature
+# ---------------------------------------------------------------------------
+
+
+def synth_bit_image(bits64: int, block: int = 8) -> np.ndarray:
+    """Deterministic 8x8-block test image: block (r, c) is white when bit
+    63-(r*8+c) of ``bits64`` is set (MSB-first row-major, so the aHash of
+    the image round-trips to the same 64-bit value / hex string)."""
+    bits = np.array(
+        [(bits64 >> (63 - i)) & 1 for i in range(64)], dtype=np.uint8
+    ).reshape(8, 8)
+    img = np.repeat(np.repeat(bits * np.uint8(255), block, 0), block, 1)
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """Average hash (aHash): 8x8 mean-pooled grayscale thresholded at the
+    global mean, MSB-first row-major. All-integer: block b is set iff
+    64 * block_sum(b) > total_sum — the exact cross-multiplied form of
+    "block mean > image mean" (no float division, so the SQL oracle's
+    bit-exact hex comparison holds). A constant image hashes to 0."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    gray = pixels.astype(np.int64).sum(axis=2) if pixels.ndim == 3 else (
+        pixels.astype(np.int64) * 3
+    )
+    bh, bw = h // 8, w // 8
+    pooled = (
+        gray[: bh * 8, : bw * 8]
+        .reshape(8, bh, 8, bw)
+        .sum(axis=(1, 3), dtype=np.int64)
+    )
+    # normalize unequal block sizes away by construction (h, w multiples
+    # of 8 in this engine's media path); pooled holds per-block sums
+    total = int(pooled.sum())
+    bits = (pooled.reshape(-1) * 64 > total).astype(np.uint64)
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return int(out)

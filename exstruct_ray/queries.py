@@ -5462,3 +5462,130 @@ ORACLE_SQL["corpus_profile"] = """
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: perceptual-hash image dedup (ops/media.py + hamming64_pairs)
+# ---------------------------------------------------------------------------
+
+# Deterministic image corpus: each doc gets a synthetic 64x64 PNG whose
+# 8x8 aHash equals md5(str(src))[:8]; every 17th doc (doc_id % 17 == 3)
+# is a NEAR-DUPLICATE of its predecessor (same bit pattern with the
+# lowest bit flipped → hamming distance 1). The whole chain — PNG encode,
+# PNG decode, integer-exact average hash — is SQL-checkable because the
+# expected hash is just an md5 prefix.
+
+
+def _image_bits(doc_id: int) -> int:
+    import hashlib
+
+    flip = doc_id % 17 == 3
+    src = doc_id - 1 if flip else doc_id
+    bits = int.from_bytes(hashlib.md5(str(src).encode()).digest()[:8], "big")
+    return bits ^ 1 if flip else bits
+
+
+def _ahash_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-row synth PNG → decode → aHash. The decode+hash half is the
+    pipeline under test; synthesis stands in for a payload column read."""
+    from .ops.media import ahash64, decode_png, encode_png, synth_bit_image
+
+    ids, hashes = [], []
+    for doc_id in batch["doc_id"]:
+        did = int(doc_id)
+        png = encode_png(synth_bit_image(_image_bits(did)))
+        hashes.append(ahash64(decode_png(png)))
+        ids.append(did)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "ahash": pd.Series(
+                np.array(hashes, dtype=np.uint64).astype(np.int64)
+            ),
+        }
+    )
+
+
+def image_ahash(sf_dir: str):
+    """Perceptual hash per image: decode + integer-exact average hash,
+    emitted as the 16-hex-char signature. Stateless per-row decode →
+    task-based map_batches (the actor-pool feature path lives in
+    ops/media.MediaFeatureActor)."""
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _ahash_frame(batch)
+        out["ahash_hex"] = (
+            out["ahash"].to_numpy(dtype=np.int64).view(np.uint64)
+        )
+        out["ahash_hex"] = out["ahash_hex"].map(lambda v: format(v, "016x"))
+        return out[["doc_id", "ahash_hex"]]
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(run, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_AHASH_HEX_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 3 THEN
+               substr(md5(CAST(doc_id - 1 AS VARCHAR)), 1, 15) ||
+               substr('0123456789abcdef',
+                      xor(strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id - 1 AS VARCHAR)), 16, 1)) - 1,
+                          1) + 1, 1)
+             ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) END AS ahash_hex
+      FROM documents
+"""
+
+ORACLE_SQL["image_ahash"] = f"""
+    SELECT doc_id, ahash_hex FROM ({_AHASH_HEX_SQL})
+    ORDER BY doc_id
+"""
+
+
+def image_neardup_pairs(sf_dir: str):
+    """Image near-duplicate pairs: per-image aHash, then the SAME
+    pigeonhole 4x16-bit banding pipeline as SimHash text dedup
+    (ops/dedup.hamming64_pairs) at hamming <= 2. The oracle recomputes
+    every pair's hamming distance nibble-by-nibble from the md5-derived
+    expected hashes — exact recall check included (pigeonhole banding is
+    complete up to distance 3)."""
+    from .ops.dedup import hamming64_pairs
+
+    sigs = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _ahash_frame, batch_format="pandas"
+    )
+    out = (
+        hamming64_pairs(sigs, max_hamming=2, sig_col="ahash")
+        .to_pandas()
+    )
+    if "doc_a" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+ORACLE_SQL["image_neardup_pairs"] = f"""
+    WITH h AS ({_AHASH_HEX_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(1, 17), i ->
+             bit_count(xor(
+               strpos('0123456789abcdef', substr(a.ahash_hex, i, 1)) - 1,
+               strpos('0123456789abcdef', substr(b.ahash_hex, i, 1)) - 1
+             )))) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE list_sum(list_transform(range(1, 17), i ->
+             bit_count(xor(
+               strpos('0123456789abcdef', substr(a.ahash_hex, i, 1)) - 1,
+               strpos('0123456789abcdef', substr(b.ahash_hex, i, 1)) - 1
+             )))) <= 2
+    ORDER BY doc_a, doc_b
+"""
