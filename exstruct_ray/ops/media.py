@@ -486,3 +486,46 @@ def ahash64(pixels: np.ndarray) -> int:
     for b in bits:
         out = (out << np.uint64(1)) | b
     return int(out)
+
+
+def encode_wav(samples_i16: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal 16-bit mono PCM WAV encoder (stdlib wave) — datagen
+    counterpart of decode_wav."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples_i16, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def synth_bit_audio(bits64: int, frame: int = 32) -> np.ndarray:
+    """Deterministic test clip: 64 constant-amplitude frames; frame i is
+    loud (8000) when bit 63-i of ``bits64`` is set, quiet (1000)
+    otherwise — so the energy fingerprint round-trips to the same bits."""
+    bits = np.array(
+        [(bits64 >> (63 - i)) & 1 for i in range(64)], dtype=np.int64
+    )
+    return np.repeat(np.where(bits == 1, 8000, 1000), frame).astype(np.int16)
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """Energy fingerprint: 64 frames, frame bit set iff
+    64 * frame_abs_sum > total_abs_sum (the exact integer form of
+    "frame energy above the mean"). decode_wav's float64 samples are
+    dyadic rationals (int16 / 32768), so scaling back to integers is
+    lossless and the hex oracle comparison is exact."""
+    x = np.abs(np.round(np.asarray(samples) * 32768.0)).astype(np.int64)
+    usable = (len(x) // 64) * 64
+    if usable == 0:
+        return 0
+    pooled = x[:usable].reshape(64, -1).sum(axis=1, dtype=np.int64)
+    total = int(pooled.sum())
+    out = np.uint64(0)
+    for b in (pooled * 64 > total).astype(np.uint64):
+        out = (out << np.uint64(1)) | b
+    return int(out)

@@ -5589,3 +5589,40 @@ ORACLE_SQL["image_neardup_pairs"] = f"""
              )))) <= 2
     ORDER BY doc_a, doc_b
 """
+
+
+def audio_fingerprint(sf_dir: str):
+    """Audio fingerprint per document: synth 16-bit PCM WAV (64 frames
+    keyed to an md5 prefix, near-dup family as in image_ahash) → decode →
+    integer-exact energy fingerprint → 16-hex signature. Same SQL oracle
+    shape as image_ahash, over the WAV codec instead of PNG."""
+    from .ops.media import audio_fingerprint64, decode_wav, encode_wav, synth_bit_audio
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hexes = [], []
+        for doc_id in batch["doc_id"]:
+            did = int(doc_id)
+            wav = encode_wav(synth_bit_audio(_image_bits(did)))
+            samples, _ = decode_wav(wav)
+            fp = audio_fingerprint64(samples)
+            ids.append(did)
+            hexes.append(format(np.uint64(fp), "016x"))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "afp_hex": pd.Series(hexes, dtype="object"),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(run, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["audio_fingerprint"] = f"""
+    SELECT doc_id, ahash_hex AS afp_hex FROM ({_AHASH_HEX_SQL})
+    ORDER BY doc_id
+"""
