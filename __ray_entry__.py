@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ahash": q.image_ahash,
         "image_neardup_pairs": q.image_neardup_pairs,
         "audio_fingerprint": q.audio_fingerprint,
+        "source_typo_pairs": q.source_typo_pairs,
         # Sketch / selection aggregates
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "doc_shingle_hll": q.doc_shingle_hll,

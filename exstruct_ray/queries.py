@@ -5626,3 +5626,137 @@ ORACLE_SQL["audio_fingerprint"] = f"""
     SELECT doc_id, ahash_hex AS afp_hex FROM ({_AHASH_HEX_SQL})
     ORDER BY doc_id
 """
+
+
+def source_typo_pairs(sf_dir: str):
+    """Edit-distance-1 term pairs via FastSS deletion neighborhoods
+    (Bocek et al. 2007): every distinct term emits itself plus each
+    single-character deletion as candidate keys; any two terms within
+    edit distance 1 (insert/delete/substitute) share at least one key,
+    so a key-bucket groupby finds ALL candidates with recall 1 and a
+    cheap in-group exact verify (dynamic-programming distance) prunes
+    false positives. The distributed spelling/near-key clustering shape:
+    terms × (len+1) short keys ride the only shuffle — never term pairs.
+
+    Run over the distinct ``source`` values (registered crawl sources —
+    a naturally typo-adjacent keyspace). Oracle: brute-force
+    levenshtein(a, b) <= 1 over the distinct terms in DuckDB.
+    """
+    n_buckets = 64
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def uniq_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        terms, keys = [], []
+        for term in batch["source"].dropna().unique():
+            variants = [term] + [
+                term[:i] + term[i + 1 :] for i in range(len(term))
+            ]
+            for k in variants:
+                terms.append(term)
+                keys.append(k)
+        out = pd.DataFrame(
+            {
+                "term": pd.Series(terms, dtype="object"),
+                "key": pd.Series(keys, dtype="object"),
+            }
+        )
+        out["bucket"] = out["key"].map(
+            lambda k: zlib.crc32(k.encode()) % n_buckets
+        ).astype("int64")
+        return out
+
+    def _lev_le1(a: str, b: str) -> bool:
+        # exact distance-<=1 check without full DP: lengths differ by
+        # >1 -> no; equal lengths -> exactly one mismatch allowed;
+        # off-by-one lengths -> one skip in the longer string
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = edits = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            else:
+                edits += 1
+                if edits > 1:
+                    return False
+                j += 1
+        return True
+
+    pcols = [("term_a", "object"), ("term_b", "object"), ("pbucket", "int64")]
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        from .ops.shuffle import empty_frame
+
+        if "key" not in group.columns or not len(group):
+            return empty_frame(pcols)
+        rows_a, rows_b = [], []
+        for _, g in group.groupby("key"):
+            ts = sorted(set(g["term"]))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    if _lev_le1(ts[i], ts[j]):
+                        rows_a.append(ts[i])
+                        rows_b.append(ts[j])
+        if not rows_a:
+            return empty_frame(pcols)
+        out = pd.DataFrame(
+            {
+                "term_a": pd.Series(rows_a, dtype="object"),
+                "term_b": pd.Series(rows_b, dtype="object"),
+            }
+        )
+        # pair-dedup key derives from term_a only, so every duplicate of
+        # a pair (found via different shared keys) lands in one pbucket
+        out["pbucket"] = (out["term_a"].str.len() % 16).astype("int64")
+        return out
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from .ops.shuffle import empty_frame
+
+        cols = [("term_a", "object"), ("term_b", "object"), ("dist", "int64")]
+        if "term_a" not in group.columns or not len(group):
+            return empty_frame(cols)
+        out = group.drop_duplicates(["term_a", "term_b"])[
+            ["term_a", "term_b"]
+        ].copy()
+        out["dist"] = (out["term_a"] != out["term_b"]).astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(uniq_keys, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if "term_a" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "term_a": pd.Series(dtype="object"),
+                "term_b": pd.Series(dtype="object"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+ORACLE_SQL["source_typo_pairs"] = """
+    WITH t AS (SELECT DISTINCT source AS term FROM documents
+               WHERE source IS NOT NULL)
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+    FROM t a JOIN t b ON a.term < b.term
+    WHERE levenshtein(a.term, b.term) <= 1
+    ORDER BY term_a, term_b
+"""

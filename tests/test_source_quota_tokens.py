@@ -79,3 +79,37 @@ class TestBpeTokenCounts:
         assert got.loc[1, "n_tokens"] == 5
         assert got.loc[2, "n_tokens"] == 0
         assert got.loc[3, "n_tokens"] == 0
+
+
+class TestSourceTypoPairs:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import source_typo_pairs
+
+        got = source_typo_pairs(SF_DIR)
+        want = _oracle("source_typo_pairs", SF_DIR)
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+    def test_insert_delete_substitute_all_found(self, ray_session, tmp_path):
+        """FastSS recall: one representative of each edit kind plus a
+        distance-2 decoy that must NOT pair with the base."""
+        terms = ["crawl", "crawls", "craw", "crawt", "crxwls"]
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(len(terms)),
+                "text": "x",
+                "source": terms,
+                "lang": "en",
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        from exstruct_ray.queries import source_typo_pairs
+
+        got = source_typo_pairs(str(tmp_path))
+        pairs = set(zip(got["term_a"], got["term_b"]))
+        assert ("crawl", "crawls") in pairs  # insertion
+        assert ("craw", "crawl") in pairs  # deletion
+        assert ("crawl", "crawt") in pairs  # substitution
+        assert ("crawl", "crxwls") not in pairs  # distance 2
