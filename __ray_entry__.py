@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_neardup_pairs": q.image_neardup_pairs,
         "audio_fingerprint": q.audio_fingerprint,
         "source_typo_pairs": q.source_typo_pairs,
+        "doc_length_quantiles_by_lang": q.doc_length_quantiles_by_lang,
         # Sketch / selection aggregates
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "doc_shingle_hll": q.doc_shingle_hll,

@@ -5760,3 +5760,71 @@ ORACLE_SQL["source_typo_pairs"] = """
     WHERE levenshtein(a.term, b.term) <= 1
     ORDER BY term_a, term_b
 """
+
+
+def doc_length_quantiles_by_lang(sf_dir: str):
+    """Exact per-group quantiles on a bounded integer domain: p25/p50/
+    p75/p95 of n_chars per language, via per-(group, value) partial
+    counts — the count-based grouped-quantile path. One streaming pass;
+    each batch collapses to its (lang, n_chars) value counts, the driver
+    merges the bounded (groups × distinct-values) table and walks the
+    cumulative counts. Exact by construction; rank convention
+    max(0, ceil(q*n)-1), identical to lineitem_price_quantiles (which is
+    the unbounded-domain histogram-refine path — see
+    ops/sketch.distributed_quantile_disc)."""
+    QS = [0.25, 0.5, 0.75, 0.95]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby(["lang", "n_chars"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    parts = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    merged = parts.groupby(["lang", "n_chars"], as_index=False)["cnt"].sum()
+    for lang, g in merged.groupby("lang"):
+        g = g.sort_values("n_chars")
+        values = g["n_chars"].to_numpy(dtype=np.int64)
+        counts = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        for q in QS:
+            rank = max(0, int(np.ceil(q * n)) - 1)
+            value = values[int(np.searchsorted(cum, rank + 1))]
+            rows.append((lang, float(q), rank, n, int(value)))
+    out = pd.DataFrame(
+        rows, columns=["lang", "quantile", "rank", "n", "value"]
+    )
+    out["rank"] = out["rank"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values(["lang", "quantile"]).reset_index(drop=True)
+
+
+ORACLE_SQL["doc_length_quantiles_by_lang"] = """
+    WITH ranked AS (
+      SELECT lang, n_chars AS v,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS r
+      FROM documents
+    ),
+    nn AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95))
+    SELECT nn.lang,
+           CAST(qs.q AS DOUBLE) AS quantile,
+           greatest(0, CAST(ceil(qs.q * nn.n) AS BIGINT) - 1) AS rank,
+           nn.n AS n,
+           ranked.v AS value
+    FROM qs
+    CROSS JOIN nn
+    JOIN ranked ON ranked.lang = nn.lang
+               AND ranked.r = greatest(0, CAST(ceil(qs.q * nn.n) AS BIGINT) - 1)
+    ORDER BY nn.lang, quantile
+"""

@@ -113,3 +113,38 @@ class TestSourceTypoPairs:
         assert ("craw", "crawl") in pairs  # deletion
         assert ("crawl", "crawt") in pairs  # substitution
         assert ("crawl", "crxwls") not in pairs  # distance 2
+
+
+class TestGroupedQuantiles:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import doc_length_quantiles_by_lang
+
+        got = doc_length_quantiles_by_lang(SF_DIR)
+        want = _oracle("doc_length_quantiles_by_lang", SF_DIR)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+    def test_rank_convention_with_ties(self, ray_session, tmp_path):
+        """Duplicated values and a 1-row group exercise the
+        max(0, ceil(q*n)-1) rank and the cumulative-count walk."""
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(5),
+                "text": "x",
+                "source": "s",
+                "lang": ["en", "en", "en", "en", "de"],
+                "n_chars": [10, 10, 20, 30, 7],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        from exstruct_ray.queries import doc_length_quantiles_by_lang
+
+        got = doc_length_quantiles_by_lang(str(tmp_path))
+        en = got[got["lang"] == "en"].set_index("quantile")
+        assert en.loc[0.25, "value"] == 10  # rank 0 of [10,10,20,30]
+        assert en.loc[0.5, "value"] == 10  # rank 1
+        assert en.loc[0.75, "value"] == 20  # rank 2
+        assert en.loc[0.95, "value"] == 30  # rank 3
+        de = got[got["lang"] == "de"].set_index("quantile")
+        assert (de["value"] == 7).all()  # single-row group
