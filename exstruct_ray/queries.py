@@ -1590,6 +1590,34 @@ def doc_dedup_groups_distributed(sf_dir: str):
     return label_propagation_groups(pairs)
 
 
+def doc_dedup_group_sizes(sf_dir: str):
+    """Near-dup cluster-size distribution: how many components of each
+    size the MinHash dedup graph contains (the histogram SlimPajama /
+    NearDedup-style curation reports publish to characterize a corpus's
+    duplication profile). Rows: (group_size, n_groups, n_docs).
+
+    Builds on doc_dedup_groups' output contract — a table bounded by the
+    number of documents that participate in at least one near-dup pair,
+    already orders of magnitude smaller than the corpus. The histogram is
+    a further two-level count over that bounded table; at scale the same
+    aggregate is one groupby over the label-propagation output, so no new
+    exchange shape is introduced. Singleton documents (no near-dup pair)
+    are excluded by construction on both engine and oracle sides.
+    """
+    groups = doc_dedup_groups(sf_dir)
+    sizes = groups.groupby("group_id").size()
+    hist = sizes.value_counts().sort_index()
+    group_size = hist.index.to_numpy(dtype="int64")
+    n_groups = hist.to_numpy(dtype="int64")
+    return pd.DataFrame(
+        {
+            "group_size": group_size,
+            "n_groups": n_groups,
+            "n_docs": group_size * n_groups,
+        }
+    )
+
+
 def doc_ngram_verified_pairs(sf_dir: str):
     """MinHash candidates verified by exact word-3-gram Jaccard.
 
@@ -2035,6 +2063,30 @@ ORACLE_SQL["doc_dedup_groups"] = (
     )
     SELECT doc_id, min(r) AS group_id, doc_id = min(r) AS is_canonical
     FROM reach GROUP BY doc_id ORDER BY group_id, doc_id
+    """
+)
+
+# Component-size histogram over the same recursive-CTE components.
+ORACLE_SQL["doc_dedup_group_sizes"] = (
+    _CHAR5_PAIRS.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.7
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac WHERE j >= 0.7
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id),
+    csize AS (SELECT group_id, count(*) AS sz FROM comp GROUP BY group_id)
+    SELECT CAST(sz AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM csize GROUP BY sz ORDER BY group_size
     """
 )
 
