@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_fingerprint": q.audio_fingerprint,
         "source_typo_pairs": q.source_typo_pairs,
         "doc_length_quantiles_by_lang": q.doc_length_quantiles_by_lang,
+        "doc_line_dedup": q.doc_line_dedup,
+        "doc_bpe_pair_counts": q.doc_bpe_pair_counts,
         # Sketch / selection aggregates
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "doc_shingle_hll": q.doc_shingle_hll,

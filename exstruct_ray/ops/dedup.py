@@ -1055,3 +1055,113 @@ def _empty(cols: list[tuple[str, object]]) -> pd.DataFrame:
     from .shuffle import empty_frame
 
     return empty_frame(cols)
+
+
+def line_dedup(
+    ds,
+    words_per_line: int = 16,
+    n_buckets: int = 256,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+):
+    """Corpus-wide line-level exact dedup (CCNet / RefinedWeb style): a
+    line instance survives iff it is the globally FIRST occurrence of its
+    content, ordered by (doc_id, line_idx).
+
+    Method reference: line-granular exact dedup as deployed by CCNet
+    (Wenzek et al. 2020, paragraph hashes) and RefinedWeb (Penedo et al.
+    2023, line-wise filtering after fuzzy dedup). This corpus carries no
+    newlines, so a "line" is a fixed non-overlapping ``words_per_line``
+    word segment under single-space splitting — the same segmentation the
+    DuckDB oracle computes with list slicing.
+
+    Stage shape (both shuffles coarse-bucketed, the engine's micro-group
+    convention):
+      1. map_batches: split, segment, md5-key each line; ship
+         (line_key, doc_id, line_idx) — never the line text.
+      2. groupby(line-key bucket): winner per key = lexicographic min
+         (doc_id, line_idx) in-group (every instance of a key lands in
+         one bucket); reduce immediately to per-doc partial counts.
+      3. groupby(doc bucket): sum partials -> (doc_id, n_lines, n_kept).
+
+    The removal fraction 1 - sum(n_kept)/sum(n_lines) is the dedup's
+    corpus-level yield; per-doc rows feed the usual keep/cut policies.
+    """
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = _empty(
+            [
+                ("line_key", "object"),
+                ("doc_id", "int64"),
+                ("line_idx", "int64"),
+                ("lbucket", "int64"),
+            ]
+        )
+        if not len(batch):
+            return empty
+        keys: list[str] = []
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        for doc_id, text in zip(batch[id_column], batch[text_column]):
+            words = (text or "").split(" ")
+            for i in range(0, len(words), words_per_line):
+                seg = " ".join(words[i : i + words_per_line])
+                keys.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+                doc_ids.append(int(doc_id))
+                idxs.append(i // words_per_line)
+        if not keys:
+            return empty
+        return pd.DataFrame(
+            {
+                "line_key": pd.Series(keys, dtype="object"),
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "line_idx": pd.Series(idxs, dtype="int64"),
+                "lbucket": pd.Series(
+                    [int(k[:4], 16) % n_buckets for k in keys], dtype="int64"
+                ),
+            }
+        )
+
+    lines = ds.map_batches(line_rows, batch_format="pandas")
+
+    def keep_partial(group: pd.DataFrame) -> pd.DataFrame:
+        empty = _empty(
+            [
+                ("doc_id", "int64"),
+                ("n_lines", "int64"),
+                ("n_kept", "int64"),
+                ("dbucket", "int64"),
+            ]
+        )
+        if "line_key" not in group.columns or len(group) == 0:
+            return empty
+        g = group.sort_values(["line_key", "doc_id", "line_idx"], kind="stable")
+        k = g["line_key"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        g = g.assign(kept=first.astype("int64"))
+        agg = g.groupby("doc_id", as_index=False).agg(
+            n_lines=("kept", "size"), n_kept=("kept", "sum")
+        )
+        agg["dbucket"] = (agg["doc_id"] % 64).astype("int64")
+        return agg.astype(
+            {"doc_id": "int64", "n_lines": "int64", "n_kept": "int64"}
+        )
+
+    partials = lines.groupby("lbucket").map_groups(
+        keep_partial, batch_format="pandas"
+    )
+
+    def total(group: pd.DataFrame) -> pd.DataFrame:
+        empty = _empty(
+            [("doc_id", "int64"), ("n_lines", "int64"), ("n_kept", "int64")]
+        )
+        if "doc_id" not in group.columns or len(group) == 0:
+            return empty
+        return (
+            group.groupby("doc_id", as_index=False)
+            .agg(n_lines=("n_lines", "sum"), n_kept=("n_kept", "sum"))
+            .astype({"doc_id": "int64", "n_lines": "int64", "n_kept": "int64"})
+        )
+
+    return partials.groupby("dbucket").map_groups(total, batch_format="pandas")

@@ -5880,3 +5880,71 @@ ORACLE_SQL["doc_length_quantiles_by_lang"] = """
                AND ranked.r = greatest(0, CAST(ceil(qs.q * nn.n) AS BIGINT) - 1)
     ORDER BY nn.lang, quantile
 """
+
+
+def doc_line_dedup(sf_dir: str):
+    """Corpus-wide line-level exact dedup (CCNet/RefinedWeb style): per
+    doc, how many of its fixed 16-word line segments are the globally
+    first occurrence of their content. See ops/dedup.py:line_dedup for
+    the two-coarse-shuffle stage shape."""
+    from .ops.dedup import line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = line_dedup(ds).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "n_lines": "int64", "n_kept": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["doc_line_dedup"] = """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+      SELECT ws.doc_id, CAST(t.i AS BIGINT) AS line_idx,
+             array_to_string(
+               ws.w[CAST(t.i*16+1 AS BIGINT):CAST(t.i*16+16 AS BIGINT)], ' '
+             ) AS seg
+      FROM ws,
+           LATERAL unnest(range(CAST(ceil(len(ws.w)/16.0) AS BIGINT))) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, line_idx, seg,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, line_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def doc_bpe_pair_counts(sf_dir: str):
+    """Top-32 adjacent letter pairs inside [a-z]+ words — the corpus
+    statistic the first BPE merge selects from (Sennrich et al. 2016).
+    Each batch reduces to a 676-cell count vector; only those partials
+    move. See ops/bpe.py."""
+    from .ops.bpe import pair_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return pair_counts(ds, top_k=32)
+
+
+ORACLE_SQL["doc_bpe_pair_counts"] = """
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+    pairs AS (
+      SELECT substr(w, CAST(t.i + 1 AS INT), 1) AS a,
+             substr(w, CAST(t.i + 2 AS INT), 1) AS b
+      FROM w2, LATERAL unnest(range(length(w) - 1)) AS t(i)
+    )
+    SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 32
+"""
