@@ -189,7 +189,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Relational operators with exact DuckDB oracles
         "q1_pricing_summary": q.q1_pricing_summary,
         "q3_shipping_priority": q.q3_shipping_priority,
+        "q5_local_supplier_volume": q.q5_local_supplier_volume,
         "q6_revenue": q.q6_revenue,
+        "q10_returned_items": q.q10_returned_items,
+        "q14_promo_revenue": q.q14_promo_revenue,
+        "q18_large_volume_customers": q.q18_large_volume_customers,
         "revenue_by_nation": q.revenue_by_nation,
         "top_orders": q.top_orders,
         "events_hourly": q.events_hourly,

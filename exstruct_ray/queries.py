@@ -5948,3 +5948,732 @@ ORACLE_SQL["doc_bpe_pair_counts"] = """
     SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
     FROM pairs GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 32
 """
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: 6-table star join — revenue where the customer and
+    the line's supplier share a nation inside one region, one order year.
+
+    Exchange plan (two coarse-bucket tagged-union merges, like Q3):
+      - nation/region are driver constants; supplier is the classic
+        1e-4-of-fact dimension table, reduced driver-side to a
+        suppkey->nationkey dict over the target region only and shipped
+        once per worker inside the task closure (broadcast, no shuffle).
+      - merge 1 (custkey buckets): region-filtered customer rows join
+        date-filtered orders -> qualified (orderkey, cust_nation).
+      - merge 2 (orderkey buckets): lineitem pre-aggregated per
+        (orderkey, supp_nation) in-batch joins the qualified orders;
+        the c_nationkey = s_nationkey colocation predicate applies
+        in-bucket; each bucket emits <=|nations| partial sums.
+    Driver folds <=25*64 partial rows. Money is integer 1e-4 dollars end
+    to end (the repo's exact-aggregate convention vs DuckDB)."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    asia_regions = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    asia_nations = {
+        int(k)
+        for k in nation.loc[nation["n_regionkey"].isin(asia_regions), "n_nationkey"]
+    }
+    nation_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supplier = supplier[supplier["s_nationkey"].isin(asia_nations)]
+    supp_nation = dict(
+        zip(supplier["s_suppkey"].astype(int), supplier["s_nationkey"].astype(int))
+    )
+
+    cols1 = [
+        ("key", "int64"),
+        ("orderkey", "int64"),
+        ("nkey", "int64"),
+        ("is_cust", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["c_nationkey"].isin(asia_nations)]
+        if not len(sel):
+            return empty_frame(cols1)
+        return pd.DataFrame(
+            {
+                "key": sel["c_custkey"].astype("int64").to_numpy(),
+                "orderkey": np.int64(-1),
+                "nkey": sel["c_nationkey"].astype("int64").to_numpy(),
+                "is_cust": True,
+                "bucket": (sel["c_custkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[(batch["o_orderdate"] >= lo) & (batch["o_orderdate"] < hi)]
+        if not len(sel):
+            return empty_frame(cols1)
+        return pd.DataFrame(
+            {
+                "key": sel["o_custkey"].astype("int64").to_numpy(),
+                "orderkey": sel["o_orderkey"].astype("int64").to_numpy(),
+                "nkey": np.int64(-1),
+                "is_cust": False,
+                "bucket": (sel["o_custkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    tagged1 = customer.map_batches(cust_rows, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+
+    cols2 = [
+        ("orderkey", "int64"),
+        ("nkey", "int64"),
+        ("dp10000", "int64"),
+        ("is_line", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def merge_custkey(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_cust" not in group.columns or len(group) == 0:
+            return empty_frame(cols2)
+        cust = group[group["is_cust"]]
+        o = group[~group["is_cust"]].merge(
+            cust[["key", "nkey"]].rename(columns={"nkey": "cn"}),
+            on="key",
+            how="inner",
+        )
+        if not len(o):
+            return empty_frame(cols2)
+        return pd.DataFrame(
+            {
+                "orderkey": o["orderkey"].astype("int64").to_numpy(),
+                "nkey": o["cn"].astype("int64").to_numpy(),
+                "dp10000": np.int64(0),
+                "is_line": False,
+                "bucket": (o["orderkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    qualified = tagged1.groupby("bucket").map_groups(
+        merge_custkey, batch_format="pandas"
+    )
+
+    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        nk = batch["l_suppkey"].map(supp_nation)
+        sel = batch[nk.notna()].copy()
+        if not len(sel):
+            return empty_frame(cols2)
+        sel["nkey"] = nk[nk.notna()].astype("int64").to_numpy()
+        sel["dp10000"] = np.rint(
+            (sel["l_extendedprice"] * (1 - sel["l_discount"])).to_numpy() * 10000
+        ).astype(np.int64)
+        agg = sel.groupby(["l_orderkey", "nkey"], as_index=False)["dp10000"].sum()
+        return pd.DataFrame(
+            {
+                "orderkey": agg["l_orderkey"].astype("int64"),
+                "nkey": agg["nkey"].astype("int64"),
+                "dp10000": agg["dp10000"].astype("int64"),
+                "is_line": True,
+                "bucket": (agg["l_orderkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    tagged2 = qualified.union(
+        lineitem.map_batches(line_partials, batch_format="pandas")
+    )
+
+    def merge_orderkey(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [("nkey", "int64"), ("dp10000", "int64")]
+        if "is_line" not in group.columns or len(group) == 0:
+            return empty_frame(cols)
+        o = group[~group["is_line"]]
+        li = group[group["is_line"]]
+        if o.empty or li.empty:
+            return empty_frame(cols)
+        # The colocation predicate: customer nation == supplier nation.
+        m = li.merge(
+            o[["orderkey", "nkey"]], on=["orderkey", "nkey"], how="inner"
+        )
+        if not len(m):
+            return empty_frame(cols)
+        return (
+            m.groupby("nkey", as_index=False)["dp10000"]
+            .sum()
+            .astype({"nkey": "int64", "dp10000": "int64"})
+        )
+
+    parts = (
+        tagged2.groupby("bucket")
+        .map_groups(merge_orderkey, batch_format="pandas")
+        .to_pandas()
+    )
+    if "nkey" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series(dtype="object"),
+                "revenue": pd.Series(dtype="float64"),
+            }
+        )
+    total = parts.groupby("nkey", as_index=False)["dp10000"].sum()
+    total["n_name"] = total["nkey"].map(nation_names)
+    total["revenue"] = total["dp10000"] / 10000.0
+    return (
+        total.sort_values(["revenue", "n_name"], ascending=[False, True])[
+            ["n_name", "revenue"]
+        ].reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q5_local_supplier_volume"] = """
+    WITH t AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS dp10000
+      FROM lineitem
+    )
+    SELECT n_name, sum(t.dp10000) / 10000.0 AS revenue
+    FROM t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer, one
+    quarter, top 20. lineitem('R') pre-aggregates per orderkey in-batch;
+    merge 1 (orderkey buckets) attaches the date-filtered orders and
+    re-keys to custkey; merge 2 (custkey buckets) attaches customer
+    attributes and emits only its bucket-local top 20 — the driver folds
+    64 * 20 rows, never the full grouped table. Nation is a closure
+    constant. Total order (revenue DESC, c_custkey) makes the cut
+    deterministic on both engines."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    lo = pd.Timestamp("1996-10-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nation_names = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+
+    cols1 = [
+        ("orderkey", "int64"),
+        ("custkey", "int64"),
+        ("dp10000", "int64"),
+        ("is_line", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["l_returnflag"] == "R"]
+        if not len(sel):
+            return empty_frame(cols1)
+        dp = np.rint(
+            (sel["l_extendedprice"] * (1 - sel["l_discount"])).to_numpy() * 10000
+        ).astype(np.int64)
+        agg = (
+            pd.DataFrame(
+                {"orderkey": sel["l_orderkey"].astype("int64").to_numpy(), "dp10000": dp}
+            )
+            .groupby("orderkey", as_index=False)["dp10000"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "orderkey": agg["orderkey"].astype("int64"),
+                "custkey": np.int64(-1),
+                "dp10000": agg["dp10000"].astype("int64"),
+                "is_line": True,
+                "bucket": (agg["orderkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[(batch["o_orderdate"] >= lo) & (batch["o_orderdate"] < hi)]
+        if not len(sel):
+            return empty_frame(cols1)
+        return pd.DataFrame(
+            {
+                "orderkey": sel["o_orderkey"].astype("int64").to_numpy(),
+                "custkey": sel["o_custkey"].astype("int64").to_numpy(),
+                "dp10000": np.int64(0),
+                "is_line": False,
+                "bucket": (sel["o_orderkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    tagged1 = lineitem.map_batches(line_partials, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+
+    cols2 = [
+        ("custkey", "int64"),
+        ("dp10000", "int64"),
+        ("name", "object"),
+        ("acctbal", "float64"),
+        ("nkey", "int64"),
+        ("is_cust", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def merge_orderkey(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_line" not in group.columns or len(group) == 0:
+            return empty_frame(cols2)
+        o = group[~group["is_line"]]
+        li = group[group["is_line"]]
+        if o.empty or li.empty:
+            return empty_frame(cols2)
+        lsum = li.groupby("orderkey", as_index=False)["dp10000"].sum()
+        m = o[["orderkey", "custkey"]].merge(lsum, on="orderkey", how="inner")
+        if not len(m):
+            return empty_frame(cols2)
+        agg = m.groupby("custkey", as_index=False)["dp10000"].sum()
+        return pd.DataFrame(
+            {
+                "custkey": agg["custkey"].astype("int64"),
+                "dp10000": agg["dp10000"].astype("int64"),
+                "name": "",
+                "acctbal": np.float64(0.0),
+                "nkey": np.int64(-1),
+                "is_cust": False,
+                "bucket": (agg["custkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    per_cust = tagged1.groupby("bucket").map_groups(
+        merge_orderkey, batch_format="pandas"
+    )
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": batch["c_custkey"].astype("int64").to_numpy(),
+                "dp10000": np.int64(0),
+                "name": batch["c_name"].astype("object").to_numpy(),
+                "acctbal": batch["c_acctbal"].astype("float64").to_numpy(),
+                "nkey": batch["c_nationkey"].astype("int64").to_numpy(),
+                "is_cust": True,
+                "bucket": (batch["c_custkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    customer = _read(
+        sf_dir,
+        "customer",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    tagged2 = per_cust.union(customer.map_batches(cust_rows, batch_format="pandas"))
+
+    out_cols = [
+        ("c_custkey", "int64"),
+        ("c_name", "object"),
+        ("dp10000", "int64"),
+        ("c_acctbal", "float64"),
+        ("nkey", "int64"),
+    ]
+
+    def merge_custkey(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_cust" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        rev = group[~group["is_cust"]]
+        cust = group[group["is_cust"]]
+        if rev.empty or cust.empty:
+            return empty_frame(out_cols)
+        rsum = rev.groupby("custkey", as_index=False)["dp10000"].sum()
+        m = cust[["custkey", "name", "acctbal", "nkey"]].merge(
+            rsum, on="custkey", how="inner"
+        )
+        if not len(m):
+            return empty_frame(out_cols)
+        # Bucket-local top 20 under the same total order as the oracle.
+        m = m.sort_values(
+            ["dp10000", "custkey"], ascending=[False, True]
+        ).head(20)
+        return pd.DataFrame(
+            {
+                "c_custkey": m["custkey"].astype("int64").to_numpy(),
+                "c_name": m["name"].astype("object").to_numpy(),
+                "dp10000": m["dp10000"].astype("int64").to_numpy(),
+                "c_acctbal": m["acctbal"].astype("float64").to_numpy(),
+                "nkey": m["nkey"].astype("int64").to_numpy(),
+            }
+        )
+
+    out = (
+        tagged2.groupby("bucket")
+        .map_groups(merge_custkey, batch_format="pandas")
+        .to_pandas()
+    )
+    if "c_custkey" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype="object"),
+                "revenue": pd.Series(dtype="float64"),
+                "c_acctbal": pd.Series(dtype="float64"),
+                "n_name": pd.Series(dtype="object"),
+            }
+        )
+    out = out.sort_values(
+        ["dp10000", "c_custkey"], ascending=[False, True]
+    ).head(20)
+    out["revenue"] = out.pop("dp10000") / 10000.0
+    out["n_name"] = out.pop("nkey").map(nation_names)
+    return out[
+        ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+    ].reset_index(drop=True)
+
+
+ORACLE_SQL["q10_returned_items"] = """
+    WITH t AS (
+      SELECT l_orderkey,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS dp10000
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT c.c_custkey, c.c_name,
+           sum(t.dp10000) / 10000.0 AS revenue,
+           c.c_acctbal, n.n_name
+    FROM t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY sum(t.dp10000) DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promotion revenue share, one month. part is the
+    broadcast dimension — reduced driver-side to a partkey-indexed
+    boolean bitmap (1 bit.. well, 1 byte per part; ~2 MB per 2M parts)
+    shipped once per worker in the task closure. Each lineitem batch
+    folds to ONE (promo_dp, total_dp) integer partial row; the driver
+    sums partials and performs the single float division, mirroring the
+    oracle's (100.0 * promo) / total double arithmetic exactly."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pk = np.asarray(part.column("p_partkey").to_numpy(), dtype=np.int64)
+    is_promo_col = np.array(
+        [t.startswith("PROMO") for t in part.column("p_type").to_pylist()],
+        dtype=bool,
+    )
+    bitmap = np.zeros(int(pk.max()) + 1 if len(pk) else 1, dtype=bool)
+    bitmap[pk] = is_promo_col
+    lo = pd.Timestamp("1996-09-01")
+    hi = pd.Timestamp("1996-10-01")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[(batch["l_shipdate"] >= lo) & (batch["l_shipdate"] < hi)]
+        if not len(sel):
+            return pd.DataFrame(
+                {
+                    "promo_dp": pd.Series(dtype="int64"),
+                    "total_dp": pd.Series(dtype="int64"),
+                }
+            )
+        dp = np.rint(
+            (sel["l_extendedprice"] * (1 - sel["l_discount"])).to_numpy() * 10000
+        ).astype(np.int64)
+        keys = sel["l_partkey"].astype("int64").to_numpy()
+        promo = np.where(
+            (keys < len(bitmap)) & bitmap[np.clip(keys, 0, len(bitmap) - 1)],
+            dp,
+            0,
+        )
+        return pd.DataFrame(
+            {
+                "promo_dp": [int(promo.sum())],
+                "total_dp": [int(dp.sum())],
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    parts = lineitem.map_batches(partial, batch_format="pandas").to_pandas()
+    promo = int(parts["promo_dp"].sum()) if len(parts) else 0
+    total = int(parts["total_dp"].sum()) if len(parts) else 0
+    value = (100.0 * float(promo)) / float(total) if total else 0.0
+    return pd.DataFrame({"promo_revenue": pd.Series([value], dtype="float64")})
+
+
+ORACLE_SQL["q14_promo_revenue"] = """
+    WITH t AS (
+      SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS dp,
+             p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01'
+    )
+    SELECT (100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN dp
+                              ELSE 0 END) AS DOUBLE))
+           / CAST(sum(dp) AS DOUBLE) AS promo_revenue
+    FROM t
+"""
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds 300,
+    with customer names, top 100 by order value. Quantities accumulate
+    as integer centi-units (the exact-aggregate convention); the HAVING
+    filter applies in-bucket at merge 1 (every line of an orderkey lands
+    in one bucket, so the per-order sum is exact there), merge 2 attaches
+    c_name in custkey buckets and emits a bucket-local top 100; the
+    driver folds 64 * 100 rows."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    threshold_q100 = 300 * 100
+
+    cols1 = [
+        ("orderkey", "int64"),
+        ("custkey", "int64"),
+        ("odate_us", "int64"),
+        ("totalprice", "float64"),
+        ("q100", "int64"),
+        ("is_line", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        q100 = np.rint(batch["l_quantity"].to_numpy() * 100).astype(np.int64)
+        agg = (
+            pd.DataFrame(
+                {
+                    "orderkey": batch["l_orderkey"].astype("int64").to_numpy(),
+                    "q100": q100,
+                }
+            )
+            .groupby("orderkey", as_index=False)["q100"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "orderkey": agg["orderkey"].astype("int64"),
+                "custkey": np.int64(-1),
+                "odate_us": np.int64(0),
+                "totalprice": np.float64(0.0),
+                "q100": agg["q100"].astype("int64"),
+                "is_line": True,
+                "bucket": (agg["orderkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orderkey": batch["o_orderkey"].astype("int64").to_numpy(),
+                "custkey": batch["o_custkey"].astype("int64").to_numpy(),
+                "odate_us": batch["o_orderdate"]
+                .to_numpy("datetime64[us]")
+                .astype(np.int64),
+                "totalprice": batch["o_totalprice"].astype("float64").to_numpy(),
+                "q100": np.int64(0),
+                "is_line": False,
+                "bucket": (batch["o_orderkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    tagged1 = lineitem.map_batches(line_partials, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+
+    cols2 = [
+        ("custkey", "int64"),
+        ("orderkey", "int64"),
+        ("odate_us", "int64"),
+        ("totalprice", "float64"),
+        ("q100", "int64"),
+        ("name", "object"),
+        ("is_cust", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def merge_orderkey(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_line" not in group.columns or len(group) == 0:
+            return empty_frame(cols2)
+        li = group[group["is_line"]]
+        o = group[~group["is_line"]]
+        if li.empty or o.empty:
+            return empty_frame(cols2)
+        qsum = li.groupby("orderkey", as_index=False)["q100"].sum()
+        qsum = qsum[qsum["q100"] > threshold_q100]
+        if not len(qsum):
+            return empty_frame(cols2)
+        m = o[["orderkey", "custkey", "odate_us", "totalprice"]].merge(
+            qsum, on="orderkey", how="inner"
+        )
+        if not len(m):
+            return empty_frame(cols2)
+        return pd.DataFrame(
+            {
+                "custkey": m["custkey"].astype("int64").to_numpy(),
+                "orderkey": m["orderkey"].astype("int64").to_numpy(),
+                "odate_us": m["odate_us"].astype("int64").to_numpy(),
+                "totalprice": m["totalprice"].astype("float64").to_numpy(),
+                "q100": m["q100"].astype("int64").to_numpy(),
+                "name": "",
+                "is_cust": False,
+                "bucket": (m["custkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    big_orders = tagged1.groupby("bucket").map_groups(
+        merge_orderkey, batch_format="pandas"
+    )
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": batch["c_custkey"].astype("int64").to_numpy(),
+                "orderkey": np.int64(-1),
+                "odate_us": np.int64(0),
+                "totalprice": np.float64(0.0),
+                "q100": np.int64(0),
+                "name": batch["c_name"].astype("object").to_numpy(),
+                "is_cust": True,
+                "bucket": (batch["c_custkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    tagged2 = big_orders.union(
+        customer.map_batches(cust_rows, batch_format="pandas")
+    )
+
+    out_cols = [
+        ("c_name", "object"),
+        ("c_custkey", "int64"),
+        ("o_orderkey", "int64"),
+        ("odate_us", "int64"),
+        ("o_totalprice", "float64"),
+        ("q100", "int64"),
+    ]
+
+    def merge_custkey(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_cust" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        o = group[~group["is_cust"]]
+        cust = group[group["is_cust"]]
+        if o.empty or cust.empty:
+            return empty_frame(out_cols)
+        m = o.merge(
+            cust[["custkey", "name"]].rename(columns={"name": "cname"}),
+            on="custkey",
+            how="inner",
+        )
+        if not len(m):
+            return empty_frame(out_cols)
+        m = m.sort_values(
+            ["totalprice", "odate_us", "orderkey"],
+            ascending=[False, True, True],
+        ).head(100)
+        return pd.DataFrame(
+            {
+                "c_name": m["cname"].astype("object").to_numpy(),
+                "c_custkey": m["custkey"].astype("int64").to_numpy(),
+                "o_orderkey": m["orderkey"].astype("int64").to_numpy(),
+                "odate_us": m["odate_us"].astype("int64").to_numpy(),
+                "o_totalprice": m["totalprice"].astype("float64").to_numpy(),
+                "q100": m["q100"].astype("int64").to_numpy(),
+            }
+        )
+
+    out = (
+        tagged2.groupby("bucket")
+        .map_groups(merge_custkey, batch_format="pandas")
+        .to_pandas()
+    )
+    if "c_name" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                "c_name": pd.Series(dtype="object"),
+                "c_custkey": pd.Series(dtype="int64"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "o_totalprice": pd.Series(dtype="float64"),
+                "sum_qty": pd.Series(dtype="float64"),
+            }
+        )
+    out = out.sort_values(
+        ["o_totalprice", "odate_us", "o_orderkey"],
+        ascending=[False, True, True],
+    ).head(100)
+    out["o_orderdate"] = out.pop("odate_us").to_numpy().astype("datetime64[us]")
+    out["sum_qty"] = out.pop("q100") / 100.0
+    return out[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+ORACLE_SQL["q18_large_volume_customers"] = """
+    WITH q AS (
+      SELECT l_orderkey,
+             sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q100
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 30000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, q.q100 / 100.0 AS sum_qty
+    FROM q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+"""

@@ -1,0 +1,189 @@
+"""TPC-H Q5/Q10/Q14/Q18 star-join pipelines vs their DuckDB oracles."""
+
+import duckdb
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "orders", "lineitem", "part"]
+
+
+def _oracle(name: str, sf_dir: str) -> pd.DataFrame:
+    from exstruct_ray.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(ORACLE_SQL[name]).df()
+
+
+def _check(fn, name, min_rows=1):
+    got = fn(SF_DIR).reset_index(drop=True)
+    want = _oracle(name, SF_DIR).reset_index(drop=True)
+    assert len(got) >= min_rows
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestQ5:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q5_local_supplier_volume
+
+        _check(q5_local_supplier_volume, "q5_local_supplier_volume")
+
+    def test_colocation_predicate(self, ray_session, tmp_path):
+        """Revenue counts ONLY when customer and supplier share a nation —
+        the cross-nation line must be dropped, not summed."""
+        pd.DataFrame({"r_regionkey": [0], "r_name": ["ASIA"]}).to_parquet(
+            tmp_path / "region.parquet"
+        )
+        pd.DataFrame(
+            {"n_nationkey": [0, 1], "n_name": ["N0", "N1"], "n_regionkey": [0, 0]}
+        ).to_parquet(tmp_path / "nation.parquet")
+        pd.DataFrame(
+            {
+                "c_custkey": [1],
+                "c_name": ["c"],
+                "c_nationkey": [0],
+                "c_acctbal": [0.0],
+                "c_mktsegment": ["BUILDING"],
+            }
+        ).to_parquet(tmp_path / "customer.parquet")
+        pd.DataFrame(
+            {"s_suppkey": [10, 11], "s_name": ["a", "b"], "s_nationkey": [0, 1],
+             "s_acctbal": [0.0, 0.0]}
+        ).to_parquet(tmp_path / "supplier.parquet")
+        pd.DataFrame(
+            {
+                "o_orderkey": [100],
+                "o_custkey": [1],
+                "o_orderstatus": ["O"],
+                "o_totalprice": [1.0],
+                "o_orderdate": [pd.Timestamp("1996-06-01")],
+                "o_orderpriority": ["1-URGENT"],
+            }
+        ).to_parquet(tmp_path / "orders.parquet")
+        # Two lines on the same order: supplier 10 shares the customer's
+        # nation (counts, 7.0), supplier 11 does not (dropped).
+        pd.DataFrame(
+            {
+                "l_orderkey": [100, 100],
+                "l_partkey": [1, 1],
+                "l_suppkey": [10, 11],
+                "l_linenumber": [1, 2],
+                "l_quantity": [1.0, 1.0],
+                "l_extendedprice": [10.0, 99.0],
+                "l_discount": [0.3, 0.0],
+                "l_tax": [0.0, 0.0],
+                "l_returnflag": ["N", "N"],
+                "l_linestatus": ["O", "O"],
+                "l_shipdate": [pd.Timestamp("1996-07-01")] * 2,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q5_local_supplier_volume
+
+        out = q5_local_supplier_volume(str(tmp_path))
+        assert out["n_name"].tolist() == ["N0"]
+        assert out["revenue"].tolist() == [7.0]
+
+
+class TestQ10:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q10_returned_items
+
+        _check(q10_returned_items, "q10_returned_items")
+
+    def test_top20_cut_is_global(self, ray_session):
+        """The bucket-local top-20 partials must reproduce the global
+        top-20 exactly (no bucket may starve the global cut)."""
+        from exstruct_ray.queries import q10_returned_items
+
+        got = q10_returned_items(SF_DIR)
+        assert len(got) <= 20
+        # Deterministic total order: revenue desc, custkey asc.
+        rev = got["revenue"].tolist()
+        assert rev == sorted(rev, reverse=True)
+
+
+class TestQ14:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q14_promo_revenue
+
+        _check(q14_promo_revenue, "q14_promo_revenue")
+
+    def test_promo_share_tiny(self, ray_session, tmp_path):
+        pd.DataFrame(
+            {
+                "p_partkey": [1, 2],
+                "p_name": ["x", "y"],
+                "p_brand": ["B", "B"],
+                "p_type": ["PROMO ANODIZED TIN", "STANDARD BRUSHED COPPER"],
+                "p_size": [1, 1],
+                "p_retailprice": [1.0, 1.0],
+            }
+        ).to_parquet(tmp_path / "part.parquet")
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1],
+                "l_partkey": [1, 2],
+                "l_suppkey": [1, 1],
+                "l_linenumber": [1, 2],
+                "l_quantity": [1.0, 1.0],
+                "l_extendedprice": [25.0, 75.0],
+                "l_discount": [0.0, 0.0],
+                "l_tax": [0.0, 0.0],
+                "l_returnflag": ["N", "N"],
+                "l_linestatus": ["O", "O"],
+                "l_shipdate": [pd.Timestamp("1996-09-15")] * 2,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q14_promo_revenue
+
+        out = q14_promo_revenue(str(tmp_path))
+        assert out["promo_revenue"].tolist() == [25.0]
+
+
+class TestQ18:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q18_large_volume_customers
+
+        _check(q18_large_volume_customers, "q18_large_volume_customers")
+
+    def test_having_threshold_exact(self, ray_session, tmp_path):
+        """sum(quantity) == 300 is NOT > 300 — the boundary order must be
+        excluded; 300.01 must be included (centi-unit exactness)."""
+        pd.DataFrame(
+            {"c_custkey": [1], "c_name": ["c1"], "c_nationkey": [0],
+             "c_acctbal": [0.0], "c_mktsegment": ["BUILDING"]}
+        ).to_parquet(tmp_path / "customer.parquet")
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2],
+                "o_custkey": [1, 1],
+                "o_orderstatus": ["O", "O"],
+                "o_totalprice": [10.0, 20.0],
+                "o_orderdate": [pd.Timestamp("1997-01-01")] * 2,
+                "o_orderpriority": ["1-URGENT"] * 2,
+            }
+        ).to_parquet(tmp_path / "orders.parquet")
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 2, 2],
+                "l_partkey": [1] * 4,
+                "l_suppkey": [1] * 4,
+                "l_linenumber": [1, 2, 1, 2],
+                "l_quantity": [150.0, 150.0, 150.0, 150.01],
+                "l_extendedprice": [1.0] * 4,
+                "l_discount": [0.0] * 4,
+                "l_tax": [0.0] * 4,
+                "l_returnflag": ["N"] * 4,
+                "l_linestatus": ["O"] * 4,
+                "l_shipdate": [pd.Timestamp("1997-02-01")] * 4,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q18_large_volume_customers
+
+        out = q18_large_volume_customers(str(tmp_path))
+        assert out["o_orderkey"].tolist() == [2]
+        assert out["sum_qty"].tolist() == [300.01]
