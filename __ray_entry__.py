@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_by_lang": q.doc_length_quantiles_by_lang,
         "doc_line_dedup": q.doc_line_dedup,
         "doc_bpe_pair_counts": q.doc_bpe_pair_counts,
+        "doc_dsir_scores": q.doc_dsir_scores,
         # Sketch / selection aggregates
         "lineitem_price_quantiles": q.lineitem_price_quantiles,
         "doc_shingle_hll": q.doc_shingle_hll,

@@ -6677,3 +6677,44 @@ ORACLE_SQL["q18_large_volume_customers"] = """
     ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
     LIMIT 100
 """
+
+
+def doc_dsir_scores(sf_dir: str):
+    """DSIR importance scores (Xie et al. 2023, integer-exact variant):
+    hashed word-bigram likelihood-ratio weights, target = the corpus'
+    English slice. Two corpus scans; the only exchange is the 64-way
+    coarse merge of per-batch bucket-count partials. See ops/dsir.py."""
+    from .ops.dsir import dsir_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = dsir_scores(ds).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "score": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["doc_dsir_scores"] = """
+    WITH ws AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT ws.doc_id, ws.lang,
+             CAST('0x' || substr(
+                 md5(ws.w[CAST(t.i + 1 AS BIGINT)] || ' ' ||
+                     ws.w[CAST(t.i + 2 AS BIGINT)]), 1, 8) AS UBIGINT)
+               % 65536 AS b
+      FROM ws, LATERAL unnest(range(len(ws.w) - 1)) AS t(i)
+    ),
+    cnt AS (
+      SELECT b, count(*) AS s,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+      FROM grams GROUP BY b
+    ),
+    wt AS (SELECT b, (t * 1000000) // (s + 1) AS w FROM cnt)
+    SELECT g.doc_id, CAST(sum(wt.w) AS BIGINT) AS score
+    FROM grams g JOIN wt USING (b)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+"""
