@@ -213,6 +213,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_clean_corpus", q.doc_clean_corpus),
         ("doc_html_main_content", q.doc_html_main_content),
         ("doc_pdf_layout_text", q.doc_pdf_layout_text),
+        ("q5_local_supplier_volume", q.q5_local_supplier_volume),
+        ("q18_large_volume_customers", q.q18_large_volume_customers),
+        ("doc_line_dedup", q.doc_line_dedup),
+        ("doc_dsir_scores", q.doc_dsir_scores),
     ]:
         start = time.perf_counter()
         fn(sf_dir)
