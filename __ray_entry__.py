@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": q.q3_shipping_priority,
         "q5_local_supplier_volume": q.q5_local_supplier_volume,
         "q6_revenue": q.q6_revenue,
+        "q7_volume_shipping": q.q7_volume_shipping,
         "q10_returned_items": q.q10_returned_items,
         "q14_promo_revenue": q.q14_promo_revenue,
         "q18_large_volume_customers": q.q18_large_volume_customers,

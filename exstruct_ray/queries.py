@@ -6718,3 +6718,240 @@ ORACLE_SQL["doc_dsir_scores"] = """
     GROUP BY g.doc_id
     ORDER BY g.doc_id
 """
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: yearly shipping volume between two nations, in
+    both directions. supplier is the broadcast dimension (suppkey ->
+    nation name over the two target nations only); lineitem
+    pre-aggregates per (orderkey, supp_nation, ship_year) in-batch; merge
+    1 (orderkey buckets) attaches orders' custkey, merge 2 (custkey
+    buckets) attaches the nation-filtered customer and applies the
+    cross-direction predicate (supp_nation != cust_nation) in-bucket.
+    Driver folds <= 2 * years * 64 partial rows. Integer 1e-4 dollars
+    end to end."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    nation_a, nation_b = "NATION_13", "NATION_19"
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    target = nation[nation["n_name"].isin([nation_a, nation_b])]
+    nk_to_name = dict(zip(target["n_nationkey"].astype(int), target["n_name"]))
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supplier = supplier[supplier["s_nationkey"].isin(nk_to_name)]
+    supp_name = dict(
+        zip(
+            supplier["s_suppkey"].astype(int),
+            supplier["s_nationkey"].map(nk_to_name),
+        )
+    )
+
+    cols1 = [
+        ("orderkey", "int64"),
+        ("custkey", "int64"),
+        ("supp_nation", "object"),
+        ("l_year", "int64"),
+        ("dp10000", "int64"),
+        ("is_line", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = batch["l_suppkey"].map(supp_name)
+        sel = batch[nm.notna()].copy()
+        if not len(sel):
+            return empty_frame(cols1)
+        sel["supp_nation"] = nm[nm.notna()].to_numpy()
+        sel["l_year"] = sel["l_shipdate"].dt.year.astype("int64")
+        sel["dp10000"] = np.rint(
+            (sel["l_extendedprice"] * (1 - sel["l_discount"])).to_numpy() * 10000
+        ).astype(np.int64)
+        agg = sel.groupby(
+            ["l_orderkey", "supp_nation", "l_year"], as_index=False
+        )["dp10000"].sum()
+        return pd.DataFrame(
+            {
+                "orderkey": agg["l_orderkey"].astype("int64"),
+                "custkey": np.int64(-1),
+                "supp_nation": agg["supp_nation"].astype("object"),
+                "l_year": agg["l_year"].astype("int64"),
+                "dp10000": agg["dp10000"].astype("int64"),
+                "is_line": True,
+                "bucket": (agg["l_orderkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "orderkey": batch["o_orderkey"].astype("int64").to_numpy(),
+                "custkey": batch["o_custkey"].astype("int64").to_numpy(),
+                "supp_nation": "",
+                "l_year": np.int64(0),
+                "dp10000": np.int64(0),
+                "is_line": False,
+                "bucket": (batch["o_orderkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    tagged1 = lineitem.map_batches(line_partials, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+
+    cols2 = [
+        ("custkey", "int64"),
+        ("supp_nation", "object"),
+        ("l_year", "int64"),
+        ("dp10000", "int64"),
+        ("cust_nation", "object"),
+        ("is_cust", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def merge_orderkey(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_line" not in group.columns or len(group) == 0:
+            return empty_frame(cols2)
+        li = group[group["is_line"]]
+        o = group[~group["is_line"]]
+        if li.empty or o.empty:
+            return empty_frame(cols2)
+        m = li.merge(
+            o[["orderkey", "custkey"]].rename(columns={"custkey": "ck"}),
+            on="orderkey",
+            how="inner",
+        )
+        if not len(m):
+            return empty_frame(cols2)
+        return pd.DataFrame(
+            {
+                "custkey": m["ck"].astype("int64").to_numpy(),
+                "supp_nation": m["supp_nation"].astype("object").to_numpy(),
+                "l_year": m["l_year"].astype("int64").to_numpy(),
+                "dp10000": m["dp10000"].astype("int64").to_numpy(),
+                "cust_nation": "",
+                "is_cust": False,
+                "bucket": (m["ck"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    with_cust = tagged1.groupby("bucket").map_groups(
+        merge_orderkey, batch_format="pandas"
+    )
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        nm = batch["c_nationkey"].map(nk_to_name)
+        sel = batch[nm.notna()]
+        if not len(sel):
+            return empty_frame(cols2)
+        return pd.DataFrame(
+            {
+                "custkey": sel["c_custkey"].astype("int64").to_numpy(),
+                "supp_nation": "",
+                "l_year": np.int64(0),
+                "dp10000": np.int64(0),
+                "cust_nation": nm[nm.notna()].to_numpy(),
+                "is_cust": True,
+                "bucket": (sel["c_custkey"] % n_buckets).astype("int64").to_numpy(),
+            }
+        )
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    tagged2 = with_cust.union(
+        customer.map_batches(cust_rows, batch_format="pandas")
+    )
+
+    out_cols = [
+        ("supp_nation", "object"),
+        ("cust_nation", "object"),
+        ("l_year", "int64"),
+        ("dp10000", "int64"),
+    ]
+
+    def merge_custkey(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_cust" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        li = group[~group["is_cust"]]
+        cust = group[group["is_cust"]]
+        if li.empty or cust.empty:
+            return empty_frame(out_cols)
+        m = li.merge(
+            cust[["custkey", "cust_nation"]].rename(
+                columns={"cust_nation": "cn"}
+            ),
+            on="custkey",
+            how="inner",
+        )
+        # Cross-direction only: the two names differ (both are in the
+        # target pair by construction).
+        m = m[m["supp_nation"] != m["cn"]]
+        if not len(m):
+            return empty_frame(out_cols)
+        agg = m.groupby(["supp_nation", "cn", "l_year"], as_index=False)[
+            "dp10000"
+        ].sum()
+        return pd.DataFrame(
+            {
+                "supp_nation": agg["supp_nation"].astype("object"),
+                "cust_nation": agg["cn"].astype("object"),
+                "l_year": agg["l_year"].astype("int64"),
+                "dp10000": agg["dp10000"].astype("int64"),
+            }
+        )
+
+    parts = (
+        tagged2.groupby("bucket")
+        .map_groups(merge_custkey, batch_format="pandas")
+        .to_pandas()
+    )
+    if "supp_nation" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series(dtype="object"),
+                "cust_nation": pd.Series(dtype="object"),
+                "l_year": pd.Series(dtype="int64"),
+                "revenue": pd.Series(dtype="float64"),
+            }
+        )
+    total = parts.groupby(
+        ["supp_nation", "cust_nation", "l_year"], as_index=False
+    )["dp10000"].sum()
+    total["revenue"] = total.pop("dp10000") / 10000.0
+    return (
+        total.sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q7_volume_shipping"] = """
+    WITH t AS (
+      SELECT l_orderkey, l_suppkey,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS dp10000
+      FROM lineitem
+    )
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(t.l_year AS BIGINT) AS l_year,
+           sum(t.dp10000) / 10000.0 AS revenue
+    FROM t
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+       OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""

@@ -187,3 +187,63 @@ class TestQ18:
         out = q18_large_volume_customers(str(tmp_path))
         assert out["o_orderkey"].tolist() == [2]
         assert out["sum_qty"].tolist() == [300.01]
+
+
+class TestQ7:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q7_volume_shipping
+
+        _check(q7_volume_shipping, "q7_volume_shipping")
+
+    def test_same_nation_volume_excluded(self, ray_session, tmp_path):
+        """supp_nation == cust_nation rows must not appear, and each
+        direction aggregates separately."""
+        pd.DataFrame(
+            {"n_nationkey": [2, 7], "n_name": ["NATION_13", "NATION_19"],
+             "n_regionkey": [0, 0]}
+        ).to_parquet(tmp_path / "nation.parquet")
+        pd.DataFrame(
+            {"s_suppkey": [1, 2], "s_name": ["a", "b"], "s_nationkey": [2, 7],
+             "s_acctbal": [0.0, 0.0]}
+        ).to_parquet(tmp_path / "supplier.parquet")
+        pd.DataFrame(
+            {"c_custkey": [10, 20], "c_name": ["x", "y"], "c_nationkey": [7, 2],
+             "c_acctbal": [0.0, 0.0], "c_mktsegment": ["BUILDING"] * 2}
+        ).to_parquet(tmp_path / "customer.parquet")
+        pd.DataFrame(
+            {
+                "o_orderkey": [100, 200],
+                "o_custkey": [10, 20],
+                "o_orderstatus": ["O"] * 2,
+                "o_totalprice": [1.0] * 2,
+                "o_orderdate": [pd.Timestamp("1997-01-01")] * 2,
+                "o_orderpriority": ["1-URGENT"] * 2,
+            }
+        ).to_parquet(tmp_path / "orders.parquet")
+        # order 100 (cust NATION_19): supp 1 (NATION_13) -> cross, 5.0;
+        #                              supp 2 (NATION_19) -> same nation, dropped.
+        # order 200 (cust NATION_13): supp 2 (NATION_19) -> cross, 3.0.
+        pd.DataFrame(
+            {
+                "l_orderkey": [100, 100, 200],
+                "l_partkey": [1] * 3,
+                "l_suppkey": [1, 2, 2],
+                "l_linenumber": [1, 2, 1],
+                "l_quantity": [1.0] * 3,
+                "l_extendedprice": [5.0, 99.0, 3.0],
+                "l_discount": [0.0] * 3,
+                "l_tax": [0.0] * 3,
+                "l_returnflag": ["N"] * 3,
+                "l_linestatus": ["O"] * 3,
+                "l_shipdate": [pd.Timestamp("1997-06-01")] * 3,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q7_volume_shipping
+
+        out = q7_volume_shipping(str(tmp_path))
+        assert out[["supp_nation", "cust_nation"]].values.tolist() == [
+            ["NATION_13", "NATION_19"],
+            ["NATION_19", "NATION_13"],
+        ]
+        assert out["revenue"].tolist() == [5.0, 3.0]
+        assert out["l_year"].tolist() == [1997, 1997]
