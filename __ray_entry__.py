@@ -192,9 +192,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": q.q5_local_supplier_volume,
         "q6_revenue": q.q6_revenue,
         "q7_volume_shipping": q.q7_volume_shipping,
+        "q8_market_share": q.q8_market_share,
         "q10_returned_items": q.q10_returned_items,
+        "q13_customer_distribution": q.q13_customer_distribution,
         "q14_promo_revenue": q.q14_promo_revenue,
         "q18_large_volume_customers": q.q18_large_volume_customers,
+        "q19_discounted_revenue": q.q19_discounted_revenue,
         "revenue_by_nation": q.revenue_by_nation,
         "top_orders": q.top_orders,
         "events_hourly": q.events_hourly,

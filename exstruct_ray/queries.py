@@ -6955,3 +6955,402 @@ ORACLE_SQL["q7_volume_shipping"] = """
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
 """
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue from an OR of three (brand, size-range,
+    quantity-range) clauses. part reduces driver-side to two dense
+    partkey-indexed arrays (brand class id, size) shipped once per
+    worker in the task closure (~3 bytes/part); each lineitem batch
+    evaluates the whole disjunction vectorized and folds to ONE integer
+    1e-4-dollar partial. No exchange at all — a pure broadcast-join
+    scan, the same shape TPC-H's own Q19 wants at 100 TB (part is the
+    small side; lineitem streams). Adapted to this schema: no
+    l_shipmode/l_shipinstruct columns exist, so the clauses are
+    brand x size x quantity only (reference schema: TESTDATA.md)."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = np.asarray(part.column("p_partkey").to_numpy(), dtype=np.int64)
+    n = int(pk.max()) + 1 if len(pk) else 1
+    brand_cls = np.zeros(n, dtype=np.int8)
+    size_arr = np.zeros(n, dtype=np.int16)
+    brands = part.column("p_brand").to_pylist()
+    cls_of = {"Brand#11": 1, "Brand#12": 2, "Brand#13": 3}
+    brand_cls[pk] = np.array([cls_of.get(b, 0) for b in brands], dtype=np.int8)
+    size_arr[pk] = np.asarray(part.column("p_size").to_numpy(), dtype=np.int16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["l_partkey"].astype("int64").to_numpy()
+        ok = keys < n
+        keys = np.clip(keys, 0, n - 1)
+        cls = np.where(ok, brand_cls[keys], 0)
+        size = size_arr[keys]
+        qty = batch["l_quantity"].to_numpy()
+        hit = (
+            ((cls == 1) & (size >= 1) & (size <= 5) & (qty >= 1) & (qty <= 11))
+            | ((cls == 2) & (size >= 1) & (size <= 10) & (qty >= 10) & (qty <= 20))
+            | ((cls == 3) & (size >= 1) & (size <= 15) & (qty >= 20) & (qty <= 30))
+        )
+        if not hit.any():
+            return pd.DataFrame({"dp": pd.Series(dtype="int64")})
+        sel = batch[hit]
+        dp = np.rint(
+            (sel["l_extendedprice"] * (1 - sel["l_discount"])).to_numpy() * 10000
+        ).astype(np.int64)
+        return pd.DataFrame({"dp": [int(dp.sum())]})
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    parts = lineitem.map_batches(partial, batch_format="pandas").to_pandas()
+    total = int(parts["dp"].sum()) if len(parts) else 0
+    return pd.DataFrame({"revenue": pd.Series([total / 10000.0], dtype="float64")})
+
+
+ORACLE_SQL["q19_discounted_revenue"] = """
+    WITH t AS (
+      SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS dp
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)
+    )
+    SELECT COALESCE(sum(dp), 0) / 10000.0 AS revenue FROM t
+"""
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    including zero-order customers (the left-outer part). Orders
+    pre-count per custkey in-batch (value_counts -> one partial row per
+    distinct custkey per batch); customers ship as bare custkey rows;
+    one custkey-bucket exchange merges them, computes each customer's
+    exact count in-bucket (every partial for a custkey lands in its one
+    bucket), zero-fills customers with no orders, and folds to a
+    per-bucket (c_count, ncust) histogram. The driver merges <= 64
+    tiny histograms — exchange volume is O(distinct custkeys), never
+    O(orders). The priority filter stands in for Q13's o_comment NOT
+    LIKE (no comment column in this schema)."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    cols = [
+        ("custkey", "int64"),
+        ("n_orders", "int64"),
+        ("is_cust", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def order_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["o_orderpriority"] != "1-URGENT"]
+        if not len(sel):
+            return empty_frame(cols)
+        vc = sel["o_custkey"].value_counts()
+        ck = vc.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "custkey": ck,
+                "n_orders": vc.to_numpy(dtype=np.int64),
+                "is_cust": False,
+                "bucket": ck % n_buckets,
+            }
+        )
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ck = batch["c_custkey"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "custkey": ck,
+                "n_orders": np.int64(0),
+                "is_cust": True,
+                "bucket": ck % n_buckets,
+            }
+        )
+
+    hist_cols = [("c_count", "int64"), ("ncust", "int64")]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_cust" not in group.columns or len(group) == 0:
+            return empty_frame(hist_cols)
+        cust = group[group["is_cust"]]
+        if cust.empty:
+            return empty_frame(hist_cols)
+        counts = (
+            group[~group["is_cust"]]
+            .groupby("custkey")["n_orders"]
+            .sum()
+            .reindex(cust["custkey"].to_numpy(), fill_value=0)
+        )
+        vc = counts.value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": vc.index.to_numpy(dtype=np.int64),
+                "ncust": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    tagged = orders.map_batches(order_partials, batch_format="pandas").union(
+        customer.map_batches(cust_rows, batch_format="pandas")
+    )
+    parts = (
+        tagged.groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "c_count" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "c_count": pd.Series(dtype="int64"),
+                "custdist": pd.Series(dtype="int64"),
+            }
+        )
+    agg = parts.groupby("c_count", as_index=False)["ncust"].sum()
+    agg = agg.rename(columns={"ncust": "custdist"})
+    agg["custdist"] = agg["custdist"].astype("int64")
+    return (
+        agg.sort_values(["custdist", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q13_customer_distribution"] = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: the target nation's share of ECONOMY-part
+    revenue sold to ASIA customers, by order year. All four dimensions
+    broadcast as dense driver-built arrays (part -> type bitmap,
+    supplier -> is-target-nation bitmap, customer -> in-region bitmap
+    via nation->region); lineitem folds per-batch to (orderkey,
+    num_dp, den_dp) integer partials, orders contributes (orderkey,
+    year) rows for the two target years, and ONE orderkey-bucket
+    exchange joins them and reduces to per-(bucket, year) partial
+    sums. The driver folds <= 64 * 2 rows and performs the one float
+    division per year, matching the oracle's DOUBLE arithmetic.
+    Adapted predicates: p_type = 'ECONOMY' (single-word types here),
+    nation NATION_12 within region ASIA."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    target_nation = "NATION_12"
+    target_region = "ASIA"
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    region_keys = set(
+        region[region["r_name"] == target_region]["r_regionkey"].astype(int)
+    )
+    in_region_nk = set(
+        nation[nation["n_regionkey"].isin(region_keys)]["n_nationkey"].astype(int)
+    )
+    target_nk = set(
+        nation[nation["n_name"] == target_nation]["n_nationkey"].astype(int)
+    )
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pk = np.asarray(part.column("p_partkey").to_numpy(), dtype=np.int64)
+    np_parts = int(pk.max()) + 1 if len(pk) else 1
+    part_ok = np.zeros(np_parts, dtype=bool)
+    part_ok[pk] = np.array(
+        [t == "ECONOMY" for t in part.column("p_type").to_pylist()], dtype=bool
+    )
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sk = supplier["s_suppkey"].astype("int64").to_numpy()
+    ns = int(sk.max()) + 1 if len(sk) else 1
+    supp_target = np.zeros(ns, dtype=bool)
+    supp_target[sk] = (
+        supplier["s_nationkey"].astype(int).isin(target_nk).to_numpy()
+    )
+
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    ck = customer["c_custkey"].astype("int64").to_numpy()
+    nc = int(ck.max()) + 1 if len(ck) else 1
+    cust_in_region = np.zeros(nc, dtype=bool)
+    cust_in_region[ck] = (
+        customer["c_nationkey"].astype(int).isin(in_region_nk).to_numpy()
+    )
+
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    cols = [
+        ("orderkey", "int64"),
+        ("num_dp", "int64"),
+        ("den_dp", "int64"),
+        ("o_year", "int64"),
+        ("is_line", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["l_partkey"].astype("int64").to_numpy()
+        ok = (keys < np_parts) & part_ok[np.clip(keys, 0, np_parts - 1)]
+        sel = batch[ok]
+        if not len(sel):
+            return empty_frame(cols)
+        dp = np.rint(
+            (sel["l_extendedprice"] * (1 - sel["l_discount"])).to_numpy() * 10000
+        ).astype(np.int64)
+        sup = sel["l_suppkey"].astype("int64").to_numpy()
+        is_t = (sup < ns) & supp_target[np.clip(sup, 0, ns - 1)]
+        tmp = pd.DataFrame(
+            {
+                "orderkey": sel["l_orderkey"].astype("int64").to_numpy(),
+                "num_dp": np.where(is_t, dp, 0),
+                "den_dp": dp,
+            }
+        )
+        agg = tmp.groupby("orderkey", as_index=False)[["num_dp", "den_dp"]].sum()
+        return pd.DataFrame(
+            {
+                "orderkey": agg["orderkey"].astype("int64"),
+                "num_dp": agg["num_dp"].astype("int64"),
+                "den_dp": agg["den_dp"].astype("int64"),
+                "o_year": np.int64(0),
+                "is_line": True,
+                "bucket": (agg["orderkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["o_custkey"].astype("int64").to_numpy()
+        ok = (
+            (batch["o_orderdate"] >= lo).to_numpy()
+            & (batch["o_orderdate"] < hi).to_numpy()
+            & (keys < nc)
+            & cust_in_region[np.clip(keys, 0, nc - 1)]
+        )
+        sel = batch[ok]
+        if not len(sel):
+            return empty_frame(cols)
+        okey = sel["o_orderkey"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "orderkey": okey,
+                "num_dp": np.int64(0),
+                "den_dp": np.int64(0),
+                "o_year": sel["o_orderdate"].dt.year.astype("int64").to_numpy(),
+                "is_line": False,
+                "bucket": okey % n_buckets,
+            }
+        )
+
+    out_cols = [("o_year", "int64"), ("num_dp", "int64"), ("den_dp", "int64")]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_line" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        li = group[group["is_line"]]
+        o = group[~group["is_line"]]
+        if li.empty or o.empty:
+            return empty_frame(out_cols)
+        m = li.merge(o[["orderkey", "o_year"]], on="orderkey", how="inner")
+        if not len(m):
+            return empty_frame(out_cols)
+        agg = m.groupby("o_year_y", as_index=False)[["num_dp", "den_dp"]].sum()
+        return pd.DataFrame(
+            {
+                "o_year": agg["o_year_y"].astype("int64"),
+                "num_dp": agg["num_dp"].astype("int64"),
+                "den_dp": agg["den_dp"].astype("int64"),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    tagged = lineitem.map_batches(line_partials, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+    parts = (
+        tagged.groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "o_year" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "o_year": pd.Series(dtype="int64"),
+                "mkt_share": pd.Series(dtype="float64"),
+            }
+        )
+    agg = parts.groupby("o_year", as_index=False)[["num_dp", "den_dp"]].sum()
+    agg["mkt_share"] = agg["num_dp"].astype(float) / agg["den_dp"].astype(float)
+    return (
+        agg[["o_year", "mkt_share"]]
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q8_market_share"] = """
+    WITH t AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS dp,
+             (n1.n_name = 'NATION_12') AS is_target
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN is_target THEN dp ELSE 0 END) AS DOUBLE)
+           / CAST(sum(dp) AS DOUBLE) AS mkt_share
+    FROM t
+    GROUP BY o_year
+    ORDER BY o_year
+"""

@@ -247,3 +247,147 @@ class TestQ7:
         ]
         assert out["revenue"].tolist() == [5.0, 3.0]
         assert out["l_year"].tolist() == [1997, 1997]
+
+
+class TestQ8:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q8_market_share
+
+        _check(q8_market_share, "q8_market_share")
+
+    def test_share_scoped_to_region_window(self, ray_session, tmp_path):
+        """Only in-region, in-window orders enter the denominator, and
+        the numerator counts only the target nation's suppliers."""
+        pd.DataFrame({"r_regionkey": [0, 1], "r_name": ["ASIA", "AFRICA"]}
+                     ).to_parquet(tmp_path / "region.parquet")
+        pd.DataFrame(
+            {"n_nationkey": [12, 3, 5],
+             "n_name": ["NATION_12", "NATION_3", "NATION_5"],
+             "n_regionkey": [0, 0, 1]}
+        ).to_parquet(tmp_path / "nation.parquet")
+        pd.DataFrame(
+            {"p_partkey": [1, 2], "p_name": ["x", "y"],
+             "p_brand": ["B", "B"], "p_type": ["ECONOMY", "STANDARD"],
+             "p_size": [1, 1], "p_retailprice": [1.0, 1.0]}
+        ).to_parquet(tmp_path / "part.parquet")
+        pd.DataFrame(
+            {"s_suppkey": [1, 2], "s_name": ["a", "b"],
+             "s_nationkey": [12, 3], "s_acctbal": [0.0, 0.0]}
+        ).to_parquet(tmp_path / "supplier.parquet")
+        # cust 10 in-region (NATION_3/ASIA); cust 20 out-of-region.
+        pd.DataFrame(
+            {"c_custkey": [10, 20], "c_name": ["x", "y"],
+             "c_nationkey": [3, 5], "c_acctbal": [0.0, 0.0],
+             "c_mktsegment": ["BUILDING"] * 2}
+        ).to_parquet(tmp_path / "customer.parquet")
+        # order 100: in-region, in-window. order 200: out-of-region.
+        # order 300: in-region but outside the date window.
+        pd.DataFrame(
+            {
+                "o_orderkey": [100, 200, 300],
+                "o_custkey": [10, 20, 10],
+                "o_orderstatus": ["O"] * 3,
+                "o_totalprice": [1.0] * 3,
+                "o_orderdate": [
+                    pd.Timestamp("1995-06-01"),
+                    pd.Timestamp("1995-06-01"),
+                    pd.Timestamp("1999-06-01"),
+                ],
+                "o_orderpriority": ["1-URGENT"] * 3,
+            }
+        ).to_parquet(tmp_path / "orders.parquet")
+        # On order 100: target-nation supplier sells 30, other 70 (ECONOMY
+        # part), non-ECONOMY part excluded entirely; orders 200/300 dropped.
+        pd.DataFrame(
+            {
+                "l_orderkey": [100, 100, 100, 200, 300],
+                "l_partkey": [1, 1, 2, 1, 1],
+                "l_suppkey": [1, 2, 1, 1, 1],
+                "l_linenumber": [1, 2, 3, 1, 1],
+                "l_quantity": [1.0] * 5,
+                "l_extendedprice": [30.0, 70.0, 99.0, 50.0, 50.0],
+                "l_discount": [0.0] * 5,
+                "l_tax": [0.0] * 5,
+                "l_returnflag": ["N"] * 5,
+                "l_linestatus": ["O"] * 5,
+                "l_shipdate": [pd.Timestamp("1995-07-01")] * 5,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q8_market_share
+
+        out = q8_market_share(str(tmp_path))
+        assert out["o_year"].tolist() == [1995]
+        assert out["mkt_share"].tolist() == [0.3]
+
+
+class TestQ13:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q13_customer_distribution
+
+        _check(q13_customer_distribution, "q13_customer_distribution")
+
+    def test_zero_order_customers_counted(self, ray_session, tmp_path):
+        """Customers with no (non-urgent) orders must appear in the
+        c_count=0 bin — the left-outer semantics."""
+        pd.DataFrame(
+            {"c_custkey": [1, 2, 3], "c_name": ["a", "b", "c"],
+             "c_nationkey": [0] * 3, "c_acctbal": [0.0] * 3,
+             "c_mktsegment": ["BUILDING"] * 3}
+        ).to_parquet(tmp_path / "customer.parquet")
+        # cust 1: two kept orders; cust 2: one urgent order (filtered ->
+        # counts as zero); cust 3: no orders at all.
+        pd.DataFrame(
+            {
+                "o_orderkey": [10, 11, 12],
+                "o_custkey": [1, 1, 2],
+                "o_orderstatus": ["O"] * 3,
+                "o_totalprice": [1.0] * 3,
+                "o_orderdate": [pd.Timestamp("1996-01-01")] * 3,
+                "o_orderpriority": ["5-LOW", "5-LOW", "1-URGENT"],
+            }
+        ).to_parquet(tmp_path / "orders.parquet")
+        from exstruct_ray.queries import q13_customer_distribution
+
+        out = q13_customer_distribution(str(tmp_path))
+        assert out[["c_count", "custdist"]].values.tolist() == [
+            [0, 2],
+            [2, 1],
+        ]
+
+
+class TestQ19:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q19_discounted_revenue
+
+        _check(q19_discounted_revenue, "q19_discounted_revenue")
+
+    def test_clause_boundaries(self, ray_session, tmp_path):
+        """Each OR clause gates on its own brand x size x quantity box;
+        a quantity one unit outside the box must drop the line."""
+        pd.DataFrame(
+            {"p_partkey": [1, 2], "p_name": ["x", "y"],
+             "p_brand": ["Brand#11", "Brand#13"],
+             "p_type": ["ECONOMY"] * 2, "p_size": [5, 15],
+             "p_retailprice": [1.0, 1.0]}
+        ).to_parquet(tmp_path / "part.parquet")
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 1, 1],
+                "l_partkey": [1, 1, 2, 2],
+                "l_suppkey": [1] * 4,
+                "l_linenumber": [1, 2, 3, 4],
+                # part 1 (Brand#11, size 5): qty 11 in-box, 12 out.
+                # part 2 (Brand#13, size 15): qty 20 in-box, 19 out.
+                "l_quantity": [11.0, 12.0, 20.0, 19.0],
+                "l_extendedprice": [10.0, 100.0, 7.0, 100.0],
+                "l_discount": [0.0] * 4,
+                "l_tax": [0.0] * 4,
+                "l_returnflag": ["N"] * 4,
+                "l_linestatus": ["O"] * 4,
+                "l_shipdate": [pd.Timestamp("1996-01-01")] * 4,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q19_discounted_revenue
+
+        out = q19_discounted_revenue(str(tmp_path))
+        assert out["revenue"].tolist() == [17.0]
