@@ -7354,3 +7354,674 @@ ORACLE_SQL["q8_market_share"] = """
     GROUP BY o_year
     ORDER BY o_year
 """
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: order counts per priority where an EXISTS
+    semijoin against lineitem holds. The distributed shape is the
+    semijoin: lineitem reduces per-batch to DISTINCT qualifying
+    orderkeys (here l_returnflag = 'R' stands in for the reference's
+    l_commitdate < l_receiptdate — those columns don't exist in this
+    schema), orders contribute (orderkey, priority) rows for one
+    quarter, and ONE orderkey-bucket exchange applies the semijoin
+    in-bucket (isin against the bucket's distinct line keys — every
+    partial for an orderkey lands in its one bucket) and folds to
+    per-(bucket, priority) counts. Exchange volume is O(distinct
+    qualifying orderkeys), never O(lineitem rows); the driver merges
+    <= 64 * 5 count rows."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    cols = [
+        ("orderkey", "int64"),
+        ("priority", "object"),
+        ("is_order", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def line_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["l_returnflag"] == "R"]
+        if not len(sel):
+            return empty_frame(cols)
+        ok = np.unique(sel["l_orderkey"].astype("int64").to_numpy())
+        return pd.DataFrame(
+            {
+                "orderkey": ok,
+                "priority": "",
+                "is_order": False,
+                "bucket": ok % n_buckets,
+            }
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[(batch["o_orderdate"] >= lo) & (batch["o_orderdate"] < hi)]
+        if not len(sel):
+            return empty_frame(cols)
+        ok = sel["o_orderkey"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "orderkey": ok,
+                "priority": sel["o_orderpriority"].to_numpy(),
+                "is_order": True,
+                "bucket": ok % n_buckets,
+            }
+        )
+
+    out_cols = [("o_orderpriority", "object"), ("order_count", "int64")]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_order" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        orders = group[group["is_order"]]
+        if orders.empty:
+            return empty_frame(out_cols)
+        line_keys = group.loc[~group["is_order"], "orderkey"]
+        hit = orders[orders["orderkey"].isin(set(line_keys))]
+        if hit.empty:
+            return empty_frame(out_cols)
+        vc = hit["priority"].value_counts()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": vc.index.to_numpy(),
+                "order_count": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    tagged = lineitem.map_batches(line_keys, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+    parts = (
+        tagged.groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "o_orderpriority" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series(dtype="object"),
+                "order_count": pd.Series(dtype="int64"),
+            }
+        )
+    agg = parts.groupby("o_orderpriority", as_index=False)["order_count"].sum()
+    agg["order_count"] = agg["order_count"].astype("int64")
+    return agg.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLE_SQL["q4_order_priority"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def q9_product_type_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit by supplier nation and order year for one
+    part family. Adapted to this schema: partsupp doesn't exist, so
+    p_retailprice stands in for ps_supplycost (profit = revenue minus
+    retail cost x quantity), and the family filter is p_name LIKE
+    '%red%'. part (filter bitmap + cost cents) and supplier (nationkey)
+    broadcast as dense driver arrays; lineitem pre-aggregates per
+    (orderkey, nation) in-batch to integer 1e-4-dollar partials; orders
+    ship (orderkey, year) rows; ONE orderkey-bucket exchange joins them
+    and reduces to per-(bucket, nation, year) sums. Driver folds
+    <= 64 * 25 * years rows and divides once."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    pk = np.asarray(part.column("p_partkey").to_numpy(), dtype=np.int64)
+    np_parts = int(pk.max()) + 1 if len(pk) else 1
+    part_ok = np.zeros(np_parts, dtype=bool)
+    part_ok[pk] = np.array(
+        ["red" in nm for nm in part.column("p_name").to_pylist()], dtype=bool
+    )
+    cost_c = np.zeros(np_parts, dtype=np.int64)
+    cost_c[pk] = np.rint(
+        np.asarray(part.column("p_retailprice").to_numpy(), dtype=np.float64) * 100
+    ).astype(np.int64)
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sk = supplier["s_suppkey"].astype("int64").to_numpy()
+    ns = int(sk.max()) + 1 if len(sk) else 1
+    supp_nation = np.full(ns, -1, dtype=np.int64)
+    supp_nation[sk] = supplier["s_nationkey"].astype("int64").to_numpy()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nation_names = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_name"])
+    )
+
+    cols = [
+        ("orderkey", "int64"),
+        ("nkey", "int64"),
+        ("dp", "int64"),
+        ("o_year", "int64"),
+        ("is_line", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["l_partkey"].astype("int64").to_numpy()
+        ok = (keys < np_parts) & part_ok[np.clip(keys, 0, np_parts - 1)]
+        sel = batch[ok]
+        if not len(sel):
+            return empty_frame(cols)
+        pkeys = sel["l_partkey"].astype("int64").to_numpy()
+        qty_c = np.rint(sel["l_quantity"].to_numpy() * 100).astype(np.int64)
+        rev_dp = np.rint(
+            (sel["l_extendedprice"] * (1 - sel["l_discount"])).to_numpy() * 10000
+        ).astype(np.int64)
+        dp = rev_dp - cost_c[pkeys] * qty_c
+        sup = sel["l_suppkey"].astype("int64").to_numpy()
+        nk = np.where(sup < ns, supp_nation[np.clip(sup, 0, ns - 1)], -1)
+        tmp = pd.DataFrame(
+            {
+                "orderkey": sel["l_orderkey"].astype("int64").to_numpy(),
+                "nkey": nk,
+                "dp": dp,
+            }
+        )
+        agg = tmp.groupby(["orderkey", "nkey"], as_index=False)["dp"].sum()
+        return pd.DataFrame(
+            {
+                "orderkey": agg["orderkey"].astype("int64"),
+                "nkey": agg["nkey"].astype("int64"),
+                "dp": agg["dp"].astype("int64"),
+                "o_year": np.int64(0),
+                "is_line": True,
+                "bucket": (agg["orderkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ok = batch["o_orderkey"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "orderkey": ok,
+                "nkey": np.int64(-1),
+                "dp": np.int64(0),
+                "o_year": batch["o_orderdate"].dt.year.astype("int64").to_numpy(),
+                "is_line": False,
+                "bucket": ok % n_buckets,
+            }
+        )
+
+    out_cols = [("nkey", "int64"), ("o_year", "int64"), ("dp", "int64")]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_line" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        li = group[group["is_line"]]
+        o = group[~group["is_line"]]
+        if li.empty or o.empty:
+            return empty_frame(out_cols)
+        m = li.merge(
+            o[["orderkey", "o_year"]].rename(columns={"o_year": "yr"}),
+            on="orderkey",
+            how="inner",
+        )
+        if not len(m):
+            return empty_frame(out_cols)
+        agg = m.groupby(["nkey", "yr"], as_index=False)["dp"].sum()
+        return pd.DataFrame(
+            {
+                "nkey": agg["nkey"].astype("int64"),
+                "o_year": agg["yr"].astype("int64"),
+                "dp": agg["dp"].astype("int64"),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    tagged = lineitem.map_batches(line_partials, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+    parts = (
+        tagged.groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "nkey" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "nation": pd.Series(dtype="object"),
+                "o_year": pd.Series(dtype="int64"),
+                "profit": pd.Series(dtype="float64"),
+            }
+        )
+    agg = parts.groupby(["nkey", "o_year"], as_index=False)["dp"].sum()
+    agg["nation"] = agg["nkey"].map(nation_names)
+    agg["profit"] = agg["dp"].astype("float64") / 10000.0
+    return (
+        agg[["nation", "o_year", "profit"]]
+        .sort_values(["nation", "o_year"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q9_product_type_profit"] = """
+    WITH t AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)
+             - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+               * CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS dp
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%red%'
+    )
+    SELECT nation, o_year,
+           CAST(CAST(sum(dp) AS BIGINT) AS DOUBLE) / 10000.0 AS profit
+    FROM t
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) whose windowed revenue equals
+    the global maximum (the view + scalar-subquery pattern). lineitem
+    pre-aggregates per suppkey in-batch to integer 1e-4-dollar
+    partials; ONE suppkey-bucket exchange computes each supplier's
+    exact total in its one bucket and emits only the bucket's
+    argmax rows (ties included). The driver compares <= 64 bucket
+    maxima, filters to the global max, and attaches s_name from the
+    broadcast supplier table — exchange volume is O(distinct suppkeys
+    per batch), driver volume O(buckets)."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[
+            (batch["l_shipdate"] >= lo) & (batch["l_shipdate"] < hi)
+        ]
+        if not len(sel):
+            return empty_frame([("suppkey", "int64"), ("dp", "int64"),
+                                ("bucket", "int64")])
+        dp = np.rint(
+            (sel["l_extendedprice"] * (1 - sel["l_discount"])).to_numpy() * 10000
+        ).astype(np.int64)
+        tmp = pd.DataFrame(
+            {"suppkey": sel["l_suppkey"].astype("int64").to_numpy(), "dp": dp}
+        )
+        agg = tmp.groupby("suppkey", as_index=False)["dp"].sum()
+        return pd.DataFrame(
+            {
+                "suppkey": agg["suppkey"].astype("int64"),
+                "dp": agg["dp"].astype("int64"),
+                "bucket": (agg["suppkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    out_cols = [("suppkey", "int64"), ("total_dp", "int64")]
+
+    def bucket_max(group: pd.DataFrame) -> pd.DataFrame:
+        if "suppkey" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        totals = group.groupby("suppkey")["dp"].sum()
+        mx = totals.max()
+        top = totals[totals == mx]
+        return pd.DataFrame(
+            {
+                "suppkey": top.index.to_numpy(dtype=np.int64),
+                "total_dp": top.to_numpy(dtype=np.int64),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    parts = (
+        lineitem.map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_max, batch_format="pandas")
+        .to_pandas()
+    )
+    if "suppkey" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series(dtype="int64"),
+                "s_name": pd.Series(dtype="object"),
+                "total_revenue": pd.Series(dtype="float64"),
+            }
+        )
+    mx = parts["total_dp"].max()
+    top = parts[parts["total_dp"] == mx].copy()
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    names = dict(zip(supplier["s_suppkey"].astype(int), supplier["s_name"]))
+    top["s_name"] = top["suppkey"].map(names)
+    top["total_revenue"] = top["total_dp"].astype("float64") / 10000.0
+    out = top.rename(columns={"suppkey": "s_suppkey"})
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q15_top_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(r AS BIGINT) AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20%
+    of their part's average — the correlated-aggregate pattern. Two
+    streaming passes over lineitem (the semantics are inherently
+    two-pass): pass 1 folds per-batch (partkey, sum_qty, count)
+    partials for the brand's parts into a driver table bounded by the
+    brand's part count (part is the classic small dimension); the
+    thresholds broadcast back as dense arrays, and pass 2 applies the
+    integer-exact condition 5 * qty_c * cnt < sum_c (centi-quantity
+    units cancel) and folds one integer 1e-4-dollar sum per batch. No
+    exchange in either pass beyond the tiny partial collects."""
+    brand = "Brand#15"
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    pk = np.asarray(part.column("p_partkey").to_numpy(), dtype=np.int64)
+    np_parts = int(pk.max()) + 1 if len(pk) else 1
+    part_ok = np.zeros(np_parts, dtype=bool)
+    part_ok[pk] = np.array(
+        [b == brand for b in part.column("p_brand").to_pylist()], dtype=bool
+    )
+
+    def qty_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["l_partkey"].astype("int64").to_numpy()
+        ok = (keys < np_parts) & part_ok[np.clip(keys, 0, np_parts - 1)]
+        sel = batch[ok]
+        if not len(sel):
+            return pd.DataFrame(
+                {
+                    "partkey": pd.Series(dtype="int64"),
+                    "sum_c": pd.Series(dtype="int64"),
+                    "cnt": pd.Series(dtype="int64"),
+                }
+            )
+        qty_c = np.rint(sel["l_quantity"].to_numpy() * 100).astype(np.int64)
+        tmp = pd.DataFrame(
+            {
+                "partkey": sel["l_partkey"].astype("int64").to_numpy(),
+                "sum_c": qty_c,
+                "cnt": np.int64(1),
+            }
+        )
+        return tmp.groupby("partkey", as_index=False).sum()
+
+    li_cols1 = ["l_partkey", "l_quantity"]
+    p1 = (
+        _read(sf_dir, "lineitem", columns=li_cols1)
+        .map_batches(qty_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    sum_c = np.zeros(np_parts, dtype=np.int64)
+    cnt = np.zeros(np_parts, dtype=np.int64)
+    if len(p1):
+        folded = p1.groupby("partkey", as_index=False).sum()
+        fk = folded["partkey"].to_numpy(dtype=np.int64)
+        sum_c[fk] = folded["sum_c"].to_numpy(dtype=np.int64)
+        cnt[fk] = folded["cnt"].to_numpy(dtype=np.int64)
+
+    def rev_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["l_partkey"].astype("int64").to_numpy()
+        ok = (keys < np_parts) & part_ok[np.clip(keys, 0, np_parts - 1)]
+        sel = batch[ok]
+        if not len(sel):
+            return pd.DataFrame({"dp": pd.Series(dtype="int64")})
+        pkeys = sel["l_partkey"].astype("int64").to_numpy()
+        qty_c = np.rint(sel["l_quantity"].to_numpy() * 100).astype(np.int64)
+        keep = 5 * qty_c * cnt[pkeys] < sum_c[pkeys]
+        if not keep.any():
+            return pd.DataFrame({"dp": pd.Series(dtype="int64")})
+        dp = np.rint(
+            sel["l_extendedprice"].to_numpy()[keep] * 10000
+        ).astype(np.int64)
+        return pd.DataFrame({"dp": [int(dp.sum())]})
+
+    p2 = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity",
+                                           "l_extendedprice"])
+        .map_batches(rev_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(p2["dp"].sum()) if len(p2) else 0
+    return pd.DataFrame(
+        {"avg_yearly": pd.Series([total / 10000.0 / 7.0], dtype="float64")}
+    )
+
+
+ORACLE_SQL["q17_small_quantity_revenue"] = """
+    WITH st AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_c,
+             COUNT(*) AS cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#15'
+      GROUP BY l_partkey
+    )
+    SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 10000)
+                                  AS BIGINT)), 0) AS DOUBLE)
+           / 10000.0 / 7.0 AS avg_yearly
+    FROM lineitem l JOIN st ON st.l_partkey = l.l_partkey
+    WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 * st.cnt < st.sum_c
+"""
+
+
+def q22_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: customers from a nation set with above-average
+    positive balances and NO orders — the anti-join + scalar-subquery
+    pattern. Pass A folds (sum, count) of positive centi-balances over
+    the nation set to one driver scalar (tiny partials, no exchange).
+    Pass B ships qualifying customer rows and per-batch DISTINCT order
+    custkeys into ONE custkey-bucket exchange; each bucket anti-joins
+    (isin-negation against the bucket's order keys — a custkey's
+    orders all land in its one bucket) and folds per-(bucket, nation)
+    (count, balance-sum) partials. The integer-exact filter is
+    bal_c * cnt_pos > sum_pos_c (avg comparison cross-multiplied).
+    Nation names stand in for TPC-H's phone country codes (no phone
+    column in this schema)."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    names = ["NATION_3", "NATION_7", "NATION_12", "NATION_17", "NATION_21"]
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    sel_nations = nation[nation["n_name"].isin(names)]
+    nkeys = set(sel_nations["n_nationkey"].astype(int))
+    nation_names = dict(
+        zip(sel_nations["n_nationkey"].astype(int), sel_nations["n_name"])
+    )
+
+    def avg_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["c_nationkey"].isin(nkeys)]
+        bal_c = np.rint(sel["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = bal_c[bal_c > 0]
+        if not len(pos):
+            return pd.DataFrame(
+                {"s": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame({"s": [int(pos.sum())], "c": [len(pos)]})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    pa_df = (
+        _read(sf_dir, "customer", columns=cust_cols)
+        .map_batches(avg_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    sum_pos = int(pa_df["s"].sum()) if len(pa_df) else 0
+    cnt_pos = int(pa_df["c"].sum()) if len(pa_df) else 0
+
+    cols = [
+        ("custkey", "int64"),
+        ("nkey", "int64"),
+        ("bal_c", "int64"),
+        ("is_cust", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["c_nationkey"].isin(nkeys)]
+        if not len(sel):
+            return empty_frame(cols)
+        bal_c = np.rint(sel["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        keep = bal_c * cnt_pos > sum_pos
+        sel = sel[keep]
+        if not len(sel):
+            return empty_frame(cols)
+        ck = sel["c_custkey"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "custkey": ck,
+                "nkey": sel["c_nationkey"].astype("int64").to_numpy(),
+                "bal_c": bal_c[keep],
+                "is_cust": True,
+                "bucket": ck % n_buckets,
+            }
+        )
+
+    def order_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        ck = np.unique(batch["o_custkey"].astype("int64").to_numpy())
+        return pd.DataFrame(
+            {
+                "custkey": ck,
+                "nkey": np.int64(-1),
+                "bal_c": np.int64(0),
+                "is_cust": False,
+                "bucket": ck % n_buckets,
+            }
+        )
+
+    out_cols = [("nkey", "int64"), ("numcust", "int64"), ("bal_sum", "int64")]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_cust" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        cust = group[group["is_cust"]]
+        if cust.empty:
+            return empty_frame(out_cols)
+        has_orders = set(group.loc[~group["is_cust"], "custkey"])
+        keep = cust[~cust["custkey"].isin(has_orders)]
+        if keep.empty:
+            return empty_frame(out_cols)
+        agg = keep.groupby("nkey").agg(
+            numcust=("custkey", "size"), bal_sum=("bal_c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "nkey": agg.index.to_numpy(dtype=np.int64),
+                "numcust": agg["numcust"].to_numpy(dtype=np.int64),
+                "bal_sum": agg["bal_sum"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    customer = _read(sf_dir, "customer", columns=cust_cols)
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    tagged = customer.map_batches(cust_rows, batch_format="pandas").union(
+        orders.map_batches(order_keys, batch_format="pandas")
+    )
+    parts = (
+        tagged.groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "nkey" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "cntrycode": pd.Series(dtype="object"),
+                "numcust": pd.Series(dtype="int64"),
+                "totacctbal": pd.Series(dtype="float64"),
+            }
+        )
+    agg = parts.groupby("nkey", as_index=False)[["numcust", "bal_sum"]].sum()
+    agg["cntrycode"] = agg["nkey"].map(nation_names)
+    agg["numcust"] = agg["numcust"].astype("int64")
+    agg["totacctbal"] = agg["bal_sum"].astype("float64") / 100.0
+    return (
+        agg[["cntrycode", "numcust", "totacctbal"]]
+        .sort_values("cntrycode")
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q22_global_sales_opportunity"] = """
+    WITH sel AS (
+      SELECT c_custkey, n_name,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12',
+                       'NATION_17', 'NATION_21')
+    ),
+    s AS (
+      SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_pos,
+             COUNT(*) AS cnt_pos
+      FROM sel WHERE bal_c > 0
+    )
+    SELECT n_name AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM(bal_c) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+    FROM sel, s
+    WHERE bal_c * cnt_pos > sum_pos
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY n_name
+    ORDER BY n_name
+"""

@@ -391,3 +391,247 @@ class TestQ19:
 
         out = q19_discounted_revenue(str(tmp_path))
         assert out["revenue"].tolist() == [17.0]
+
+
+class TestQ4:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q4_order_priority
+
+        _check(q4_order_priority, "q4_order_priority")
+
+    def test_exists_counts_order_once(self, ray_session, tmp_path):
+        """EXISTS semantics: an order with three 'R' lines counts once;
+        an order with no 'R' line is excluded; out-of-window orders are
+        excluded even with 'R' lines."""
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3],
+                "o_custkey": [1, 1, 1],
+                "o_orderstatus": ["O"] * 3,
+                "o_totalprice": [1.0] * 3,
+                "o_orderdate": [
+                    pd.Timestamp("1996-02-01"),
+                    pd.Timestamp("1996-02-01"),
+                    pd.Timestamp("1997-02-01"),
+                ],
+                "o_orderpriority": ["2-HIGH", "2-HIGH", "2-HIGH"],
+            }
+        ).to_parquet(tmp_path / "orders.parquet")
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 1, 2, 3],
+                "l_partkey": [1] * 5,
+                "l_suppkey": [1] * 5,
+                "l_linenumber": [1, 2, 3, 1, 1],
+                "l_quantity": [1.0] * 5,
+                "l_extendedprice": [1.0] * 5,
+                "l_discount": [0.0] * 5,
+                "l_tax": [0.0] * 5,
+                "l_returnflag": ["R", "R", "R", "N", "R"],
+                "l_linestatus": ["O"] * 5,
+                "l_shipdate": [pd.Timestamp("1996-03-01")] * 5,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q4_order_priority
+
+        out = q4_order_priority(str(tmp_path))
+        assert out["o_orderpriority"].tolist() == ["2-HIGH"]
+        assert out["order_count"].tolist() == [1]
+
+
+class TestQ9:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q9_product_type_profit
+
+        _check(q9_product_type_profit, "q9_product_type_profit")
+
+    def test_profit_is_revenue_minus_cost(self, ray_session, tmp_path):
+        """profit = ep*(1-disc) - retail*qty for '%red%' parts only,
+        grouped by the SUPPLIER's nation and the ORDER's year."""
+        pd.DataFrame(
+            {"n_nationkey": [0, 1], "n_name": ["NATION_A", "NATION_B"],
+             "n_regionkey": [0, 0]}
+        ).to_parquet(tmp_path / "nation.parquet")
+        pd.DataFrame(
+            {"p_partkey": [1, 2], "p_name": ["red widget", "blue bolt"],
+             "p_brand": ["B"] * 2, "p_type": ["ECONOMY"] * 2,
+             "p_size": [1] * 2, "p_retailprice": [10.0, 10.0]}
+        ).to_parquet(tmp_path / "part.parquet")
+        pd.DataFrame(
+            {"s_suppkey": [1, 2], "s_name": ["a", "b"],
+             "s_nationkey": [0, 1], "s_acctbal": [0.0] * 2}
+        ).to_parquet(tmp_path / "supplier.parquet")
+        pd.DataFrame(
+            {
+                "o_orderkey": [100, 200],
+                "o_custkey": [1, 1],
+                "o_orderstatus": ["O"] * 2,
+                "o_totalprice": [1.0] * 2,
+                "o_orderdate": [
+                    pd.Timestamp("1996-06-01"),
+                    pd.Timestamp("1997-06-01"),
+                ],
+                "o_orderpriority": ["5-LOW"] * 2,
+            }
+        ).to_parquet(tmp_path / "orders.parquet")
+        # line 1: red part, supp nation A, 1996: 100*(1-0) - 10*2 = 80.
+        # line 2: red part, supp nation B, 1997: 50 - 10*1 = 40.
+        # line 3: blue part — excluded entirely.
+        pd.DataFrame(
+            {
+                "l_orderkey": [100, 200, 100],
+                "l_partkey": [1, 1, 2],
+                "l_suppkey": [1, 2, 1],
+                "l_linenumber": [1, 1, 2],
+                "l_quantity": [2.0, 1.0, 5.0],
+                "l_extendedprice": [100.0, 50.0, 999.0],
+                "l_discount": [0.0] * 3,
+                "l_tax": [0.0] * 3,
+                "l_returnflag": ["N"] * 3,
+                "l_linestatus": ["O"] * 3,
+                "l_shipdate": [pd.Timestamp("1996-07-01")] * 3,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q9_product_type_profit
+
+        out = q9_product_type_profit(str(tmp_path))
+        assert out[["nation", "o_year"]].values.tolist() == [
+            ["NATION_A", 1996],
+            ["NATION_B", 1997],
+        ]
+        assert out["profit"].tolist() == [80.0, 40.0]
+
+
+class TestQ15:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q15_top_supplier
+
+        _check(q15_top_supplier, "q15_top_supplier")
+
+    def test_ties_and_window(self, ray_session, tmp_path):
+        """Two suppliers tied at the max both surface; revenue outside
+        the ship window doesn't count toward the max."""
+        pd.DataFrame(
+            {"s_suppkey": [1, 2, 3], "s_name": ["sa", "sb", "sc"],
+             "s_nationkey": [0] * 3, "s_acctbal": [0.0] * 3}
+        ).to_parquet(tmp_path / "supplier.parquet")
+        # supp 1: 100 in-window. supp 2: 100 in-window. supp 3: 60
+        # in-window + 999 OUT of window (must not win).
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 2, 3, 4],
+                "l_partkey": [1] * 4,
+                "l_suppkey": [1, 2, 3, 3],
+                "l_linenumber": [1] * 4,
+                "l_quantity": [1.0] * 4,
+                "l_extendedprice": [100.0, 100.0, 60.0, 999.0],
+                "l_discount": [0.0] * 4,
+                "l_tax": [0.0] * 4,
+                "l_returnflag": ["N"] * 4,
+                "l_linestatus": ["O"] * 4,
+                "l_shipdate": [
+                    pd.Timestamp("1996-02-01"),
+                    pd.Timestamp("1996-02-01"),
+                    pd.Timestamp("1996-02-01"),
+                    pd.Timestamp("1999-02-01"),
+                ],
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q15_top_supplier
+
+        out = q15_top_supplier(str(tmp_path))
+        assert out["s_suppkey"].tolist() == [1, 2]
+        assert out["s_name"].tolist() == ["sa", "sb"]
+        assert out["total_revenue"].tolist() == [100.0, 100.0]
+
+
+class TestQ17:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q17_small_quantity_revenue
+
+        _check(q17_small_quantity_revenue, "q17_small_quantity_revenue")
+
+    def test_below_fifth_of_part_average(self, ray_session, tmp_path):
+        """Only lines with quantity STRICTLY below 0.2x their own part's
+        average quantity contribute; other brands are invisible."""
+        pd.DataFrame(
+            {"p_partkey": [1, 2], "p_name": ["x", "y"],
+             "p_brand": ["Brand#15", "Brand#99"],
+             "p_type": ["ECONOMY"] * 2, "p_size": [1] * 2,
+             "p_retailprice": [1.0] * 2}
+        ).to_parquet(tmp_path / "part.parquet")
+        # Part 1 avg qty = (50+50+4)/3 = 34.666; 0.2*avg = 6.933:
+        # the qty-4 line (price 70) qualifies, qty-50 lines don't.
+        # Part 2 (other brand) would qualify but must be excluded.
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 1, 2],
+                "l_partkey": [1, 1, 1, 2],
+                "l_suppkey": [1] * 4,
+                "l_linenumber": [1, 2, 3, 1],
+                "l_quantity": [50.0, 50.0, 4.0, 1.0],
+                "l_extendedprice": [10.0, 10.0, 70.0, 999.0],
+                "l_discount": [0.0] * 4,
+                "l_tax": [0.0] * 4,
+                "l_returnflag": ["N"] * 4,
+                "l_linestatus": ["O"] * 4,
+                "l_shipdate": [pd.Timestamp("1996-01-01")] * 4,
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        from exstruct_ray.queries import q17_small_quantity_revenue
+
+        out = q17_small_quantity_revenue(str(tmp_path))
+        assert out["avg_yearly"].tolist() == [70.0 / 7.0]
+
+
+class TestQ22:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q22_global_sales_opportunity
+
+        # sf0.001 has so few customers that every above-average one has
+        # orders — 0 rows is the oracle-confirmed answer at this scale.
+        _check(
+            q22_global_sales_opportunity,
+            "q22_global_sales_opportunity",
+            min_rows=0,
+        )
+
+    def test_anti_join_and_average_gate(self, ray_session, tmp_path):
+        """Kept: above-avg balance AND no orders. Dropped: has orders,
+        or balance at/below the positive average, or nation outside the
+        set."""
+        pd.DataFrame(
+            {"n_nationkey": [3, 9], "n_name": ["NATION_3", "NATION_9"],
+             "n_regionkey": [0, 0]}
+        ).to_parquet(tmp_path / "nation.parquet")
+        # Positive balances in-set: 100, 900, 500 -> avg = 500.
+        # cust 1 (bal 900, no orders): kept.
+        # cust 2 (bal 900, HAS an order): anti-joined away.
+        # cust 3 (bal 500 == avg, strict >): dropped.
+        # cust 4 (bal 100): below avg.
+        # cust 5 (bal 9999, NATION_9 not in set): invisible.
+        pd.DataFrame(
+            {
+                "c_custkey": [1, 2, 3, 4, 5],
+                "c_name": list("abcde"),
+                "c_nationkey": [3, 3, 3, 3, 9],
+                "c_acctbal": [900.0, 900.0, 500.0, 100.0, 9999.0],
+                "c_mktsegment": ["BUILDING"] * 5,
+            }
+        ).to_parquet(tmp_path / "customer.parquet")
+        pd.DataFrame(
+            {
+                "o_orderkey": [10],
+                "o_custkey": [2],
+                "o_orderstatus": ["O"],
+                "o_totalprice": [1.0],
+                "o_orderdate": [pd.Timestamp("1996-01-01")],
+                "o_orderpriority": ["5-LOW"],
+            }
+        ).to_parquet(tmp_path / "orders.parquet")
+        from exstruct_ray.queries import q22_global_sales_opportunity
+
+        out = q22_global_sales_opportunity(str(tmp_path))
+        assert out["cntrycode"].tolist() == ["NATION_3"]
+        assert out["numcust"].tolist() == [1]
+        assert out["totacctbal"].tolist() == [900.0]
