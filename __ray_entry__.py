@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_10pct": q.doc_sample_10pct,
         "part_type_stats": q.part_type_stats,
         # Training-data ops
+        "doc_normalize_text": q.doc_normalize_text,
+        "doc_mixture_sample": q.doc_mixture_sample,
         "doc_token_stats": q.doc_token_stats,
         "doc_vocabulary": q.doc_vocabulary,
         "lineitem_pushdown": q.lineitem_pushdown,

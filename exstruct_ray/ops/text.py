@@ -776,3 +776,54 @@ def bigram_rarity_scores(ds, rarity_ref) -> "object":
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def normalize_text_batch(batch):
+    """ftfy-lite text normalization — NFC canonical composition,
+    C0/DEL control-char strip (newline and tab survive),
+    horizontal-whitespace-run collapse, and end trim. The regex stages
+    and the SQL oracle run the SAME RE2 (pyarrow.compute vs DuckDB
+    regexp_replace), so that part is bit-identical by construction.
+
+    NFC deliberately does NOT use pc.utf8_normalize: this pyarrow
+    wheel (16.1) ignores the form option and always decomposes
+    (NFC('\\xe9') -> 'e\\u0301' — verified in
+    tests/test_normalize_mixture.py's crafted-corpus parity test).
+    Python's unicodedata.normalize is the standard-conformant side,
+    applied only to the non-ASCII rows (str.isascii fast path), which
+    on a web corpus post-language-split is a small minority — the
+    ASCII bulk never leaves Arrow."""
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = pc.fill_null(batch.column("text"), "")
+    s = text.to_pandas()
+    non_ascii = ~s.map(str.isascii)
+    if non_ascii.any():
+        s = s.copy()
+        s[non_ascii] = s[non_ascii].map(
+            lambda x: unicodedata.normalize("NFC", x)
+        )
+        t = pa.array(s, type=pa.string())
+    else:
+        t = text.combine_chunks() if hasattr(text, "combine_chunks") else text
+    t = pc.replace_substring_regex(
+        t, pattern=r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", replacement=""
+    )
+    t = pc.replace_substring_regex(t, pattern=r"[ \t]+", replacement=" ")
+    t = pc.replace_substring_regex(t, pattern=r"^ +| +$", replacement="")
+    changed = pc.cast(pc.not_equal(t, text), pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "norm_text": t,
+            "changed": changed,
+        }
+    )
+
+
+def normalize_text(ds):
+    """Dataset-level normalization: one stateless vectorized pass."""
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow")

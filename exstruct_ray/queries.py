@@ -8025,3 +8025,164 @@ ORACLE_SQL["q22_global_sales_opportunity"] = """
     GROUP BY n_name
     ORDER BY n_name
 """
+
+
+def doc_normalize_text(sf_dir: str):
+    """ftfy-lite corpus normalization (C4/CCNet cleanup class): NFC
+    composition, C0/DEL control strip, horizontal-whitespace collapse,
+    end trim, plus a changed flag. Stateless one-pass map_batches of
+    four Arrow RE2 kernels (`ops/text.py:normalize_text_batch`) — the
+    oracle runs the SAME regexes through DuckDB's RE2, so equality is
+    structural, not coincidental. No shuffle, no driver loop."""
+    from .ops.text import normalize_text
+
+    out = normalize_text(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_normalize_text"] = r"""
+    WITH n AS (
+      SELECT doc_id,
+             COALESCE(text, '') AS orig,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   nfc_normalize(COALESCE(text, '')),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '[ \t]+', ' ', 'g'),
+               '^ +| +$', '', 'g') AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CAST(CASE WHEN norm_text <> orig THEN 1 ELSE 0 END AS BIGINT)
+             AS changed
+    FROM n
+    ORDER BY doc_id
+"""
+
+
+def doc_mixture_sample(sf_dir: str):
+    """Deterministic data-mixture sampling (DoReMi-style domain
+    reweighting, statically applied): sources are classed by numeric
+    suffix % 3 with permille weights 600/300/100, a fixed target of 200
+    sampled docs splits evenly across each class's sources
+    (integer-exact quota = w_pm * 200 // (1000 * nk)), and each source
+    keeps its quota of docs with the smallest md5(doc_id) hex rank —
+    a stable, seedless sample that any worker can recompute.
+
+    Scale shape: pass 1 folds per-batch DISTINCT sources to the driver
+    (domains are the bounded side; partials are per-batch-unique only);
+    quotas broadcast back as a dict in the task closure. Pass 2 is the
+    same coarse-source-bucket + exact-in-bucket ranking as
+    doc_source_quota — only (doc_id, source, hex) shuffle, and the
+    md5-per-row cost is the content-hash-dedup cost class."""
+    import hashlib
+    import re
+
+    from .ops.shuffle import empty_frame
+
+    TARGET = 200
+    W_PM = {0: 600, 1: 300, 2: 100}
+    n_buckets = 64
+    suffix_re = re.compile(r"(\d+)$")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def distinct_sources(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": batch["source"].unique()})
+
+    srcs = (
+        ds.map_batches(distinct_sources, batch_format="pandas")
+        .to_pandas()["source"]
+        .unique()
+    )
+
+    def cls_of(s: str) -> int:
+        m = suffix_re.search(str(s))
+        return (int(m.group(1)) if m else 0) % 3
+
+    nk: dict[int, int] = {}
+    for s in srcs:
+        nk[cls_of(s)] = nk.get(cls_of(s), 0) + 1
+    quota = {
+        str(s): (W_PM[cls_of(s)] * TARGET) // (1000 * nk[cls_of(s)])
+        for s in srcs
+    }
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        bucket = hash_bucket_str(n_buckets)
+        lut = {s: bucket(s) for s in batch["source"].unique()}
+        out = batch.copy()
+        out["hex"] = [
+            hashlib.md5(str(int(d)).encode()).hexdigest()
+            for d in batch["doc_id"]
+        ]
+        out["bucket"] = batch["source"].map(lut).astype("int64")
+        return out
+
+    out_cols = [
+        ("doc_id", "int64"),
+        ("source", "object"),
+        ("mix_rank", "int64"),
+    ]
+
+    def rank_quota(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or not len(group):
+            return empty_frame(out_cols)
+        group = group.sort_values(
+            ["source", "hex", "doc_id"], kind="mergesort"
+        )
+        rank = group.groupby("source").cumcount()
+        out = pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].astype("int64"),
+                "source": group["source"],
+                "mix_rank": rank.astype("int64"),
+            }
+        )
+        caps = out["source"].map(quota).fillna(0).astype("int64")
+        return out[out["mix_rank"] < caps]
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(rank_quota, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in out_cols}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_mixture_sample"] = """
+    WITH srcs AS (SELECT DISTINCT source FROM documents),
+    cls AS (
+      SELECT source,
+             COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)$', 1)
+                               AS BIGINT), 0) % 3 AS k
+      FROM srcs
+    ),
+    cc AS (SELECT k, count(*) AS nk FROM cls GROUP BY k),
+    q AS (
+      SELECT cls.source,
+             (CASE cls.k WHEN 0 THEN 600 WHEN 1 THEN 300 ELSE 100 END
+              * 200) // (1000 * cc.nk) AS quota
+      FROM cls JOIN cc USING (k)
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS mix_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.mix_rank AS BIGINT) AS mix_rank
+    FROM r JOIN q ON q.source = r.source
+    WHERE r.mix_rank < q.quota
+    ORDER BY r.doc_id
+"""
