@@ -529,3 +529,22 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
     for b in (pooled * 64 > total).astype(np.uint64):
         out = (out << np.uint64(1)) | b
     return int(out)
+
+
+def video_fingerprint64(frames: list[np.ndarray], every_nth: int = 1) -> int:
+    """64-bit video fingerprint: per-sampled-frame aHash, combined by
+    per-bit MAJORITY vote (strict — ties clear to 0), so a handful of
+    inserted/branded/noise frames can't move the signature. The video
+    analogue of image aHash: two cuts of the same footage land within
+    small hamming distance and feed the same pigeonhole banding
+    (ops/dedup.hamming64_pairs) as image/text signatures."""
+    step = max(1, every_nth)
+    hashes = [ahash64(frames[i]) for i in range(0, len(frames), step)]
+    if not hashes:
+        return 0
+    mat = np.array(hashes, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((mat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    ones = bits.sum(axis=0)
+    maj = (2 * ones > len(hashes)).astype(np.uint64)
+    return int((maj << shifts).sum())
