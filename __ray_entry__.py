@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ahash": q.image_ahash,
         "image_neardup_pairs": q.image_neardup_pairs,
         "audio_fingerprint": q.audio_fingerprint,
+        "video_fingerprint": q.video_fingerprint,
+        "video_neardup_pairs": q.video_neardup_pairs,
         "source_typo_pairs": q.source_typo_pairs,
         "doc_length_quantiles_by_lang": q.doc_length_quantiles_by_lang,
         "doc_line_dedup": q.doc_line_dedup,

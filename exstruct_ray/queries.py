@@ -8186,3 +8186,117 @@ ORACLE_SQL["doc_mixture_sample"] = """
     WHERE r.mix_rank < q.quota
     ORDER BY r.doc_id
 """
+
+
+def _video_frame_bits(did: int) -> list[int]:
+    """Frame bit-patterns for the synthetic per-doc video: six frames
+    carry the doc's base image bits and two carry md5-derived noise, so
+    the majority-combined fingerprint equals _image_bits(did) exactly —
+    which is what makes the whole video pipeline SQL-verifiable."""
+    import hashlib
+
+    base = _image_bits(did)
+    noise = [
+        int.from_bytes(
+            hashlib.md5(f"{did}:f{k}".encode()).digest()[:8], "big"
+        )
+        for k in (6, 7)
+    ]
+    return [base] * 6 + noise
+
+
+def _vfp_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-row synth MULTIPNG video → container decode → frame sample →
+    per-frame aHash → majority fingerprint. The decode+sample+combine
+    chain is the pipeline under test; synthesis stands in for a payload
+    column read (same convention as _ahash_frame)."""
+    from .ops.media import (
+        decode_multipng,
+        encode_multipng,
+        synth_bit_image,
+        video_fingerprint64,
+    )
+
+    ids, fps = [], []
+    for doc_id in batch["doc_id"]:
+        did = int(doc_id)
+        video = encode_multipng(
+            [synth_bit_image(b) for b in _video_frame_bits(did)]
+        )
+        fps.append(video_fingerprint64(decode_multipng(video)))
+        ids.append(did)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "vfp": pd.Series(np.array(fps, dtype=np.uint64).astype(np.int64)),
+        }
+    )
+
+
+def video_fingerprint(sf_dir: str):
+    """Video fingerprint per document: 8-frame MULTIPNG container →
+    per-frame aHash → strict-majority bit combine
+    (ops/media.video_fingerprint64). Two noise frames per video prove
+    the majority vote suppresses inserted/branded frames: the oracle is
+    the same md5-derived hex as image_ahash because majority(6×base +
+    2×noise) == base, bit for bit."""
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _vfp_frame(batch)
+        hexes = out["vfp"].to_numpy(dtype=np.int64).view(np.uint64)
+        out["vfp_hex"] = [format(v, "016x") for v in hexes]
+        return out[["doc_id", "vfp_hex"]]
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(run, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["video_fingerprint"] = f"""
+    SELECT doc_id, ahash_hex AS vfp_hex FROM ({_AHASH_HEX_SQL})
+    ORDER BY doc_id
+"""
+
+
+def video_neardup_pairs(sf_dir: str):
+    """Video near-duplicate pairs: majority fingerprints feed the SAME
+    pigeonhole 4×16-bit banding as SimHash text dedup and image
+    near-dup (ops/dedup.hamming64_pairs, hamming <= 2) — one banding
+    engine serves text, image, and video signatures. Oracle recomputes
+    every pair's hamming distance nibble-by-nibble."""
+    from .ops.dedup import hamming64_pairs
+
+    sigs = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _vfp_frame, batch_format="pandas"
+    )
+    out = hamming64_pairs(sigs, max_hamming=2, sig_col="vfp").to_pandas()
+    if "doc_a" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+ORACLE_SQL["video_neardup_pairs"] = f"""
+    WITH h AS ({_AHASH_HEX_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(1, 17), i ->
+             bit_count(xor(
+               strpos('0123456789abcdef', substr(a.ahash_hex, i, 1)) - 1,
+               strpos('0123456789abcdef', substr(b.ahash_hex, i, 1)) - 1
+             )))) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE list_sum(list_transform(range(1, 17), i ->
+             bit_count(xor(
+               strpos('0123456789abcdef', substr(a.ahash_hex, i, 1)) - 1,
+               strpos('0123456789abcdef', substr(b.ahash_hex, i, 1)) - 1
+             )))) <= 2
+    ORDER BY doc_a, doc_b
+"""
