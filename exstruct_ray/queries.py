@@ -8300,3 +8300,76 @@ ORACLE_SQL["video_neardup_pairs"] = f"""
              )))) <= 2
     ORDER BY doc_a, doc_b
 """
+
+
+def doc_dedup_lines_within(sf_dir: str):
+    """Within-document repeated-line removal (the C4/CCNet in-doc
+    repetition trim, distinct from the corpus-wide doc_line_dedup):
+    keep each line's FIRST occurrence inside its own document and
+    re-join in original order. Entirely per-doc, so the stage is a
+    stateless shuffle-free map_batches, vectorized through pandas
+    explode → per-(doc, line) cumcount → order-preserving groupby
+    join — no Python loop over lines. Emits the cleaned text plus
+    kept/total line counts for downstream quality gates."""
+
+    def clean(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = batch["text"].fillna("").str.split("\n")
+        n_total = lines.str.len().to_numpy(dtype=np.int64)
+        ex = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy().repeat(n_total),
+                "line": np.concatenate(
+                    [np.asarray(v, dtype=object) for v in lines]
+                )
+                if len(batch)
+                else np.array([], dtype=object),
+            }
+        )
+        first = ex.groupby(["doc_id", "line"], sort=False).cumcount() == 0
+        kept = ex[first]
+        agg = kept.groupby("doc_id", sort=False)["line"].agg("\n".join)
+        n_kept = kept.groupby("doc_id", sort=False)["line"].size()
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                "clean_text": agg.reindex(batch["doc_id"]).to_numpy(),
+                "n_kept": n_kept.reindex(batch["doc_id"])
+                .fillna(0)
+                .to_numpy(dtype=np.int64),
+                "n_lines": n_total,
+            }
+        )
+        return out
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(clean, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_dedup_lines_within"] = """
+    WITH x AS (
+      SELECT doc_id,
+             unnest(string_split(COALESCE(text, ''), chr(10))) AS line,
+             generate_subscripts(string_split(COALESCE(text, ''), chr(10)), 1)
+               AS idx
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, line, idx,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY idx)
+               AS rn
+      FROM x
+    ),
+    t AS (SELECT doc_id, count(*) AS n_lines FROM x GROUP BY doc_id)
+    SELECT f.doc_id,
+           string_agg(f.line, chr(10) ORDER BY f.idx) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(any_value(t.n_lines) AS BIGINT) AS n_lines
+    FROM f JOIN t ON t.doc_id = f.doc_id
+    WHERE f.rn = 1
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+"""

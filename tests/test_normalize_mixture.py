@@ -122,3 +122,42 @@ class TestMixtureSample:
         )[:20]
         got_ids = sorted(out.loc[out["source"] == "src2", "doc_id"])
         assert got_ids == sorted(expect)
+
+
+class TestDedupLinesWithin:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import doc_dedup_lines_within
+
+        got = doc_dedup_lines_within(SF_DIR).reset_index(drop=True)
+        want = _oracle("doc_dedup_lines_within", SF_DIR).reset_index(
+            drop=True
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_first_occurrence_order_preserved(self, ray_session, tmp_path):
+        """Duplicates drop from their SECOND occurrence on; order of
+        survivors is the original order, and dedup never crosses
+        document boundaries."""
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "intro\nbody\nintro\nbody\noutro",
+                    "intro\nunique",  # 'intro' here is doc-2's first
+                ],
+                "lang": ["en"] * 2,
+                "source": ["src0"] * 2,
+                "n_chars": [0] * 2,
+            }
+        )
+        df.to_parquet(tmp_path / "documents.parquet")
+        from exstruct_ray.queries import doc_dedup_lines_within
+
+        out = doc_dedup_lines_within(str(tmp_path))
+        assert out["clean_text"].tolist() == [
+            "intro\nbody\noutro",
+            "intro\nunique",
+        ]
+        assert out["n_kept"].tolist() == [3, 2]
+        assert out["n_lines"].tolist() == [5, 2]
