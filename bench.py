@@ -217,6 +217,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("q18_large_volume_customers", q.q18_large_volume_customers),
         ("doc_line_dedup", q.doc_line_dedup),
         ("doc_dsir_scores", q.doc_dsir_scores),
+        ("q8_market_share", q.q8_market_share),
+        ("doc_normalize_text", q.doc_normalize_text),
+        ("doc_mixture_sample", q.doc_mixture_sample),
+        ("doc_dedup_lines_within", q.doc_dedup_lines_within),
+        ("video_neardup_pairs", q.video_neardup_pairs),
     ]:
         start = time.perf_counter()
         fn(sf_dir)
