@@ -271,13 +271,14 @@ def run_main() -> None:
     print(json.dumps(result))
 
 
-def run_single(num_cpus: int) -> None:
+def run_single(num_cpus: int, n_docs: int | None = None) -> None:
     """Subprocess entry: one extraction run in a fresh Ray session."""
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     sf = _sf_of(SF_DIR)
-    n_docs = _DOCS_BY_SF.get(sf, 2_000)
+    if n_docs is None:
+        n_docs = _DOCS_BY_SF.get(sf, 2_000)
     result = bench_extraction(sf, n_docs)
     result["num_cpus"] = num_cpus
     ray.shutdown()
@@ -291,13 +292,23 @@ def run_scaling(repeats: int = 2) -> None:
     ±40%; legs are interleaved (8,32,8,32,...) and the BEST throughput per
     leg is reported — host-contention noise can only slow a leg down, so
     best-of-N is the least-biased estimator of the machine's capability.
+
+    The scaling corpus is 3× the headline corpus: at 1× the 32-CPU leg
+    finishes in ~12-14 s, under the ≥30 s steady-state floor the
+    protocol demands (driver fixed costs land 3-4× harder on the short
+    wide leg and systematically understate efficiency — BASELINE.md
+    round-3/4 protocol notes). At 3× BOTH legs clear 30 s on the SAME
+    input, which is what the N-vs-4N criterion asks for.
     """
     # Pre-build the corpus (Ray-parallel) so no run pays generation cost.
     import ray
 
     sf = _sf_of(SF_DIR)
+    n_docs = _DOCS_BY_SF.get(sf, 2_000) * int(
+        os.environ.get("BENCH_SCALING_MULT", "3")
+    )
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
-    _ensure_corpus(sf, _DOCS_BY_SF.get(sf, 2_000))
+    _ensure_corpus(sf, n_docs)
     ray.shutdown()
 
     best: dict[int, dict] = {}
@@ -305,7 +316,8 @@ def run_scaling(repeats: int = 2) -> None:
     for _ in range(repeats):
         for cpus in (8, 32):
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", str(cpus)],
+                [sys.executable, os.path.abspath(__file__), "--single",
+                 str(cpus), str(n_docs)],
                 capture_output=True,
                 text=True,
                 timeout=3600,
@@ -345,7 +357,11 @@ def run_scaling(repeats: int = 2) -> None:
 
 if __name__ == "__main__":
     if "--single" in sys.argv:
-        run_single(int(sys.argv[sys.argv.index("--single") + 1]))
+        idx = sys.argv.index("--single")
+        docs_arg = (
+            int(sys.argv[idx + 2]) if len(sys.argv) > idx + 2 else None
+        )
+        run_single(int(sys.argv[idx + 1]), docs_arg)
     elif "--scaling" in sys.argv:
         run_scaling()
     elif "--quick" in sys.argv:
