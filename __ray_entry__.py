@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textdoc_extract": q.textdoc_extract,
         # Relational operators with exact DuckDB oracles
         "q1_pricing_summary": q.q1_pricing_summary,
+        "q2_min_cost_supplier": q.q2_min_cost_supplier,
         "q3_shipping_priority": q.q3_shipping_priority,
         "q4_order_priority": q.q4_order_priority,
         "q5_local_supplier_volume": q.q5_local_supplier_volume,
@@ -196,12 +197,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": q.q8_market_share,
         "q9_product_type_profit": q.q9_product_type_profit,
         "q10_returned_items": q.q10_returned_items,
+        "q11_important_stock": q.q11_important_stock,
+        "q12_linestatus_priority": q.q12_linestatus_priority,
         "q13_customer_distribution": q.q13_customer_distribution,
         "q14_promo_revenue": q.q14_promo_revenue,
         "q15_top_supplier": q.q15_top_supplier,
+        "q16_parts_supplier": q.q16_parts_supplier,
         "q17_small_quantity_revenue": q.q17_small_quantity_revenue,
         "q18_large_volume_customers": q.q18_large_volume_customers,
         "q19_discounted_revenue": q.q19_discounted_revenue,
+        "q20_potential_promotion": q.q20_potential_promotion,
+        "q21_waiting_suppliers": q.q21_waiting_suppliers,
         "q22_global_sales_opportunity": q.q22_global_sales_opportunity,
         "revenue_by_nation": q.revenue_by_nation,
         "top_orders": q.top_orders,

@@ -8027,6 +8027,824 @@ ORACLE_SQL["q22_global_sales_opportunity"] = """
 """
 
 
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: the best supplier per part within one region —
+    the correlated-MAX + multi-dim star pattern. Adapted to this
+    schema: partsupp doesn't exist, so the part<->supplier relation is
+    DISTINCT (l_partkey, l_suppkey) from lineitem, and MAX(s_acctbal)
+    stands in for MIN(ps_supplycost). part filter bitmap and the
+    supplier->(in-region, acctbal) arrays broadcast as dense driver
+    arrays; lineitem reduces per-batch to distinct qualifying pairs;
+    ONE partkey-bucket exchange dedups pairs exactly and emits only
+    each part's argmax suppliers (ties kept — a part's pairs all land
+    in its one bucket, so the in-bucket max IS the global max). The
+    driver attaches names to <= qualifying-parts rows and cuts the
+    global top 100. acctbal compares as raw float64 on BOTH sides (no
+    cents conversion) so tie sets match the oracle bit-for-bit."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_type", "p_brand"],
+    ).to_pandas()
+    pk = part["p_partkey"].astype("int64").to_numpy()
+    np_parts = int(pk.max()) + 1 if len(pk) else 1
+    part_ok = np.zeros(np_parts, dtype=bool)
+    part_ok[pk] = (
+        (part["p_size"].to_numpy() <= 10) & (part["p_type"] == "LARGE").to_numpy()
+    )
+    brand_of = dict(zip(pk, part["p_brand"]))
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    eu_regions = set(
+        region.loc[region["r_name"] == "EUROPE", "r_regionkey"].astype(int)
+    )
+    eu_nations = set(
+        nation.loc[nation["n_regionkey"].isin(eu_regions), "n_nationkey"].astype(int)
+    )
+    sk = supplier["s_suppkey"].astype("int64").to_numpy()
+    ns = int(sk.max()) + 1 if len(sk) else 1
+    supp_eu = np.zeros(ns, dtype=bool)
+    supp_eu[sk] = supplier["s_nationkey"].isin(eu_nations).to_numpy()
+    supp_bal = np.full(ns, -np.inf, dtype=np.float64)
+    supp_bal[sk] = supplier["s_acctbal"].to_numpy(dtype=np.float64)
+    supp_name = dict(zip(sk, supplier["s_name"]))
+    nation_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    supp_nation = dict(
+        zip(sk, supplier["s_nationkey"].astype(int).map(nation_name))
+    )
+
+    cols = [("partkey", "int64"), ("suppkey", "int64"), ("bucket", "int64")]
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["l_partkey"].astype("int64").to_numpy()
+        s = batch["l_suppkey"].astype("int64").to_numpy()
+        ok = (
+            (k < np_parts)
+            & part_ok[np.clip(k, 0, np_parts - 1)]
+            & (s < ns)
+            & supp_eu[np.clip(s, 0, ns - 1)]
+        )
+        if not ok.any():
+            return empty_frame(cols)
+        pair = np.unique(k[ok] * np.int64(ns) + s[ok])
+        pk_u, sk_u = pair // ns, pair % ns
+        return pd.DataFrame(
+            {"partkey": pk_u, "suppkey": sk_u, "bucket": pk_u % n_buckets}
+        )
+
+    out_cols = [("partkey", "int64"), ("suppkey", "int64")]
+
+    def bucket_best(group: pd.DataFrame) -> pd.DataFrame:
+        if "partkey" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        pairs = group.drop_duplicates(["partkey", "suppkey"])
+        bal = supp_bal[pairs["suppkey"].to_numpy()]
+        best = (
+            pd.DataFrame({"partkey": pairs["partkey"].to_numpy(), "bal": bal})
+            .groupby("partkey")["bal"]
+            .transform("max")
+        )
+        win = pairs[bal == best.to_numpy()]
+        return pd.DataFrame(
+            {
+                "partkey": win["partkey"].to_numpy(dtype=np.int64),
+                "suppkey": win["suppkey"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    lineitem = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    parts = (
+        lineitem.map_batches(pair_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_best, batch_format="pandas")
+        .to_pandas()
+    )
+    if "partkey" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "s_acctbal": pd.Series(dtype="float64"),
+                "s_name": pd.Series(dtype="object"),
+                "n_name": pd.Series(dtype="object"),
+                "p_partkey": pd.Series(dtype="int64"),
+                "p_brand": pd.Series(dtype="object"),
+            }
+        )
+    out = pd.DataFrame(
+        {
+            "s_acctbal": supp_bal[parts["suppkey"].to_numpy()],
+            "s_name": parts["suppkey"].map(supp_name),
+            "n_name": parts["suppkey"].map(supp_nation),
+            "p_partkey": parts["partkey"].astype("int64"),
+            "p_brand": parts["partkey"].map(brand_of),
+        }
+    )
+    return (
+        out.sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True],
+        )
+        .head(100)
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q2_min_cost_supplier"] = """
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part
+    JOIN (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem) ps
+      ON p_partkey = pk
+    JOIN supplier ON s_suppkey = sk
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT MAX(s2.s_acctbal)
+        FROM (SELECT DISTINCT l_partkey AS pk2, l_suppkey AS sk2
+              FROM lineitem) ps2
+        JOIN supplier s2 ON s2.s_suppkey = sk2
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE pk2 = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def q11_important_stock(sf_dir: str):
+    """TPC-H Q11 shape: per-part value for one geography, kept only
+    when it exceeds a fraction of the GLOBAL value — the
+    groupby-plus-scalar-threshold pattern. Adapted: no partsupp, so
+    value is SUM(l_extendedprice) in integer cents over lines whose
+    supplier sits in region EUROPE (supplier->in-region broadcast as a
+    dense bool array). lineitem pre-aggregates per partkey in-batch;
+    ONE partkey-bucket exchange finishes exact per-part totals. The
+    compact totals table (one row per part) is MATERIALIZED once
+    (CLAUDE.md lineage rule) and consumed twice: a sum() reduce for
+    the global total, then a distributed threshold filter
+    (1000 * val_c > total, integers cross-multiplied — pigeonhole
+    bounds survivors to < 1000 rows at ANY scale, so the driver
+    collect is safe)."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    eu_regions = set(
+        region.loc[region["r_name"] == "EUROPE", "r_regionkey"].astype(int)
+    )
+    eu_nations = set(
+        nation.loc[nation["n_regionkey"].isin(eu_regions), "n_nationkey"].astype(int)
+    )
+    sk = supplier["s_suppkey"].astype("int64").to_numpy()
+    ns = int(sk.max()) + 1 if len(sk) else 1
+    supp_eu = np.zeros(ns, dtype=bool)
+    supp_eu[sk] = supplier["s_nationkey"].isin(eu_nations).to_numpy()
+
+    cols = [("p_partkey", "int64"), ("val_c", "int64"), ("bucket", "int64")]
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["l_suppkey"].astype("int64").to_numpy()
+        ok = (s < ns) & supp_eu[np.clip(s, 0, ns - 1)]
+        sel = batch[ok]
+        if not len(sel):
+            return empty_frame(cols)
+        val_c = np.rint(sel["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        tmp = pd.DataFrame(
+            {"p_partkey": sel["l_partkey"].astype("int64").to_numpy(), "v": val_c}
+        )
+        agg = tmp.groupby("p_partkey", as_index=False)["v"].sum()
+        return pd.DataFrame(
+            {
+                "p_partkey": agg["p_partkey"].astype("int64"),
+                "val_c": agg["v"].astype("int64"),
+                "bucket": (agg["p_partkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    out_cols = [("p_partkey", "int64"), ("val_c", "int64")]
+
+    def bucket_totals(group: pd.DataFrame) -> pd.DataFrame:
+        if "p_partkey" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        agg = group.groupby("p_partkey", as_index=False)["val_c"].sum()
+        return pd.DataFrame(
+            {
+                "p_partkey": agg["p_partkey"].astype("int64"),
+                "val_c": agg["val_c"].astype("int64"),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    totals = (
+        lineitem.map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_totals, batch_format="pandas")
+        .materialize()
+    )
+    empty = pd.DataFrame(
+        {
+            "p_partkey": pd.Series(dtype="int64"),
+            "total_value": pd.Series(dtype="float64"),
+        }
+    )
+    if totals.count() == 0:
+        return empty
+    total = int(totals.sum("val_c"))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        if "val_c" not in batch.columns or not len(batch):
+            return empty_frame(out_cols)
+        return batch[batch["val_c"].to_numpy() * 1000 > total]
+
+    surv = totals.map_batches(keep, batch_format="pandas").to_pandas()
+    if not len(surv):
+        return empty
+    surv = surv.copy()
+    surv["total_value"] = surv["val_c"].astype("float64") / 100.0
+    return (
+        surv[["p_partkey", "total_value"]]
+        .sort_values(["total_value", "p_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q11_important_stock"] = """
+    WITH v AS (
+      SELECT l_partkey AS pkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS val_c
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey
+    )
+    SELECT pkey AS p_partkey,
+           CAST(CAST(val_c AS BIGINT) AS DOUBLE) / 100.0 AS total_value
+    FROM v
+    WHERE val_c * 1000 > (SELECT SUM(val_c) FROM v)
+    ORDER BY total_value DESC, p_partkey
+"""
+
+
+def q12_linestatus_priority(sf_dir: str):
+    """TPC-H Q12 shape: line classes vs order priority — the big-big
+    join + conditional-count pattern. Adapted: l_linestatus stands in
+    for l_shipmode (no shipmode column) and the l_shipdate year window
+    for the commit/receipt predicate. lineitem pre-reduces per-batch
+    to (orderkey, linestatus, count) partials; orders ship (orderkey,
+    is_high-priority); ONE orderkey-bucket exchange joins in-bucket
+    and folds to per-(bucket, linestatus) high/low counts — exchange
+    volume is O(distinct orderkeys), the driver merges <= 64 * 2
+    rows."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    high = {"1-URGENT", "2-HIGH"}
+
+    cols = [
+        ("orderkey", "int64"),
+        ("ls", "object"),
+        ("cnt", "int64"),
+        ("is_high", "bool"),
+        ("is_line", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def line_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[(batch["l_shipdate"] >= lo) & (batch["l_shipdate"] < hi)]
+        if not len(sel):
+            return empty_frame(cols)
+        tmp = pd.DataFrame(
+            {
+                "l_orderkey": sel["l_orderkey"].astype("int64").to_numpy(),
+                "l_linestatus": sel["l_linestatus"].to_numpy(),
+            }
+        )
+        agg = (
+            tmp.groupby(["l_orderkey", "l_linestatus"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        ok = agg["l_orderkey"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "orderkey": ok,
+                "ls": agg["l_linestatus"].to_numpy(),
+                "cnt": agg["cnt"].astype("int64").to_numpy(),
+                "is_high": False,
+                "is_line": True,
+                "bucket": ok % n_buckets,
+            }
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ok = batch["o_orderkey"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "orderkey": ok,
+                "ls": "",
+                "cnt": np.int64(0),
+                "is_high": batch["o_orderpriority"].isin(high).to_numpy(),
+                "is_line": False,
+                "bucket": ok % n_buckets,
+            }
+        )
+
+    out_cols = [
+        ("l_linestatus", "object"),
+        ("high_line_count", "int64"),
+        ("low_line_count", "int64"),
+    ]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_line" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        lines = group[group["is_line"]]
+        orders = group[~group["is_line"]]
+        if lines.empty or orders.empty:
+            return empty_frame(out_cols)
+        m = lines.merge(
+            orders[["orderkey", "is_high"]].rename(columns={"is_high": "hi"}),
+            on="orderkey",
+            how="inner",
+        )
+        if not len(m):
+            return empty_frame(out_cols)
+        cnt = m["cnt"].to_numpy(dtype=np.int64)
+        hi_ = m["hi"].to_numpy(dtype=bool)
+        agg = pd.DataFrame(
+            {
+                "ls": m["ls"].to_numpy(),
+                "h": np.where(hi_, cnt, 0),
+                "l": np.where(hi_, 0, cnt),
+            }
+        ).groupby("ls", as_index=False)[["h", "l"]].sum()
+        return pd.DataFrame(
+            {
+                "l_linestatus": agg["ls"].to_numpy(),
+                "high_line_count": agg["h"].astype("int64").to_numpy(),
+                "low_line_count": agg["l"].astype("int64").to_numpy(),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    tagged = lineitem.map_batches(line_partials, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+    parts = (
+        tagged.groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "l_linestatus" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "l_linestatus": pd.Series(dtype="object"),
+                "high_line_count": pd.Series(dtype="int64"),
+                "low_line_count": pd.Series(dtype="int64"),
+            }
+        )
+    agg = parts.groupby("l_linestatus", as_index=False)[
+        ["high_line_count", "low_line_count"]
+    ].sum()
+    agg["high_line_count"] = agg["high_line_count"].astype("int64")
+    agg["low_line_count"] = agg["low_line_count"].astype("int64")
+    return agg.sort_values("l_linestatus").reset_index(drop=True)
+
+
+ORACLE_SQL["q12_linestatus_priority"] = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+
+def q16_parts_supplier(sf_dir: str):
+    """TPC-H Q16 shape: distinct-supplier counts per part group with a
+    NOT-IN supplier exclusion. Adapted: the part<->supplier relation is
+    distinct lineitem pairs, and s_acctbal < 0 stands in for the
+    'complaints' comment scan. The driver factorizes qualifying parts
+    into a compact (brand, type, size) group table; part->group-index
+    and excluded-supplier bitmaps broadcast; lineitem reduces per batch
+    to distinct (group, suppkey) pairs; ONE group-bucket exchange
+    dedups pairs exactly and counts distinct suppliers per group (a
+    group's pairs all land in one bucket, so in-bucket nunique IS the
+    global distinct count). p_size is emitted as int64 on both sides
+    (the parquet column is int32; the oracle CASTs)."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    sizes = {1, 4, 7, 10, 13, 16, 19, 22}
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    qual = part[
+        (part["p_brand"] != "Brand#45")
+        & (part["p_type"] != "MEDIUM")
+        & part["p_size"].isin(sizes)
+    ]
+    groups = (
+        qual[["p_brand", "p_type", "p_size"]]
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    gkey = {
+        (b, t, int(s)): i
+        for i, (b, t, s) in enumerate(
+            zip(groups["p_brand"], groups["p_type"], groups["p_size"])
+        )
+    }
+    pk = part["p_partkey"].astype("int64").to_numpy()
+    np_parts = int(pk.max()) + 1 if len(pk) else 1
+    part_gidx = np.full(np_parts, -1, dtype=np.int64)
+    part_gidx[qual["p_partkey"].astype("int64").to_numpy()] = [
+        gkey[(b, t, int(s))]
+        for b, t, s in zip(qual["p_brand"], qual["p_type"], qual["p_size"])
+    ]
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    sk = supplier["s_suppkey"].astype("int64").to_numpy()
+    ns = int(sk.max()) + 1 if len(sk) else 1
+    supp_excl = np.zeros(ns, dtype=bool)
+    supp_excl[sk] = (supplier["s_acctbal"].to_numpy() < 0)
+
+    cols = [("gidx", "int64"), ("suppkey", "int64"), ("bucket", "int64")]
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["l_partkey"].astype("int64").to_numpy()
+        s = batch["l_suppkey"].astype("int64").to_numpy()
+        g = np.where(k < np_parts, part_gidx[np.clip(k, 0, np_parts - 1)], -1)
+        ok = (g >= 0) & (s < ns) & ~supp_excl[np.clip(s, 0, ns - 1)]
+        if not ok.any():
+            return empty_frame(cols)
+        pair = np.unique(g[ok] * np.int64(ns) + s[ok])
+        g_u, s_u = pair // ns, pair % ns
+        return pd.DataFrame(
+            {"gidx": g_u, "suppkey": s_u, "bucket": g_u % n_buckets}
+        )
+
+    out_cols = [("gidx", "int64"), ("supplier_cnt", "int64")]
+
+    def bucket_counts(group: pd.DataFrame) -> pd.DataFrame:
+        if "gidx" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        agg = group.drop_duplicates(["gidx", "suppkey"]).groupby("gidx").size()
+        return pd.DataFrame(
+            {
+                "gidx": agg.index.to_numpy(dtype=np.int64),
+                "supplier_cnt": agg.to_numpy(dtype=np.int64),
+            }
+        )
+
+    lineitem = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    parts = (
+        lineitem.map_batches(pair_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    if "gidx" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "p_brand": pd.Series(dtype="object"),
+                "p_type": pd.Series(dtype="object"),
+                "p_size": pd.Series(dtype="int64"),
+                "supplier_cnt": pd.Series(dtype="int64"),
+            }
+        )
+    out = pd.DataFrame(
+        {
+            "p_brand": groups["p_brand"].to_numpy()[parts["gidx"]],
+            "p_type": groups["p_type"].to_numpy()[parts["gidx"]],
+            "p_size": groups["p_size"].to_numpy(dtype=np.int64)[parts["gidx"]],
+            "supplier_cnt": parts["supplier_cnt"].astype("int64"),
+        }
+    )
+    return (
+        out.sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        )
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q16_parts_supplier"] = """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(sf_dir: str):
+    """TPC-H Q20 shape: suppliers from one nation holding a dominant
+    share of some part's flow — the nested part/supplier/availability
+    pattern. Adapted: no partsupp availqty, so a supplier qualifies
+    when it shipped MORE THAN HALF of a PROMO-type part's total 1995
+    quantity (2 * supp_qty > part_total, integer centi-quantities —
+    no float division). Part-type bitmap broadcasts; lineitem
+    pre-aggregates (partkey, suppkey, qty) in-batch; ONE
+    partkey-bucket exchange computes part totals and per-supplier
+    shares in-bucket and emits only qualifying suppkeys; the driver
+    dedups <= |suppliers| keys and applies the nation filter from the
+    broadcast supplier table."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1996-01-01")
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    pk = part["p_partkey"].astype("int64").to_numpy()
+    np_parts = int(pk.max()) + 1 if len(pk) else 1
+    part_ok = np.zeros(np_parts, dtype=bool)
+    part_ok[pk] = (part["p_type"] == "PROMO").to_numpy()
+
+    cols = [
+        ("partkey", "int64"),
+        ("suppkey", "int64"),
+        ("q", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["l_partkey"].astype("int64").to_numpy()
+        ok = (
+            (k < np_parts)
+            & part_ok[np.clip(k, 0, np_parts - 1)]
+            & (batch["l_shipdate"] >= lo).to_numpy()
+            & (batch["l_shipdate"] < hi).to_numpy()
+        )
+        sel = batch[ok]
+        if not len(sel):
+            return empty_frame(cols)
+        q_c = np.rint(sel["l_quantity"].to_numpy() * 100).astype(np.int64)
+        tmp = pd.DataFrame(
+            {
+                "partkey": sel["l_partkey"].astype("int64").to_numpy(),
+                "suppkey": sel["l_suppkey"].astype("int64").to_numpy(),
+                "q": q_c,
+            }
+        )
+        agg = tmp.groupby(["partkey", "suppkey"], as_index=False)["q"].sum()
+        return pd.DataFrame(
+            {
+                "partkey": agg["partkey"].astype("int64"),
+                "suppkey": agg["suppkey"].astype("int64"),
+                "q": agg["q"].astype("int64"),
+                "bucket": (agg["partkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    out_cols = [("suppkey", "int64")]
+
+    def bucket_quals(group: pd.DataFrame) -> pd.DataFrame:
+        if "partkey" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        agg = group.groupby(["partkey", "suppkey"], as_index=False)["q"].sum()
+        tot = agg.groupby("partkey")["q"].transform("sum")
+        win = agg[2 * agg["q"] > tot]
+        return pd.DataFrame(
+            {"suppkey": np.unique(win["suppkey"].to_numpy(dtype=np.int64))}
+        )
+
+    lineitem = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    parts = (
+        lineitem.map_batches(partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_quals, batch_format="pandas")
+        .to_pandas()
+    )
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    ).to_pandas()
+    if "suppkey" not in parts.columns or not len(parts):
+        keys: set = set()
+    else:
+        keys = set(parts["suppkey"].astype(int))
+    out = supplier[
+        (supplier["s_nationkey"] == 3) & supplier["s_suppkey"].isin(keys)
+    ]
+    return (
+        out[["s_name", "s_acctbal"]]
+        .sort_values("s_name")
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q20_potential_promotion"] = """
+    WITH pq_ AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, SUM(q) AS tq FROM pq_ GROUP BY l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_nationkey = 3 AND s_suppkey IN (
+      SELECT l_suppkey FROM pq_ JOIN tot USING (l_partkey) WHERE 2 * q > tq)
+    ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: the sole-offender anti-join — per supplier,
+    count finished orders where THIS supplier's line failed while no
+    other supplier's did, over multi-supplier orders. Adapted:
+    l_returnflag = 'R' stands in for receipt-after-commit (no
+    commit/receipt dates in this schema). lineitem reduces per-batch
+    to (orderkey, suppkey, returned) pairs; orders ship finished
+    orderkeys; ONE orderkey-bucket exchange re-reduces pairs exactly,
+    derives per-order supplier/returner counts, applies the
+    EXISTS + NOT-EXISTS pair (>= 2 suppliers, exactly 1 returner) and
+    folds (suppkey, count) partials. The driver merges <= 64 *
+    |suppliers| rows, attaches names from the broadcast supplier
+    table, and cuts the top 100."""
+    from .ops.shuffle import empty_frame
+
+    n_buckets = 64
+
+    cols = [
+        ("orderkey", "int64"),
+        ("suppkey", "int64"),
+        ("ret", "int64"),
+        ("is_line", "bool"),
+        ("bucket", "int64"),
+    ]
+
+    def line_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "orderkey": batch["l_orderkey"].astype("int64").to_numpy(),
+                "suppkey": batch["l_suppkey"].astype("int64").to_numpy(),
+                "ret": (batch["l_returnflag"] == "R").to_numpy().astype(np.int64),
+            }
+        )
+        agg = tmp.groupby(["orderkey", "suppkey"], as_index=False)["ret"].max()
+        return pd.DataFrame(
+            {
+                "orderkey": agg["orderkey"].astype("int64"),
+                "suppkey": agg["suppkey"].astype("int64"),
+                "ret": agg["ret"].astype("int64"),
+                "is_line": True,
+                "bucket": (agg["orderkey"] % n_buckets).astype("int64"),
+            }
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["o_orderstatus"] == "F"]
+        if not len(sel):
+            return empty_frame(cols)
+        ok = sel["o_orderkey"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "orderkey": ok,
+                "suppkey": np.int64(-1),
+                "ret": np.int64(0),
+                "is_line": False,
+                "bucket": ok % n_buckets,
+            }
+        )
+
+    out_cols = [("suppkey", "int64"), ("numwait", "int64")]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "is_line" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        lines = group[group["is_line"]]
+        finished = group.loc[~group["is_line"], "orderkey"]
+        if lines.empty or finished.empty:
+            return empty_frame(out_cols)
+        pairs = lines.groupby(["orderkey", "suppkey"], as_index=False)["ret"].max()
+        per = pairs.groupby("orderkey").agg(
+            nsupp=("suppkey", "size"), nret=("ret", "sum")
+        )
+        qual = per[(per["nsupp"] >= 2) & (per["nret"] == 1)].index
+        qual = pd.Index(qual).intersection(pd.Index(finished.unique()))
+        if not len(qual):
+            return empty_frame(out_cols)
+        offn = pairs[(pairs["ret"] == 1) & pairs["orderkey"].isin(set(qual))]
+        vc = offn["suppkey"].value_counts()
+        return pd.DataFrame(
+            {
+                "suppkey": vc.index.to_numpy(dtype=np.int64),
+                "numwait": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    tagged = lineitem.map_batches(line_pairs, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+    parts = (
+        tagged.groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "suppkey" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "s_name": pd.Series(dtype="object"),
+                "numwait": pd.Series(dtype="int64"),
+            }
+        )
+    agg = parts.groupby("suppkey", as_index=False)["numwait"].sum()
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    names = dict(zip(supplier["s_suppkey"].astype(int), supplier["s_name"]))
+    agg["s_name"] = agg["suppkey"].map(names)
+    agg["numwait"] = agg["numwait"].astype("int64")
+    return (
+        agg[["s_name", "numwait"]]
+        .sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL["q21_waiting_suppliers"] = """
+    WITH lr AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per AS (
+      SELECT l_orderkey, COUNT(*) AS nsupp, SUM(ret) AS nret,
+             MAX(CASE WHEN ret = 1 THEN l_suppkey END) AS ret_supp
+      FROM lr GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = ret_supp
+    WHERE o_orderstatus = 'F' AND nsupp >= 2 AND nret = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
 def doc_normalize_text(sf_dir: str):
     """ftfy-lite corpus normalization (C4/CCNet cleanup class): NFC
     composition, C0/DEL control strip, horizontal-whitespace collapse,

@@ -635,3 +635,358 @@ class TestQ22:
         assert out["cntrycode"].tolist() == ["NATION_3"]
         assert out["numcust"].tolist() == [1]
         assert out["totacctbal"].tolist() == [900.0]
+
+
+def _mini_tables(tmp_path, **over):
+    """Write a minimal consistent 7-table star into tmp_path; per-table
+    overrides replace the default frame wholesale."""
+    defaults = {
+        "region": pd.DataFrame(
+            {"r_regionkey": [0, 1], "r_name": ["EUROPE", "ASIA"]}
+        ),
+        "nation": pd.DataFrame(
+            {
+                "n_nationkey": [0, 1, 3],
+                "n_name": ["NATION_0", "NATION_1", "NATION_3"],
+                "n_regionkey": [0, 1, 1],
+            }
+        ),
+        "customer": pd.DataFrame(
+            {
+                "c_custkey": [1],
+                "c_name": ["c"],
+                "c_nationkey": [0],
+                "c_acctbal": [0.0],
+                "c_mktsegment": ["BUILDING"],
+            }
+        ),
+        "supplier": pd.DataFrame(
+            {
+                "s_suppkey": [10, 11, 12],
+                "s_name": ["SA", "SB", "SC"],
+                "s_nationkey": [0, 0, 1],
+                "s_acctbal": [100.0, 100.0, 900.0],
+            }
+        ),
+        "part": pd.DataFrame(
+            {
+                "p_partkey": [1, 2],
+                "p_name": ["pa", "pb"],
+                "p_brand": ["Brand#1", "Brand#2"],
+                "p_type": ["LARGE", "PROMO"],
+                "p_size": [5, 1],
+                "p_retailprice": [10.0, 20.0],
+            }
+        ),
+        "orders": pd.DataFrame(
+            {
+                "o_orderkey": [100, 101],
+                "o_custkey": [1, 1],
+                "o_orderstatus": ["F", "O"],
+                "o_totalprice": [1.0, 1.0],
+                "o_orderdate": [pd.Timestamp("1997-06-01")] * 2,
+                "o_orderpriority": ["1-URGENT", "5-LOW"],
+            }
+        ),
+        "lineitem": pd.DataFrame(
+            {
+                "l_orderkey": [100, 100],
+                "l_partkey": [1, 2],
+                "l_suppkey": [10, 11],
+                "l_linenumber": [1, 2],
+                "l_quantity": [1.0, 2.0],
+                "l_extendedprice": [10.0, 20.0],
+                "l_discount": [0.0, 0.0],
+                "l_tax": [0.0, 0.0],
+                "l_returnflag": ["N", "R"],
+                "l_linestatus": ["O", "F"],
+                "l_shipdate": [pd.Timestamp("1997-07-01")] * 2,
+            }
+        ),
+    }
+    defaults.update(over)
+    for name, df in defaults.items():
+        df.to_parquet(tmp_path / f"{name}.parquet")
+
+
+class TestQ2:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q2_min_cost_supplier
+
+        _check(q2_min_cost_supplier, "q2_min_cost_supplier")
+
+    def test_acctbal_ties_all_kept(self, ray_session, tmp_path):
+        """Two EUROPE suppliers share the per-part max acctbal -> both
+        rows survive (the correlated MAX keeps ties), while the
+        higher-balance non-EUROPE supplier is invisible."""
+        _mini_tables(
+            tmp_path,
+            lineitem=pd.DataFrame(
+                {
+                    "l_orderkey": [100, 100, 100],
+                    "l_partkey": [1, 1, 1],
+                    "l_suppkey": [10, 11, 12],
+                    "l_linenumber": [1, 2, 3],
+                    "l_quantity": [1.0] * 3,
+                    "l_extendedprice": [1.0] * 3,
+                    "l_discount": [0.0] * 3,
+                    "l_tax": [0.0] * 3,
+                    "l_returnflag": ["N"] * 3,
+                    "l_linestatus": ["O"] * 3,
+                    "l_shipdate": [pd.Timestamp("1997-07-01")] * 3,
+                }
+            ),
+        )
+        from exstruct_ray.queries import q2_min_cost_supplier
+
+        out = q2_min_cost_supplier(str(tmp_path))
+        # suppliers 10/11 (EUROPE via NATION_0, bal 100 == 100) both kept;
+        # supplier 12 (bal 900) is ASIA and must not shadow them.
+        assert sorted(out["s_name"]) == ["SA", "SB"]
+        assert set(out["p_partkey"]) == {1}
+
+
+class TestQ11:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q11_important_stock
+
+        _check(q11_important_stock, "q11_important_stock")
+
+    def test_threshold_is_strict(self, ray_session, tmp_path):
+        """A part holding exactly 1/1000 of total value is excluded
+        (val_c * 1000 > total is strict); one above survives."""
+        n = 1000
+        _mini_tables(
+            tmp_path,
+            part=pd.DataFrame(
+                {
+                    "p_partkey": list(range(1, n + 1)),
+                    "p_name": ["p"] * n,
+                    "p_brand": ["Brand#1"] * n,
+                    "p_type": ["LARGE"] * n,
+                    "p_size": [1] * n,
+                    "p_retailprice": [1.0] * n,
+                }
+            ),
+            lineitem=pd.DataFrame(
+                {
+                    # 999 parts at $1, part 1000 at $2: total 1001.
+                    # part 1000: 200000*1000 > 100100000? 2e8 > 1.001e8 yes.
+                    # $1 parts: 1e5*1000 = 1e8 < 1.001e8 -> excluded.
+                    "l_orderkey": [100] * n,
+                    "l_partkey": list(range(1, n + 1)),
+                    "l_suppkey": [10] * n,
+                    "l_linenumber": list(range(1, n + 1)),
+                    "l_quantity": [1.0] * n,
+                    "l_extendedprice": [1.0] * (n - 1) + [2.0],
+                    "l_discount": [0.0] * n,
+                    "l_tax": [0.0] * n,
+                    "l_returnflag": ["N"] * n,
+                    "l_linestatus": ["O"] * n,
+                    "l_shipdate": [pd.Timestamp("1997-07-01")] * n,
+                }
+            ),
+        )
+        from exstruct_ray.queries import q11_important_stock
+
+        out = q11_important_stock(str(tmp_path))
+        assert out["p_partkey"].tolist() == [1000]
+        assert out["total_value"].tolist() == [2.0]
+
+
+class TestQ12:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q12_linestatus_priority
+
+        _check(q12_linestatus_priority, "q12_linestatus_priority")
+
+    def test_priority_split(self, ray_session, tmp_path):
+        """Lines split by their ORDER's priority: the urgent order's
+        two lines land in high, the low order's one line in low; a
+        line shipped outside 1997 is invisible."""
+        _mini_tables(
+            tmp_path,
+            lineitem=pd.DataFrame(
+                {
+                    "l_orderkey": [100, 100, 101, 101],
+                    "l_partkey": [1, 1, 1, 1],
+                    "l_suppkey": [10] * 4,
+                    "l_linenumber": [1, 2, 1, 2],
+                    "l_quantity": [1.0] * 4,
+                    "l_extendedprice": [1.0] * 4,
+                    "l_discount": [0.0] * 4,
+                    "l_tax": [0.0] * 4,
+                    "l_returnflag": ["N"] * 4,
+                    "l_linestatus": ["F", "F", "F", "F"],
+                    "l_shipdate": [
+                        pd.Timestamp("1997-07-01"),
+                        pd.Timestamp("1997-08-01"),
+                        pd.Timestamp("1997-09-01"),
+                        pd.Timestamp("1999-01-01"),  # outside window
+                    ],
+                }
+            ),
+        )
+        from exstruct_ray.queries import q12_linestatus_priority
+
+        out = q12_linestatus_priority(str(tmp_path))
+        assert out["l_linestatus"].tolist() == ["F"]
+        assert out["high_line_count"].tolist() == [2]
+        assert out["low_line_count"].tolist() == [1]
+
+
+class TestQ16:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q16_parts_supplier
+
+        _check(q16_parts_supplier, "q16_parts_supplier")
+
+    def test_distinct_across_parts_and_exclusion(self, ray_session, tmp_path):
+        """Two parts in the SAME (brand,type,size) group supplied by the
+        same supplier count it ONCE; a negative-balance supplier is
+        excluded entirely."""
+        _mini_tables(
+            tmp_path,
+            part=pd.DataFrame(
+                {
+                    "p_partkey": [1, 2],
+                    "p_name": ["pa", "pb"],
+                    "p_brand": ["Brand#1", "Brand#1"],
+                    "p_type": ["LARGE", "LARGE"],
+                    "p_size": [1, 1],
+                    "p_retailprice": [1.0, 1.0],
+                }
+            ),
+            supplier=pd.DataFrame(
+                {
+                    "s_suppkey": [10, 11],
+                    "s_name": ["SA", "SBAD"],
+                    "s_nationkey": [0, 0],
+                    "s_acctbal": [100.0, -5.0],
+                }
+            ),
+            lineitem=pd.DataFrame(
+                {
+                    "l_orderkey": [100, 100, 100],
+                    "l_partkey": [1, 2, 1],
+                    "l_suppkey": [10, 10, 11],
+                    "l_linenumber": [1, 2, 3],
+                    "l_quantity": [1.0] * 3,
+                    "l_extendedprice": [1.0] * 3,
+                    "l_discount": [0.0] * 3,
+                    "l_tax": [0.0] * 3,
+                    "l_returnflag": ["N"] * 3,
+                    "l_linestatus": ["O"] * 3,
+                    "l_shipdate": [pd.Timestamp("1997-07-01")] * 3,
+                }
+            ),
+        )
+        from exstruct_ray.queries import q16_parts_supplier
+
+        out = q16_parts_supplier(str(tmp_path))
+        assert len(out) == 1
+        assert out["supplier_cnt"].tolist() == [1]
+        assert out["p_size"].tolist() == [1]
+
+
+class TestQ20:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q20_potential_promotion
+
+        _check(q20_potential_promotion, "q20_potential_promotion")
+
+    def test_half_share_excluded(self, ray_session, tmp_path):
+        """Exactly 50% of a part's 1995 volume does NOT qualify
+        (2*q > tq strict); a 60% share from a NATION_3 supplier does."""
+        _mini_tables(
+            tmp_path,
+            supplier=pd.DataFrame(
+                {
+                    "s_suppkey": [10, 11, 12],
+                    "s_name": ["SA", "SB", "SC"],
+                    "s_nationkey": [3, 3, 3],
+                    "s_acctbal": [1.0, 2.0, 3.0],
+                }
+            ),
+            lineitem=pd.DataFrame(
+                {
+                    # part 2 is PROMO. Suppliers 10/11 split it 50/50
+                    # (neither qualifies); supplier 12 ships 60% of a
+                    # second PROMO part vs 40% from supplier 10.
+                    "l_orderkey": [100] * 4,
+                    "l_partkey": [2, 2, 3, 3],
+                    "l_suppkey": [10, 11, 12, 10],
+                    "l_linenumber": [1, 2, 3, 4],
+                    "l_quantity": [5.0, 5.0, 6.0, 4.0],
+                    "l_extendedprice": [1.0] * 4,
+                    "l_discount": [0.0] * 4,
+                    "l_tax": [0.0] * 4,
+                    "l_returnflag": ["N"] * 4,
+                    "l_linestatus": ["O"] * 4,
+                    "l_shipdate": [pd.Timestamp("1995-06-01")] * 4,
+                }
+            ),
+            part=pd.DataFrame(
+                {
+                    "p_partkey": [2, 3],
+                    "p_name": ["pa", "pb"],
+                    "p_brand": ["Brand#1", "Brand#1"],
+                    "p_type": ["PROMO", "PROMO"],
+                    "p_size": [1, 1],
+                    "p_retailprice": [1.0, 1.0],
+                }
+            ),
+        )
+        from exstruct_ray.queries import q20_potential_promotion
+
+        out = q20_potential_promotion(str(tmp_path))
+        assert out["s_name"].tolist() == ["SC"]
+
+
+class TestQ21:
+    def test_matches_oracle(self, ray_session):
+        from exstruct_ray.queries import q21_waiting_suppliers
+
+        _check(q21_waiting_suppliers, "q21_waiting_suppliers")
+
+    def test_sole_returner_rules(self, ray_session, tmp_path):
+        """Counted: sole returner among >=2 suppliers on an F order.
+        Not counted: two returners on one order, single-supplier
+        orders, and O-status orders."""
+        _mini_tables(
+            tmp_path,
+            orders=pd.DataFrame(
+                {
+                    "o_orderkey": [100, 101, 102, 103],
+                    "o_custkey": [1] * 4,
+                    "o_orderstatus": ["F", "F", "F", "O"],
+                    "o_totalprice": [1.0] * 4,
+                    "o_orderdate": [pd.Timestamp("1997-06-01")] * 4,
+                    "o_orderpriority": ["5-LOW"] * 4,
+                }
+            ),
+            lineitem=pd.DataFrame(
+                {
+                    # 100: supp 10 returns, supp 11 clean -> 10 counts.
+                    # 101: both return -> nobody counts.
+                    # 102: single supplier returns -> not multi-supplier.
+                    # 103: sole returner but order is O-status.
+                    "l_orderkey": [100, 100, 101, 101, 102, 103, 103],
+                    "l_partkey": [1] * 7,
+                    "l_suppkey": [10, 11, 10, 11, 10, 10, 11],
+                    "l_linenumber": [1, 2, 1, 2, 1, 1, 2],
+                    "l_quantity": [1.0] * 7,
+                    "l_extendedprice": [1.0] * 7,
+                    "l_discount": [0.0] * 7,
+                    "l_tax": [0.0] * 7,
+                    "l_returnflag": ["R", "N", "R", "R", "R", "R", "N"],
+                    "l_linestatus": ["O"] * 7,
+                    "l_shipdate": [pd.Timestamp("1997-07-01")] * 7,
+                }
+            ),
+        )
+        from exstruct_ray.queries import q21_waiting_suppliers
+
+        out = q21_waiting_suppliers(str(tmp_path))
+        assert out["s_name"].tolist() == ["SA"]
+        assert out["numwait"].tolist() == [1]
