@@ -8117,7 +8117,19 @@ def q2_min_cost_supplier(sf_dir: str):
             .groupby("partkey")["bal"]
             .transform("max")
         )
-        win = pairs[bal == best.to_numpy()]
+        win = pairs[bal == best.to_numpy()].copy()
+        # Bucket-local top-100 cut under the GLOBAL order (acctbal desc,
+        # n_name, s_name, partkey): any global-top-100 row is beaten by
+        # < 100 rows globally, hence by < 100 rows in its own bucket, so
+        # the union of bucket cuts is a superset of the global cut —
+        # the driver folds <= 64 * 100 rows even when millions of parts
+        # qualify.
+        win["_bal"] = supp_bal[win["suppkey"].to_numpy()]
+        win["_n"] = win["suppkey"].map(supp_nation)
+        win["_s"] = win["suppkey"].map(supp_name)
+        win = win.sort_values(
+            ["_bal", "_n", "_s", "partkey"], ascending=[False, True, True, True]
+        ).head(100)
         return pd.DataFrame(
             {
                 "partkey": win["partkey"].to_numpy(dtype=np.int64),
@@ -8591,14 +8603,24 @@ def q20_potential_promotion(sf_dir: str):
     no float division). Part-type bitmap broadcasts; lineitem
     pre-aggregates (partkey, suppkey, qty) in-batch; ONE
     partkey-bucket exchange computes part totals and per-supplier
-    shares in-bucket and emits only qualifying suppkeys; the driver
-    dedups <= |suppliers| keys and applies the nation filter from the
-    broadcast supplier table."""
+    shares in-bucket, applies the broadcast nation bitmap there (so
+    only output-eligible suppkeys ride the exchange — never the
+    all-nation qualifier set), and the driver dedups <= output-size
+    keys against the broadcast supplier table."""
     from .ops.shuffle import empty_frame
 
     n_buckets = 64
     lo = pd.Timestamp("1995-01-01")
     hi = pd.Timestamp("1996-01-01")
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    ).to_pandas()
+    sk = supplier["s_suppkey"].astype("int64").to_numpy()
+    ns = int(sk.max()) + 1 if len(sk) else 1
+    supp_n3 = np.zeros(ns, dtype=bool)
+    supp_n3[sk] = (supplier["s_nationkey"].astype("int64").to_numpy() == 3)
 
     part = pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
@@ -8652,9 +8674,9 @@ def q20_potential_promotion(sf_dir: str):
         agg = group.groupby(["partkey", "suppkey"], as_index=False)["q"].sum()
         tot = agg.groupby("partkey")["q"].transform("sum")
         win = agg[2 * agg["q"] > tot]
-        return pd.DataFrame(
-            {"suppkey": np.unique(win["suppkey"].to_numpy(dtype=np.int64))}
-        )
+        keys = win["suppkey"].to_numpy(dtype=np.int64)
+        keys = keys[(keys < ns) & supp_n3[np.clip(keys, 0, ns - 1)]]
+        return pd.DataFrame({"suppkey": np.unique(keys)})
 
     lineitem = _read(
         sf_dir,
@@ -8667,17 +8689,11 @@ def q20_potential_promotion(sf_dir: str):
         .map_groups(bucket_quals, batch_format="pandas")
         .to_pandas()
     )
-    supplier = pq.read_table(
-        f"{sf_dir}/supplier.parquet",
-        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
-    ).to_pandas()
     if "suppkey" not in parts.columns or not len(parts):
         keys: set = set()
     else:
         keys = set(parts["suppkey"].astype(int))
-    out = supplier[
-        (supplier["s_nationkey"] == 3) & supplier["s_suppkey"].isin(keys)
-    ]
+    out = supplier[supplier["s_suppkey"].isin(keys)]
     return (
         out[["s_name", "s_acctbal"]]
         .sort_values("s_name")
@@ -8714,9 +8730,14 @@ def q21_waiting_suppliers(sf_dir: str):
     orderkeys; ONE orderkey-bucket exchange re-reduces pairs exactly,
     derives per-order supplier/returner counts, applies the
     EXISTS + NOT-EXISTS pair (>= 2 suppliers, exactly 1 returner) and
-    folds (suppkey, count) partials. The driver merges <= 64 *
-    |suppliers| rows, attaches names from the broadcast supplier
-    table, and cuts the top 100."""
+    folds (suppkey, count) partials. A SECOND suppkey-bucket exchange
+    over that compact partial table finishes exact per-supplier totals
+    and emits each bucket's top 100 with numwait-boundary ties kept
+    (a global-top-100 supplier is beaten by < 100 suppliers globally,
+    hence by < 100 in its bucket — the union of bucket cuts is a
+    superset of the global cut, independent of the name tie-break).
+    The driver merges <= 64 * ~100 rows, attaches names from the
+    broadcast supplier table, and applies the final order."""
     from .ops.shuffle import empty_frame
 
     n_buckets = 64
@@ -8763,7 +8784,7 @@ def q21_waiting_suppliers(sf_dir: str):
             }
         )
 
-    out_cols = [("suppkey", "int64"), ("numwait", "int64")]
+    out_cols = [("suppkey", "int64"), ("numwait", "int64"), ("sbucket", "int64")]
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if "is_line" not in group.columns or len(group) == 0:
@@ -8782,10 +8803,12 @@ def q21_waiting_suppliers(sf_dir: str):
             return empty_frame(out_cols)
         offn = pairs[(pairs["ret"] == 1) & pairs["orderkey"].isin(set(qual))]
         vc = offn["suppkey"].value_counts()
+        keys = vc.index.to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
-                "suppkey": vc.index.to_numpy(dtype=np.int64),
+                "suppkey": keys,
                 "numwait": vc.to_numpy(dtype=np.int64),
+                "sbucket": keys % n_buckets,
             }
         )
 
@@ -8796,9 +8819,28 @@ def q21_waiting_suppliers(sf_dir: str):
     tagged = lineitem.map_batches(line_pairs, batch_format="pandas").union(
         orders.map_batches(order_rows, batch_format="pandas")
     )
+
+    fold_cols = [("suppkey", "int64"), ("numwait", "int64")]
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "suppkey" not in group.columns or len(group) == 0:
+            return empty_frame(fold_cols)
+        agg = group.groupby("suppkey", as_index=False)["numwait"].sum()
+        if len(agg) > 100:
+            cut = agg["numwait"].nlargest(100).iloc[-1]
+            agg = agg[agg["numwait"] >= cut]
+        return pd.DataFrame(
+            {
+                "suppkey": agg["suppkey"].to_numpy(dtype=np.int64),
+                "numwait": agg["numwait"].to_numpy(dtype=np.int64),
+            }
+        )
+
     parts = (
         tagged.groupby("bucket")
         .map_groups(merge_bucket, batch_format="pandas")
+        .groupby("sbucket")
+        .map_groups(fold_bucket, batch_format="pandas")
         .to_pandas()
     )
     if "suppkey" not in parts.columns or not len(parts):
