@@ -222,6 +222,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_mixture_sample", q.doc_mixture_sample),
         ("doc_dedup_lines_within", q.doc_dedup_lines_within),
         ("video_neardup_pairs", q.video_neardup_pairs),
+        ("q12_linestatus_priority", q.q12_linestatus_priority),
+        ("q16_parts_supplier", q.q16_parts_supplier),
+        ("q21_waiting_suppliers", q.q21_waiting_suppliers),
     ]:
         start = time.perf_counter()
         fn(sf_dir)
