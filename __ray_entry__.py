@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_verified_pairs": q.doc_ngram_verified_pairs,
         "embedding_topk": q.embedding_topk,
         "embedding_topk_ivf": q.embedding_topk_ivf,
+        "embedding_ann_recall": q.embedding_ann_recall,
         "embedding_label_centroids": q.embedding_label_centroids,
         "embedding_kmeans": q.embedding_kmeans,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,

@@ -745,6 +745,96 @@ def embedding_topk_ivf(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def embedding_ann_recall(sf_dir: str):
+    """ANN index-quality evaluation: recall@10 of the IVF-pruned path
+    against exact brute force — the metric that decides whether an
+    approximate index is usable before pointing it at the corpus.
+    Composes the two oracle-checked pipelines (each already distributed:
+    broadcast query matrix, per-batch partial top-k, driver merges only
+    k-row lists); both sides of the comparison are k x n_queries rows,
+    so the per-query intersection is driver-trivial at ANY corpus
+    scale. recall = n_hit / 10.0 is a single IEEE division by a
+    constant — bit-stable across engines."""
+    brute = embedding_topk(sf_dir)
+    ivf = embedding_topk_ivf(sf_dir)
+    ivf_sets = ivf.groupby("query_id")["vec_id"].agg(set)
+    rows = []
+    for qid, grp in brute.groupby("query_id"):
+        hit = len(set(grp["vec_id"]) & ivf_sets.get(qid, set()))
+        rows.append({"query_id": int(qid), "n_hit": hit})
+    out = pd.DataFrame(rows, columns=["query_id", "n_hit"])
+    out["query_id"] = out["query_id"].astype("int64")
+    out["n_hit"] = out["n_hit"].astype("int64")
+    out["recall"] = out["n_hit"].astype("float64") / 10.0
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def _ann_recall_oracle_sql() -> str:
+    """SQL mirror of embedding_ann_recall: the brute CTE is the
+    embedding_topk oracle verbatim, the IVF chain re-generates from the
+    SAME codebook literals as _ivf_oracle_sql (both derive from
+    ops.ann.ivf_centroids, so they cannot drift)."""
+    from .ops.ann import IVF_CLUSTERS, IVF_PROBE, ivf_centroids
+
+    cents = ivf_centroids(64)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in cents[i])}])"
+        for i in range(IVF_CLUSTERS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e2.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, e2.v) DESC, e2.vec_id
+               ) AS rank
+        FROM e q, e e2 WHERE q.vec_id < 5)
+      WHERE rank <= 10
+    ),
+    cents(ci, cv) AS (VALUES {values}),
+    assign AS (
+      SELECT e.vec_id,
+             arg_max(c.ci, list_cosine_similarity(e.v, c.cv)) AS cl
+      FROM e CROSS JOIN cents c GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    probe AS (
+      SELECT vec_id AS query_id, ci FROM (
+        SELECT q.vec_id, c.ci,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.ci
+               ) AS rn
+        FROM q CROSS JOIN cents c)
+      WHERE rn <= {IVF_PROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id FROM probe p JOIN assign a ON a.cl = p.ci
+    ),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT cand.query_id, cand.vec_id,
+               row_number() OVER (
+                 PARTITION BY cand.query_id
+                 ORDER BY list_cosine_similarity(qq.v, ee.v) DESC, cand.vec_id
+               ) AS rank
+        FROM cand
+        JOIN e ee ON ee.vec_id = cand.vec_id
+        JOIN e qq ON qq.vec_id = cand.query_id)
+      WHERE rank <= 10
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(i.vec_id) AS DOUBLE) / 10.0 AS recall
+    FROM brute b
+    LEFT JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
 def embedding_label_centroids(sf_dir: str):
     """Per-label centroid norm — vectorized partial mean over list column."""
     ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
@@ -2356,6 +2446,7 @@ def _ivf_oracle_sql() -> str:
 
 
 ORACLE_SQL["embedding_topk_ivf"] = _ivf_oracle_sql()
+ORACLE_SQL["embedding_ann_recall"] = _ann_recall_oracle_sql()
 
 
 

@@ -370,3 +370,31 @@ class TestDedupGroups:
         pd.testing.assert_frame_equal(
             small.reset_index(drop=True), big.reset_index(drop=True)
         )
+
+
+class TestAnnRecall:
+    def test_invariants_and_oracle_parity(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from exstruct_ray.queries import ORACLE_SQL, embedding_ann_recall
+
+        sf_dir = "/root/testdata/sf0.001"
+        out = embedding_ann_recall(sf_dir)
+        # One row per query; recall bounded; a query always recalls
+        # itself when its own cluster is probed, so n_hit >= 1 here.
+        assert out["query_id"].tolist() == [0, 1, 2, 3, 4]
+        assert ((out["n_hit"] >= 0) & (out["n_hit"] <= 10)).all()
+        assert ((out["recall"] >= 0.0) & (out["recall"] <= 1.0)).all()
+        assert (out["recall"] * 10 == out["n_hit"]).all()
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        want = con.execute(ORACLE_SQL["embedding_ann_recall"]).df()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False,
+        )
