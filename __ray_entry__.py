@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_rollup": q.events_hourly_rollup,
         "events_top_users_per_type": q.events_top_users_per_type,
         "doc_quality_deciles": q.doc_quality_deciles,
+        "doc_budget_select": q.doc_budget_select,
         "events_funnel": q.events_funnel,
         "events_cohort_retention": q.events_cohort_retention,
         "doc_sample_10pct": q.doc_sample_10pct,

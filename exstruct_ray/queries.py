@@ -4831,6 +4831,219 @@ def _quality_deciles_oracle() -> str:
 ORACLE_SQL["doc_quality_deciles"] = _quality_deciles_oracle()
 
 
+BUDGET_TOKENS = 10_000
+
+
+def doc_budget_select(sf_dir: str):
+    """Token-budget data selection (the DSIR/CCNet deployment step):
+    keep the cleanest documents — lowest unigram-LM rarity first,
+    doc_id tie-break — until a global token budget is exhausted
+    (inclusive running sum <= BUDGET_TOKENS).
+
+    Distributed shape: the rarity scorer materializes ONCE as the
+    compact (doc_id, n_tokens, mean_rarity) table; a weighted
+    histogram-refine (the quantile selector's recursion, with token
+    sums as weights instead of row counts) finds the boundary score t
+    and the exact token mass below it in O(log_1024(domain)) passes —
+    no global sort, driver sees 1024-row histograms. Documents
+    strictly below t are kept outright (distributed filter); the tie
+    set AT t goes through the ordered-prefix-sum pattern
+    (doc_id-range buckets -> driver prefix over <= 64 bucket totals ->
+    in-bucket vectorized cumsum against the remaining budget), so a
+    million-document tie never lands on the driver."""
+    import ray
+
+    from .ops.shuffle import empty_frame
+    from .ops.text import corpus_token_counts, lm_rarity_scores
+
+    budget = BUDGET_TOKENS
+    out_cols = ["doc_id", "mean_rarity", "n_tokens"]
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts_df = corpus_token_counts(ds)
+    counts = pd.Series(
+        counts_df["n"].to_numpy(dtype=np.int64),
+        index=counts_df["token"].to_numpy(),
+    )
+    ref = ray.put(counts)
+    scored = lm_rarity_scores(ds, ref).materialize()
+
+    def bounds(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["mean_rarity"].to_numpy(dtype=np.int64)
+        if not len(s):
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series(dtype="int64"),
+                    "hi": pd.Series(dtype="int64"),
+                    "tot": pd.Series(dtype="int64"),
+                    "max_id": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "lo": [int(s.min())],
+                "hi": [int(s.max())],
+                "tot": [int(batch["n_tokens"].to_numpy(dtype=np.int64).sum())],
+                "max_id": [int(batch["doc_id"].astype("int64").max())],
+            }
+        )
+
+    bdf = scored.map_batches(bounds, batch_format="pandas").to_pandas()
+    if not len(bdf):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "mean_rarity": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+            }
+        )
+    lo, hi = int(bdf["lo"].min()), int(bdf["hi"].max())
+    total, max_id = int(bdf["tot"].sum()), int(bdf["max_id"].max())
+
+    if total <= budget:
+        out = scored.map_batches(
+            lambda b: b[out_cols], batch_format="pandas"
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    # Weighted histogram refine: narrow [s_lo, s_hi] to the single
+    # boundary score t, accumulating the exact token mass below it.
+    s_lo, s_hi, base = lo, hi, 0
+    while s_lo < s_hi:
+        width = max(1, (s_hi - s_lo + 1024) // 1024)
+        w_lo, w_hi, w_width = s_lo, s_hi, width
+
+        def hist(batch: pd.DataFrame) -> pd.DataFrame:
+            s = batch["mean_rarity"].to_numpy(dtype=np.int64)
+            sel = (s >= w_lo) & (s <= w_hi)
+            if not sel.any():
+                return pd.DataFrame(
+                    {"b": pd.Series(dtype="int64"),
+                     "w": pd.Series(dtype="int64")}
+                )
+            b = (s[sel] - w_lo) // w_width
+            tmp = pd.DataFrame(
+                {"b": b, "w": batch["n_tokens"].to_numpy(dtype=np.int64)[sel]}
+            )
+            return tmp.groupby("b", as_index=False)["w"].sum()
+
+        hdf = (
+            scored.map_batches(hist, batch_format="pandas")
+            .to_pandas()
+            .groupby("b")["w"]
+            .sum()
+            .sort_index()
+        )
+        j, seen = 0, 0
+        for bket, w in hdf.items():
+            if base + seen + int(w) > budget:
+                j = int(bket)
+                break
+            seen += int(w)
+        base += seen
+        s_hi = min(s_hi, s_lo + j * width + width - 1)
+        s_lo = s_lo + j * width
+    t, remaining = s_lo, budget - base
+
+    def keep_below(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["mean_rarity"].to_numpy(dtype=np.int64) < t]
+        return sel[out_cols]
+
+    kept_lt = scored.map_batches(keep_below, batch_format="pandas")
+
+    # Tie set at t: ordered prefix-sum selection against the remainder.
+    n_rb = 64
+
+    def tag_boundary(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = [("doc_id", "int64"), ("mean_rarity", "int64"),
+                ("n_tokens", "int64"), ("rb", "int64")]
+        sel = batch[batch["mean_rarity"].to_numpy(dtype=np.int64) == t]
+        if not len(sel):
+            return empty_frame(cols)
+        did = sel["doc_id"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "mean_rarity": sel["mean_rarity"].astype("int64").to_numpy(),
+                "n_tokens": sel["n_tokens"].astype("int64").to_numpy(),
+                "rb": did * n_rb // (max_id + 1),
+            }
+        )
+
+    boundary = scored.map_batches(
+        tag_boundary, batch_format="pandas"
+    ).materialize()
+    totals = (
+        boundary.map_batches(
+            lambda b: b.groupby("rb", as_index=False)["n_tokens"].sum()
+            if len(b)
+            else b[["rb", "n_tokens"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("rb")["n_tokens"]
+        .sum()
+        .sort_index()
+    )
+    bases: dict[int, int] = {}
+    run = 0
+    for rb, w in totals.items():
+        bases[int(rb)] = run
+        run += int(w)
+
+    def select_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = [("doc_id", "int64"), ("mean_rarity", "int64"),
+                ("n_tokens", "int64")]
+        if "doc_id" not in group.columns or len(group) == 0:
+            return empty_frame(cols)
+        g = group.sort_values("doc_id")
+        start = bases.get(int(g["rb"].iloc[0]), 0)
+        cum = start + g["n_tokens"].to_numpy(dtype=np.int64).cumsum()
+        return g.loc[cum <= remaining, out_cols]
+
+    kept_t = boundary.groupby("rb").map_groups(
+        select_in_bucket, batch_format="pandas"
+    )
+
+    out = kept_lt.union(kept_t).to_pandas()
+    if "doc_id" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "mean_rarity": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+            }
+        )
+    for c in out_cols:
+        out[c] = out[c].astype("int64")
+    return (
+        out[out_cols].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _budget_select_oracle() -> str:
+    scored = ORACLE_SQL["doc_lm_rarity"]
+    return f"""
+    WITH sc AS (
+      {scored}
+    ),
+    ord AS (
+      SELECT doc_id, mean_rarity, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY mean_rarity, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM sc
+    )
+    SELECT doc_id, mean_rarity, n_tokens
+    FROM ord WHERE cum <= {BUDGET_TOKENS}
+    ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["doc_budget_select"] = _budget_select_oracle()
+
+
 def events_funnel(sf_dir: str):
     """Two-step funnel: per user, how many 'purchase' events had at least
     one 'click' by the same user in the strictly-preceding hour

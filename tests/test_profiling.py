@@ -222,3 +222,100 @@ class TestCohortRetention:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestBudgetSelect:
+    def test_tie_set_cut_by_doc_id_order(self, ray_session, tmp_path):
+        """All docs share one rarity score (identical text): the whole
+        corpus is the boundary tie set, and the budget must cut it in
+        doc_id order via the distributed prefix sum — 20 x 500 <= 10000
+        keeps exactly docs 0..19 of 30."""
+        from exstruct_ray.queries import ORACLE_SQL, doc_budget_select
+
+        text = " ".join(["tok"] * 500)
+        frame = pd.DataFrame(
+            {
+                "doc_id": range(30),
+                "text": [text] * 30,
+                "lang": "en",
+                "source": "t",
+                "n_chars": [len(text)] * 30,
+            }
+        )
+        frame.to_parquet(tmp_path / "documents.parquet")
+        out = doc_budget_select(str(tmp_path))
+        assert out["doc_id"].tolist() == list(range(20))
+        assert (out["n_tokens"] == 500).all()
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_budget_select"]).df()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True),
+            expected.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_threshold_then_tie_remainder(self, ray_session, tmp_path):
+        """Two score classes: every low-rarity doc is kept outright
+        (strictly below the boundary), then the high-rarity tie set
+        consumes the remainder in doc_id order."""
+        from exstruct_ray.queries import ORACLE_SQL, doc_budget_select
+
+        low = " ".join(["common"] * 600)
+        docs, texts = [], []
+        for i in range(10):
+            docs.append(i)
+            texts.append(low)
+        for i in range(10, 20):
+            docs.append(i)
+            # 599 common + 1 token shared only by this class -> same
+            # (higher) score for all ten docs.
+            texts.append(" ".join(["common"] * 599 + ["rareclass"]))
+        frame = pd.DataFrame(
+            {
+                "doc_id": docs,
+                "text": texts,
+                "lang": "en",
+                "source": "t",
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        frame.to_parquet(tmp_path / "documents.parquet")
+        out = doc_budget_select(str(tmp_path))
+        # 10 low docs = 6000 tokens; remainder 4000 admits 6 more
+        # 600-token docs from the tie set (3600 <= 4000 < 4200).
+        assert out["doc_id"].tolist() == list(range(16))
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_budget_select"]).df()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True),
+            expected.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_oracle_parity_real_corpus(self, ray_session):
+        from exstruct_ray.queries import ORACLE_SQL, doc_budget_select
+
+        sf_dir = "/root/testdata/sf0.001"
+        out = doc_budget_select(sf_dir)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_budget_select"]).df()
+        assert 0 < len(out) < 500
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True),
+            expected.reset_index(drop=True),
+            check_dtype=False,
+        )
