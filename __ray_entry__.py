@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_groups": q.doc_dedup_groups,
         "doc_dedup_groups_distributed": q.doc_dedup_groups_distributed,
         "doc_dedup_group_sizes": q.doc_dedup_group_sizes,
+        "doc_leakage_safe_split": q.doc_leakage_safe_split,
         "doc_simhash": q.doc_simhash,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_ngram_verified_pairs": q.doc_ngram_verified_pairs,

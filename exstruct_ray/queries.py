@@ -559,6 +559,90 @@ def events_in_order_window(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def doc_leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/valid split: every document is assigned to a
+    split by its near-dup COMPONENT, never individually — so two
+    near-duplicate documents can never land on opposite sides of the
+    split (the eval-leakage failure mode a per-doc random split
+    guarantees at corpus scale). Group rep = component min doc_id
+    (singletons rep themselves); the 10% valid cut hashes the REP with
+    the same content-free md5 bucketing as doc_sample_10pct, so the
+    split is reproducible across runs, machines, and retries.
+
+    Shape: MinHash pairs -> components (dedup_groups_auto: driver
+    union-find under the pair limit, distributed label propagation
+    above it); the doc->group table is bounded by the DUPLICATED doc
+    count (same broadcast contract as doc_neardup_survivors, documented
+    there) and ships via ray.put; the per-doc pass is scan-local — no
+    shuffle touches the full corpus."""
+    import hashlib
+
+    import ray
+
+    from .ops.dedup import dedup_groups_auto, minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.7)
+    groups = dedup_groups_auto(pairs)
+    mapping = dict(
+        zip(groups["doc_id"].astype(int), groups["group_id"].astype(int))
+    )
+    ref = ray.put(mapping)
+
+    def assign(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        m: dict = ray.get(_ref)
+        did = batch["doc_id"].astype("int64").to_numpy()
+        grp = np.array([m.get(int(d), int(d)) for d in did], dtype=np.int64)
+        bucket = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(int(g)).encode()).digest()[:4], "big"
+                )
+                % 10
+                for g in grp
+            ],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "group_id": grp,
+                "split": np.where(bucket == 0, "valid", "train"),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(assign, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL_LEAKAGE_SPLIT_SUFFIX = """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.7
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac WHERE j >= 0.7
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    grp AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(g.group_id, d.doc_id) AS BIGINT) AS group_id,
+           CASE WHEN CAST('0x' || substr(
+                    md5(CAST(COALESCE(g.group_id, d.doc_id) AS VARCHAR)),
+                    1, 8) AS UBIGINT) % 10 = 0
+                THEN 'valid' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN grp g USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 def doc_sample_10pct(sf_dir: str):
     """Deterministic 10% corpus sample via content-free hash bucketing.
 
@@ -2137,6 +2221,11 @@ ORACLE_SQL["doc_ngram_verified_pairs"] = (
 
 # Connected components over the near-dup pairs (recursive label reach,
 # min-id label per component) — mirrors ops.dedup.dedup_groups.
+ORACLE_SQL["doc_leakage_safe_split"] = (
+    _CHAR5_PAIRS.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + ORACLE_SQL_LEAKAGE_SPLIT_SUFFIX
+)
+
 ORACLE_SQL["doc_dedup_groups"] = (
     _CHAR5_PAIRS.replace("WITH sh AS", "WITH RECURSIVE sh AS")
     + """

@@ -36,3 +36,33 @@ class TestDedupGroupSizes:
         # every component has >= 2 members (singletons never enter the
         # pair graph)
         assert int(hist["group_size"].min()) >= 2
+
+
+class TestLeakageSafeSplit:
+    def test_matches_oracle_and_covers_corpus(self, ray_session):
+        from exstruct_ray.queries import doc_leakage_safe_split
+
+        got = doc_leakage_safe_split(SF_DIR).reset_index(drop=True)
+        want = _oracle("doc_leakage_safe_split", SF_DIR)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # every document gets exactly one split; both splits non-empty
+        # on the real corpus
+        assert len(got) == 500
+        assert set(got["split"].unique()) <= {"train", "valid"}
+        assert (got["split"] == "valid").any()
+        assert (got["split"] == "train").any()
+
+    def test_near_dups_never_straddle(self, ray_session):
+        """The invariant the query exists for: all members of a
+        near-dup component share one split."""
+        from exstruct_ray.queries import (
+            doc_dedup_groups,
+            doc_leakage_safe_split,
+        )
+
+        split = doc_leakage_safe_split(SF_DIR)
+        groups = doc_dedup_groups(SF_DIR)
+        m = groups.merge(split, on="doc_id")
+        assert (m.groupby("group_id_y")["split"].nunique() == 1).all()
+        # and the group ids agree between the two queries
+        assert (m["group_id_x"] == m["group_id_y"]).all()
