@@ -990,3 +990,99 @@ class TestQ21:
         out = q21_waiting_suppliers(str(tmp_path))
         assert out["s_name"].tolist() == ["SA"]
         assert out["numwait"].tolist() == [1]
+
+
+class TestNewShapesEmptyPaths:
+    """The zero-qualifying-row guards: every new query must return its
+    typed empty frame (right columns, right dtypes) instead of crashing
+    on the zero-column-block gotcha."""
+
+    def test_q2_no_region_match(self, ray_session, tmp_path):
+        _mini_tables(
+            tmp_path,
+            region=pd.DataFrame(
+                {"r_regionkey": [0], "r_name": ["NOWHERE"]}
+            ),
+        )
+        from exstruct_ray.queries import q2_min_cost_supplier
+
+        out = q2_min_cost_supplier(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == [
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand"
+        ]
+
+    def test_q11_no_region_match(self, ray_session, tmp_path):
+        _mini_tables(
+            tmp_path,
+            region=pd.DataFrame(
+                {"r_regionkey": [0], "r_name": ["NOWHERE"]}
+            ),
+        )
+        from exstruct_ray.queries import q11_important_stock
+
+        out = q11_important_stock(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == ["p_partkey", "total_value"]
+
+    def test_q20_no_promo_parts(self, ray_session, tmp_path):
+        _mini_tables(
+            tmp_path,
+            part=pd.DataFrame(
+                {
+                    "p_partkey": [1],
+                    "p_name": ["pa"],
+                    "p_brand": ["Brand#1"],
+                    "p_type": ["LARGE"],
+                    "p_size": [5],
+                    "p_retailprice": [10.0],
+                }
+            ),
+        )
+        from exstruct_ray.queries import q20_potential_promotion
+
+        out = q20_potential_promotion(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == ["s_name", "s_acctbal"]
+
+    def test_q21_no_finished_orders(self, ray_session, tmp_path):
+        _mini_tables(
+            tmp_path,
+            orders=pd.DataFrame(
+                {
+                    "o_orderkey": [100],
+                    "o_custkey": [1],
+                    "o_orderstatus": ["O"],
+                    "o_totalprice": [1.0],
+                    "o_orderdate": [pd.Timestamp("1997-06-01")],
+                    "o_orderpriority": ["5-LOW"],
+                }
+            ),
+        )
+        from exstruct_ray.queries import q21_waiting_suppliers
+
+        out = q21_waiting_suppliers(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == ["s_name", "numwait"]
+
+    def test_q16_all_parts_excluded(self, ray_session, tmp_path):
+        _mini_tables(
+            tmp_path,
+            part=pd.DataFrame(
+                {
+                    "p_partkey": [1],
+                    "p_name": ["pa"],
+                    "p_brand": ["Brand#45"],  # excluded brand
+                    "p_type": ["LARGE"],
+                    "p_size": [1],
+                    "p_retailprice": [1.0],
+                }
+            ),
+        )
+        from exstruct_ray.queries import q16_parts_supplier
+
+        out = q16_parts_supplier(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == [
+            "p_brand", "p_type", "p_size", "supplier_cnt"
+        ]
