@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": q.part_type_stats,
         # Training-data ops
         "doc_normalize_text": q.doc_normalize_text,
+        "doc_c4_filters": q.doc_c4_filters,
         "doc_dedup_lines_within": q.doc_dedup_lines_within,
         "doc_mixture_sample": q.doc_mixture_sample,
         "doc_token_stats": q.doc_token_stats,

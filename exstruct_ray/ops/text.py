@@ -827,3 +827,79 @@ def normalize_text_batch(batch):
 def normalize_text(ds):
     """Dataset-level normalization: one stateless vectorized pass."""
     return ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
+# --- C4 line-level cleaning (Raffel et al. 2020, §2.2 "C4") ------------
+#
+# The published rules this implements, per PAGE of newline-separated
+# lines (each rule exercised by tests/test_c4.py on crafted pages):
+#   line kept only if it (1) ends in a terminal punctuation mark
+#   (. ! ? "), (2) has at least 5 words, (3) does not contain the word
+#   "javascript" (case-insensitive);
+#   the whole page is dropped if it contains "lorem ipsum"
+#   (case-insensitive) or a curly brace "{", or if fewer than 3 lines
+#   survive the line rules (C4's 3-sentence floor).
+# Entirely per-doc -> a stateless shuffle-free map_batches stage;
+# vectorized via pandas explode + RE2 string kernels (no Python loop
+# over lines).
+
+_C4_TERMINAL_RE = r'[.!?"]$'
+_C4_WORD_RE = r"\S+"
+_C4_MIN_WORDS = 5
+_C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_filter_batch(texts: pd.Series) -> pd.DataFrame:
+    """Apply the C4 line + page rules to a Series of page texts.
+
+    Returns a frame aligned with ``texts``: clean_text (kept lines
+    re-joined with \\n; empty string when the page is dropped),
+    n_lines, n_kept (lines surviving the line rules), keep (0/1 page
+    verdict)."""
+    s = texts.fillna("")
+    lines = s.str.split("\n")
+    n_lines = lines.str.len().to_numpy(dtype=np.int64)
+    if len(s):
+        flat = pd.Series(
+            np.concatenate([np.asarray(v, dtype=object) for v in lines]),
+            dtype=object,
+        )
+    else:
+        flat = pd.Series([], dtype=object)
+    parent = np.arange(len(s)).repeat(n_lines)
+    t = flat.str.strip()
+    kept_mask = (
+        t.str.contains(_C4_TERMINAL_RE, regex=True)
+        & (t.str.count(_C4_WORD_RE) >= _C4_MIN_WORDS)
+        & ~t.str.lower().str.contains("javascript", regex=False)
+    ).to_numpy(dtype=bool)
+
+    low = s.str.lower()
+    page_bad = (
+        low.str.contains("lorem ipsum", regex=False)
+        | s.str.contains("{", regex=False)
+    ).to_numpy(dtype=bool)
+
+    kept = pd.DataFrame(
+        {"i": parent[kept_mask], "line": t.to_numpy(dtype=object)[kept_mask]}
+    )
+    if len(kept):
+        joined = kept.groupby("i", sort=False)["line"].agg("\n".join)
+        counts = kept.groupby("i", sort=False)["line"].size()
+    else:
+        joined = pd.Series(dtype=object)
+        counts = pd.Series(dtype="int64")
+    idx = pd.RangeIndex(len(s))
+    n_kept = counts.reindex(idx).fillna(0).to_numpy(dtype=np.int64)
+    keep = (~page_bad) & (n_kept >= _C4_MIN_KEPT_LINES)
+    clean = np.where(
+        keep, joined.reindex(idx).fillna("").to_numpy(dtype=object), ""
+    )
+    return pd.DataFrame(
+        {
+            "clean_text": pd.Series(clean, dtype=object),
+            "n_lines": n_lines,
+            "n_kept": n_kept,
+            "keep": keep.astype(np.int64),
+        }
+    )

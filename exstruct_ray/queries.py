@@ -9626,3 +9626,108 @@ ORACLE_SQL["doc_dedup_lines_within"] = """
     GROUP BY f.doc_id
     ORDER BY f.doc_id
 """
+
+
+def _synth_c4_page(doc_id: int, text: str) -> str:
+    """Deterministic boilerplate-laced page around a document (same
+    discipline as doc_html_main_content's synth_page): the space-joined
+    text is chunked into 8-word lines, line i ends with '.' only when
+    (doc_id + i) % 3 != 2 (exercising the terminal-punctuation rule; the
+    trailing <5-word chunk exercises the min-words rule), a 'javascript'
+    nav line heads every page (line rule 3), and every 7th document gets
+    a curly-brace footer (the page-level drop rule)."""
+    words = (text or "").split()
+    lines = ["please enable javascript to view this page."]
+    for i in range(0, (len(words) + 7) // 8):
+        chunk = " ".join(words[i * 8 : i * 8 + 8])
+        if (doc_id + i) % 3 != 2:
+            chunk += "."
+        lines.append(chunk)
+    if doc_id % 7 == 0:
+        lines.append("cookie settings { accept all choices }.")
+    return "\n".join(lines)
+
+
+def doc_c4_filters(sf_dir: str):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthesized
+    boilerplate pages: keep lines ending in terminal punctuation with >=5
+    words and no 'javascript'; drop pages containing 'lorem ipsum' / '{'
+    or with <3 surviving lines. The synthesis is deterministic in
+    (doc_id, text), so the oracle re-derives every output column — which
+    chunks survive, the exact re-joined clean text, and the page verdict —
+    from the raw documents table in SQL. Per-doc and shuffle-free:
+    one stateless vectorized map_batches pass (ops/text.py:
+    c4_line_filter_batch), the same shape at 100 TB."""
+    from .ops.text import c4_line_filter_batch
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        pages = pd.Series(
+            [
+                _synth_c4_page(int(d), t)
+                for d, t in zip(batch["doc_id"], batch["text"].fillna(""))
+            ],
+            dtype=object,
+        )
+        out = c4_line_filter_batch(pages)
+        out.insert(0, "doc_id", batch["doc_id"].astype("int64").to_numpy())
+        return out
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(run, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_c4_filters"] = """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(coalesce(text, ''),
+                                              '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, arr,
+             CASE WHEN arr = [''] THEN 0 ELSE len(arr) END AS nwords
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(nwords / 8.0) AS BIGINT))) AS i,
+             arr, nwords
+      FROM sized
+    ),
+    lines AS (
+      SELECT doc_id, i,
+             array_to_string(arr[i * 8 + 1 : i * 8 + 8], ' ')
+               || CASE WHEN (doc_id + i) % 3 <> 2 THEN '.' ELSE '' END
+               AS line,
+             ((doc_id + i) % 3 <> 2
+              AND least(8, nwords - i * 8) >= 5) AS kept
+      FROM chunks
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY i)
+               AS joined,
+             count(*) FILTER (WHERE kept) AS kept_chunks,
+             count(*) AS n_chunks
+      FROM lines GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CASE WHEN s.doc_id % 7 <> 0
+                 AND coalesce(p.kept_chunks, 0) >= 3
+                THEN coalesce(p.joined, '') ELSE '' END AS clean_text,
+           CAST(coalesce(p.n_chunks, 0) + 1
+                + CASE WHEN s.doc_id % 7 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_lines,
+           CAST(coalesce(p.kept_chunks, 0)
+                + CASE WHEN s.doc_id % 7 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_kept,
+           CAST(CASE WHEN s.doc_id % 7 <> 0
+                      AND coalesce(p.kept_chunks, 0) >= 3
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM sized s LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY s.doc_id
+"""
