@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_counts": q.doc_bpe_token_counts,
         "textdoc_html_density": q.textdoc_html_density,
         "doc_bigram_rarity": q.doc_bigram_rarity,
+        "doc_pmi_collocations": q.doc_pmi_collocations,
         "corpus_profile": q.corpus_profile,
         # Multimodal: perceptual-hash image dedup
         "image_ahash": q.image_ahash,

@@ -9731,3 +9731,90 @@ ORACLE_SQL["doc_c4_filters"] = """
     FROM sized s LEFT JOIN per_doc p USING (doc_id)
     ORDER BY s.doc_id
 """
+
+
+def doc_pmi_collocations(sf_dir: str):
+    """Corpus-level collocation mining: top-20 adjacent word pairs by an
+    integer PMI proxy (the word2vec-phrases / Mikolov et al. 2013 scoring
+    shape): score = (pair_count * total_tokens * 1e6) // (count_w1 *
+    count_w2), pairs with fewer than 5 occurrences dropped. Two compact
+    count exchanges (the existing unigram and bigram coarse-bucket
+    shuffles); the fold is over the bigram-VOCABULARY-sized table — the
+    bounded dimension, per the mixture-sample discipline — with Python-int
+    products so the 100-TB token total cannot overflow before the floor
+    division."""
+    from .ops.text import (
+        _BIGRAM_SEP,
+        corpus_bigram_counts,
+        corpus_token_counts,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    uni = corpus_token_counts(ds)
+    bi = corpus_bigram_counts(ds)
+
+    empty = pd.DataFrame(
+        {
+            "w1": pd.Series(dtype="object"),
+            "w2": pd.Series(dtype="object"),
+            "pair_count": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="int64"),
+        }
+    )
+    if (
+        not len(uni)
+        or not len(bi)
+        or "token" not in uni.columns
+        or "bigram" not in bi.columns
+    ):
+        return empty
+
+    n_total = int(uni["n"].sum())
+    counts = dict(zip(uni["token"], uni["n"].astype(int)))
+    rows = []
+    for bg, c in zip(bi["bigram"], bi["n"].astype(int)):
+        if c < 5:
+            continue
+        w1, w2 = bg.split(_BIGRAM_SEP, 1)
+        score = (c * n_total * 1_000_000) // (counts[w1] * counts[w2])
+        rows.append((w1, w2, c, score))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    top = rows[:20]
+    return pd.DataFrame(
+        {
+            "w1": pd.Series([r[0] for r in top], dtype="object"),
+            "w2": pd.Series([r[1] for r in top], dtype="object"),
+            "pair_count": pd.Series([r[2] for r in top], dtype="int64"),
+            "score": pd.Series([r[3] for r in top], dtype="int64"),
+        }
+    )
+
+
+ORACLE_SQL["doc_pmi_collocations"] = """
+    WITH arrs AS (
+      SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    toks AS (SELECT unnest(arr) AS w FROM arrs),
+    uni AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+    tot AS (SELECT count(*) AS nt FROM toks),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(arr)), i -> arr[i])) AS w1,
+             unnest(list_transform(range(1, len(arr)), i -> arr[i + 1])) AS w2
+      FROM arrs WHERE len(arr) >= 2
+    ),
+    cnt AS (
+      SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT cnt.w1, cnt.w2,
+           CAST(cnt.c AS BIGINT) AS pair_count,
+           CAST((CAST(cnt.c AS HUGEINT) * tot.nt * 1000000)
+                // (CAST(ua.n AS HUGEINT) * ub.n) AS BIGINT) AS score
+    FROM cnt, tot
+    JOIN uni ua ON ua.w = cnt.w1
+    JOIN uni ub ON ub.w = cnt.w2
+    ORDER BY score DESC, cnt.w1, cnt.w2
+    LIMIT 20
+"""
