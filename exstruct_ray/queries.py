@@ -9818,3 +9818,100 @@ ORACLE_SQL["doc_pmi_collocations"] = """
     ORDER BY score DESC, cnt.w1, cnt.w2
     LIMIT 20
 """
+
+
+def embedding_knn_graph(sf_dir: str):
+    """Exact k-NN graph (k=5, cosine) over the embedding table — the
+    building block for graph-based semantic curation (SemDeDup cluster
+    seeding, graph-density filtering, label propagation over semantic
+    edges). Same contract as embedding_neardup_pairs: the EXACT
+    small-corpus tier — the normalized matrix is broadcast once via
+    ray.put and every batch scores against it vectorized (no per-row
+    Python); total work is O(n²/p) by definition of an exact graph. At
+    corpus scale the approximate tier (embedding_topk_ivf / PQ-ADC) is
+    the drop-in: same per-batch partial top-k shape, candidates cut to
+    the probed cells. Ranks tie-break by ascending neighbor id (stable
+    argsort over the id-ascending broadcast matrix = the oracle's
+    row_number ORDER BY sim DESC, vec_id)."""
+    import ray
+
+    k = 5
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = table.to_pandas().sort_values("vec_id")
+    all_ids = df["vec_id"].to_numpy(dtype=np.int64)
+    matrix = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put({"ids": all_ids, "matrix": matrix / norms})
+
+    class KnnGraph:
+        def __init__(self, broadcast_ref):
+            data = ray.get(broadcast_ref)
+            self._ids = data["ids"]
+            self._matrix = data["matrix"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            if not len(batch):
+                return pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(dtype="int64"),
+                        "neighbor_id": pd.Series(dtype="int64"),
+                        "rank": pd.Series(dtype="int64"),
+                    }
+                )
+            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (vecs / n) @ self._matrix.T
+            batch_ids = np.asarray(batch["vec_id"], dtype=np.int64)
+            # mask self-similarity, then stable argsort of -sims: ties
+            # fall back to matrix position = ascending neighbor id
+            self_mask = self._ids[None, :] == batch_ids[:, None]
+            sims[self_mask] = -np.inf
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(batch_ids, k),
+                    "neighbor_id": self._ids[order].reshape(-1),
+                    "rank": np.tile(
+                        np.arange(1, k + 1, dtype=np.int64), len(batch_ids)
+                    ),
+                }
+            )
+
+    from .stages.pipeline import _default_concurrency
+
+    out = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(
+            KnnGraph,
+            fn_constructor_kwargs={"broadcast_ref": ref},
+            batch_format="pandas",
+            concurrency=_default_concurrency(),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+ORACLE_SQL["embedding_knn_graph"] = """
+    SELECT vec_id, neighbor_id, rank FROM (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) DESC,
+                            b.vec_id
+               ) AS rank
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id <> b.vec_id
+    )
+    WHERE rank <= 5
+    ORDER BY vec_id, rank
+"""
