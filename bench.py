@@ -225,6 +225,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("q12_linestatus_priority", q.q12_linestatus_priority),
         ("q16_parts_supplier", q.q16_parts_supplier),
         ("q21_waiting_suppliers", q.q21_waiting_suppliers),
+        ("doc_c4_filters", q.doc_c4_filters),
+        ("doc_pmi_collocations", q.doc_pmi_collocations),
+        ("embedding_knn_graph", q.embedding_knn_graph),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

@@ -9915,3 +9915,93 @@ ORACLE_SQL["embedding_knn_graph"] = """
     WHERE rank <= 5
     ORDER BY vec_id, rank
 """
+
+
+def doc_snapshot_ingest(sf_dir: str):
+    """Incremental snapshot ingest: the batch counterpart of the
+    streaming dedup index. Snapshot A = docs with doc_id % 10 != 9
+    (yesterday's crawl); the arrivals are the % 10 == 9 rows. Emit one
+    row per genuinely NEW piece of content — arrival content absent from
+    A — with the canonical (minimum) arriving doc_id and the arrival
+    copy count. One content-hash pass, one coarse hash-bucket shuffle
+    with the old/new anti-join resolved exactly in-group (the tagged
+    union pattern; only (doc_id, hash, flag) ride the exchange). The
+    same shape diffs two 100-TB snapshots: bytes shuffled are
+    hash-table-sized, never corpus-sized."""
+    import hashlib
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        hashes = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"].tolist()
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": ids.to_numpy(),
+                "content_hash": pd.Series(hashes, dtype="object"),
+                "is_new": (ids % 10 == 9).to_numpy(),
+                "bucket": pd.Series(
+                    [int(h[:2], 16) for h in hashes], dtype="int64"
+                ),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "content_hash": pd.Series(dtype="object"),
+                "n_copies": pd.Series(dtype="int64"),
+            }
+        )
+        if "content_hash" not in group.columns or not len(group):
+            return empty
+        old = set(group.loc[~group["is_new"], "content_hash"])
+        new = group[group["is_new"] & ~group["content_hash"].isin(old)]
+        if not len(new):
+            return empty
+        agg = (
+            new.groupby("content_hash", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+            .reset_index()
+        )
+        agg["doc_id"] = agg["doc_id"].astype("int64")
+        agg["n_copies"] = agg["n_copies"].astype("int64")
+        return agg[["doc_id", "content_hash", "n_copies"]]
+
+    out = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        # every hash bucket was empty -> zero-column blocks (CLAUDE.md
+        # groupby gotcha); restore the typed empty frame
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "content_hash": pd.Series(dtype="object"),
+                "n_copies": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_snapshot_ingest"] = """
+    WITH h AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS content_hash
+      FROM documents
+    ),
+    old AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 <> 9),
+    arrivals AS (SELECT * FROM h WHERE doc_id % 10 = 9)
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+           content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM arrivals
+    WHERE content_hash NOT IN (SELECT content_hash FROM old)
+    GROUP BY content_hash
+    ORDER BY doc_id
+"""
