@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_ann_recall": q.embedding_ann_recall,
         "embedding_label_centroids": q.embedding_label_centroids,
         "embedding_kmeans": q.embedding_kmeans,
+        "embedding_cluster_purity": q.embedding_cluster_purity,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
         "embedding_knn_graph": q.embedding_knn_graph,
         "embedding_neardup_lsh": q.embedding_neardup_lsh,

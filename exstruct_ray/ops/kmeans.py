@@ -36,7 +36,9 @@ def quantize_embeddings(vectors: np.ndarray) -> np.ndarray:
     )
 
 
-def quantize_dataset(ds, dim: int = 64, vec_column: str = "embedding"):
+def quantize_dataset(
+    ds, dim: int = 64, vec_column: str = "embedding", carry: tuple = ()
+):
     """ONE quantization pass over the embedding table, materialized.
 
     Every integer-exact embedding op (k-means iterations, SemDeDup's final
@@ -60,12 +62,15 @@ def quantize_dataset(ds, dim: int = 64, vec_column: str = "embedding"):
                 [np.asarray(v, dtype=np.float64) for v in batch[vec_column]]
             )
         )
-        return pd.DataFrame(
-            {
-                "vec_id": batch["vec_id"].reset_index(drop=True).astype("int64"),
-                "qe": pd.Series([row.tobytes() for row in q], dtype="object"),
-            }
-        )
+        cols = {
+            "vec_id": batch["vec_id"].reset_index(drop=True).astype("int64"),
+            "qe": pd.Series([row.tobytes() for row in q], dtype="object"),
+        }
+        # carry: narrow side columns (e.g. a label) ride the quantized
+        # table so downstream assignment passes need no join back
+        for c in carry:
+            cols[c] = batch[c].reset_index(drop=True)
+        return pd.DataFrame(cols)
 
     return ds.map_batches(quantize_batch, batch_format="pandas").materialize()
 
@@ -596,3 +601,51 @@ def train_pq_codebooks(
         kmeans_fit_q(qds, k=k, n_iter=n_iter, dim=sub, qe_dim=dim, lo=j * sub)[0]
         for j in range(m)
     ]
+
+
+def cluster_purity_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """DuckDB SQL for embedding_cluster_purity: the k-means chain, one
+    more assignment round against the FINAL centroids (same afin CTE as
+    the SemDeDup oracle), then per-cluster majority-label counts with the
+    (count DESC, label ASC) tie-break and integer permille purity."""
+    chain, final_c, _ = kmeans_chain_sql(k=k, n_iter=n_iter, dim=dim)
+    return (
+        chain
+        + f""",
+    dfin AS (
+      SELECT q.vec_id, p.cluster_id,
+             list_sum([(q.qe[i] - p.c[i]) * (q.qe[i] - p.c[i])
+                       for i in range(1, {dim + 1})]) AS dist
+      FROM q CROSS JOIN {final_c} p
+    ),
+    afin AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster_id) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    ),
+    lab AS (
+      SELECT a.cluster_id, e.label, count(*) AS c
+      FROM afin a JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    tops AS (
+      SELECT cluster_id, label AS top_label, c AS n_top FROM (
+        SELECT cluster_id, label, c,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY c DESC, label) AS rn
+        FROM lab
+      ) WHERE rn = 1
+    ),
+    csize AS (SELECT cluster_id, sum(c) AS n_vecs FROM lab GROUP BY 1)
+    SELECT s.cluster_id,
+           CAST(s.n_vecs AS BIGINT) AS n_vecs,
+           CAST(t.top_label AS BIGINT) AS top_label,
+           CAST(t.n_top AS BIGINT) AS n_top,
+           CAST((1000 * t.n_top) // s.n_vecs AS BIGINT) AS purity_permille
+    FROM csize s JOIN tops t USING (cluster_id)
+    ORDER BY s.cluster_id
+    """
+    )

@@ -10005,3 +10005,86 @@ ORACLE_SQL["doc_snapshot_ingest"] = """
     GROUP BY content_hash
     ORDER BY doc_id
 """
+
+
+def embedding_cluster_purity(sf_dir: str):
+    """Cluster-quality evaluation for the semantic tier: majority-label
+    purity of the exact k-means clustering against the embedding table's
+    ground-truth labels — the metric that sizes k before pointing
+    SemDeDup at a corpus. One quantization pass feeds the fit AND the
+    final assignment (the label column rides the quantized table via
+    quantize_dataset(carry=...), so no join back); the per-batch
+    (cluster, label) partial counts fold driver-side over the k x
+    n_labels grid — the bounded dimension. Tie on counts -> lower label,
+    purity as integer permille: bit-identical to the chained-CTE oracle.
+    """
+    import ray
+
+    from .ops.kmeans import (
+        _assign,
+        decode_qe,
+        kmeans_fit_q,
+        quantize_dataset,
+    )
+
+    k, dim = 4, 64
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    qds = quantize_dataset(ds, dim=dim, carry=("label",))
+    centroids, _ = kmeans_fit_q(qds, k=k, n_iter=3, dim=dim)
+    ref = ray.put(centroids)
+
+    def partial(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        cents = ray.get(_ref)
+        q = decode_qe(batch["qe"].to_numpy(), dim)
+        clusters = _assign(q, cents)
+        df = pd.DataFrame(
+            {
+                "cluster_id": pd.Series(clusters, dtype="int64"),
+                "label": batch["label"].astype("int64").to_numpy(),
+            }
+        )
+        out = (
+            df.groupby(["cluster_id", "label"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    partials = qds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = (
+        partials.groupby(["cluster_id", "label"], sort=False)["c"]
+        .sum()
+        .reset_index()
+    )
+    rows = []
+    for cid, grp in agg.groupby("cluster_id"):
+        n_vecs = int(grp["c"].sum())
+        grp = grp.sort_values(["c", "label"], ascending=[False, True])
+        top = grp.iloc[0]
+        rows.append(
+            (
+                int(cid),
+                n_vecs,
+                int(top["label"]),
+                int(top["c"]),
+                (1000 * int(top["c"])) // n_vecs,
+            )
+        )
+    rows.sort()
+    return pd.DataFrame(
+        {
+            "cluster_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_vecs": pd.Series([r[1] for r in rows], dtype="int64"),
+            "top_label": pd.Series([r[2] for r in rows], dtype="int64"),
+            "n_top": pd.Series([r[3] for r in rows], dtype="int64"),
+            "purity_permille": pd.Series([r[4] for r in rows], dtype="int64"),
+        }
+    )
+
+
+from .ops.kmeans import cluster_purity_oracle_sql as _cluster_purity_oracle_sql
+
+ORACLE_SQL["embedding_cluster_purity"] = _cluster_purity_oracle_sql(
+    k=4, n_iter=3, dim=64
+)
