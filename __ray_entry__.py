@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pdf_layout_text": q.doc_pdf_layout_text,
         "doc_source_quota": q.doc_source_quota,
         "doc_bpe_token_counts": q.doc_bpe_token_counts,
+        "doc_tokenize_ids": q.doc_tokenize_ids,
         "textdoc_html_density": q.textdoc_html_density,
         "doc_bigram_rarity": q.doc_bigram_rarity,
         "doc_pmi_collocations": q.doc_pmi_collocations,

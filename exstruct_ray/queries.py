@@ -10088,3 +10088,86 @@ from .ops.kmeans import cluster_purity_oracle_sql as _cluster_purity_oracle_sql
 ORACLE_SQL["embedding_cluster_purity"] = _cluster_purity_oracle_sql(
     k=4, n_iter=3, dim=64
 )
+
+
+def doc_tokenize_ids(sf_dir: str):
+    """Tokenizer deployment — the step after vocabulary building: encode
+    every document as vocabulary ids (rank by corpus count DESC, token
+    ASC — the classic frequency-ordered id assignment). One corpus count
+    exchange (corpus_token_counts), the id table built driver-side over
+    the VOCABULARY-bounded dimension and broadcast via ray.put, then a
+    stateless vectorized encode pass (explode + dict map, positions from
+    one arange — no per-token Python). Output is the exploded
+    (doc_id, pos, token_id) training-ready stream."""
+    import ray
+
+    from .ops.text import corpus_token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = corpus_token_counts(ds)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "pos": pd.Series(dtype="int64"),
+            "token_id": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(counts) or "token" not in counts.columns:
+        return empty
+    ranked = counts.sort_values(
+        ["n", "token"], ascending=[False, True]
+    ).reset_index(drop=True)
+    vocab = dict(zip(ranked["token"], range(len(ranked))))
+    ref = ray.put(vocab)
+
+    def encode(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        v = ray.get(_ref)
+        toks = (
+            batch["text"].fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
+        )
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        if not n.sum():
+            return empty
+        flat = pd.Series(
+            np.concatenate([np.asarray(t, dtype=object) for t in toks]),
+            dtype=object,
+        )
+        starts = np.repeat(np.cumsum(n) - n, n)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(
+                    batch["doc_id"].to_numpy(dtype=np.int64), n
+                ),
+                "pos": np.arange(int(n.sum()), dtype=np.int64) - starts,
+                "token_id": flat.map(v).to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = ds.map_batches(encode, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:
+        return empty
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+ORACLE_SQL["doc_tokenize_ids"] = """
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(arr) AS w,
+             generate_subscripts(arr, 1) - 1 AS pos
+      FROM arrs
+    ),
+    vocab AS (
+      SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) - 1 AS token_id
+      FROM toks GROUP BY w
+    )
+    SELECT t.doc_id,
+           CAST(t.pos AS BIGINT) AS pos,
+           CAST(v.token_id AS BIGINT) AS token_id
+    FROM toks t JOIN vocab v ON v.w = t.w
+    ORDER BY t.doc_id, t.pos
+"""
