@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": q.embedding_label_centroids,
         "embedding_kmeans": q.embedding_kmeans,
         "embedding_cluster_purity": q.embedding_cluster_purity,
+        "embedding_kmeans_inertia": q.embedding_kmeans_inertia,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
         "embedding_knn_graph": q.embedding_knn_graph,
         "embedding_neardup_lsh": q.embedding_neardup_lsh,

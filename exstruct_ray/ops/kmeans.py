@@ -649,3 +649,36 @@ def cluster_purity_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str
     ORDER BY s.cluster_id
     """
     )
+
+
+def kmeans_inertia_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """DuckDB SQL for embedding_kmeans_inertia: per-cluster member counts
+    and exact integer within-cluster squared-L2 sums (μ-unit domain)
+    against the FINAL fitted centroids, plus the floor per-member mean."""
+    chain, final_c, _ = kmeans_chain_sql(k=k, n_iter=n_iter, dim=dim)
+    return (
+        chain
+        + f""",
+    dfin AS (
+      SELECT q.vec_id, p.cluster_id,
+             list_sum([(q.qe[i] - p.c[i]) * (q.qe[i] - p.c[i])
+                       for i in range(1, {dim + 1})]) AS dist
+      FROM q CROSS JOIN {final_c} p
+    ),
+    afin AS (
+      SELECT vec_id, cluster_id, dist FROM (
+        SELECT vec_id, cluster_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster_id) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(dist) AS BIGINT) AS inertia_q,
+           CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist_q
+    FROM afin
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+    )

@@ -10171,3 +10171,71 @@ ORACLE_SQL["doc_tokenize_ids"] = """
     FROM toks t JOIN vocab v ON v.w = t.w
     ORDER BY t.doc_id, t.pos
 """
+
+
+def embedding_kmeans_inertia(sf_dir: str):
+    """Per-cluster inertia (exact integer within-cluster squared-L2 in
+    μ-units) against the fitted centroids — purity's unsupervised twin:
+    the elbow statistic that sizes k for SemDeDup / IVF before touching
+    a corpus. Same pass structure as embedding_cluster_purity (one
+    quantization feeds fit + final assignment); each batch emits k-row
+    (cluster, n, dist-sum) partials and the driver folds them with
+    Python ints (per-batch int64 sums are safe — dist ≤ ~2.6e14 μu² ×
+    batch rows — while the corpus total could overflow int64, so the
+    fold is arbitrary-precision and only the folded result is cast,
+    matching the oracle's HUGEINT sum)."""
+    import ray
+
+    from .ops.kmeans import (
+        _assign,
+        decode_qe,
+        kmeans_fit_q,
+        quantize_dataset,
+    )
+
+    k, dim = 4, 64
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qds = quantize_dataset(ds, dim=dim)
+    centroids, _ = kmeans_fit_q(qds, k=k, n_iter=3, dim=dim)
+    ref = ray.put(centroids)
+
+    def partial(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        cents = ray.get(_ref)
+        q = decode_qe(batch["qe"].to_numpy(), dim)
+        labels = _assign(q, cents)
+        diffs = q - cents[labels]
+        dists = np.einsum("ij,ij->i", diffs, diffs)
+        df = pd.DataFrame({"cluster_id": labels, "dist": dists})
+        agg = df.groupby("cluster_id").agg(
+            n=("dist", "size"), s=("dist", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "cluster_id": agg.index.to_numpy(dtype=np.int64),
+                "n": agg["n"].to_numpy(dtype=np.int64),
+                "s": agg["s"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = qds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for cid, grp in partials.groupby("cluster_id"):
+        n = int(grp["n"].sum())
+        s = sum(int(x) for x in grp["s"])  # arbitrary-precision fold
+        rows.append((int(cid), n, s, s // n))
+    rows.sort()
+    return pd.DataFrame(
+        {
+            "cluster_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_vecs": pd.Series([r[1] for r in rows], dtype="int64"),
+            "inertia_q": pd.Series([r[2] for r in rows], dtype="int64"),
+            "mean_dist_q": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+from .ops.kmeans import kmeans_inertia_oracle_sql as _kmeans_inertia_oracle_sql
+
+ORACLE_SQL["embedding_kmeans_inertia"] = _kmeans_inertia_oracle_sql(
+    k=4, n_iter=3, dim=64
+)
