@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_verified_pairs": q.doc_ngram_verified_pairs,
         "embedding_topk": q.embedding_topk,
         "embedding_topk_ivf": q.embedding_topk_ivf,
+        "embedding_ivf_stats": q.embedding_ivf_stats,
         "embedding_ann_recall": q.embedding_ann_recall,
         "embedding_label_centroids": q.embedding_label_centroids,
         "embedding_kmeans": q.embedding_kmeans,

@@ -10239,3 +10239,96 @@ from .ops.kmeans import kmeans_inertia_oracle_sql as _kmeans_inertia_oracle_sql
 ORACLE_SQL["embedding_kmeans_inertia"] = _kmeans_inertia_oracle_sql(
     k=4, n_iter=3, dim=64
 )
+
+
+def embedding_ivf_stats(sf_dir: str):
+    """IVF index-balance audit: posting-list sizes of the coarse
+    quantizer over the whole corpus — the skew check that decides
+    whether an ANN index is shard-safe BEFORE queries hit it (a hot
+    cell at 100 TB is a straggler probe). Shuffle-free: each batch
+    emits a 16-cell bincount partial against the broadcast codebook,
+    the driver folds k rows, and empty cells are zero-filled (an
+    invisible empty cell is exactly the audit failure). Shares with
+    the oracle the same seeded codebook literals as embedding_topk_ivf."""
+    from .ops.ann import IVF_CLUSTERS, _normalize, ivf_centroids
+
+    cents = ivf_centroids(64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        vecs = _normalize(
+            np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+        )
+        cl = np.argmax(vecs @ cents.T, axis=1)
+        counts = np.bincount(cl, minlength=IVF_CLUSTERS)
+        return pd.DataFrame(
+            {
+                "cluster_id": np.arange(IVF_CLUSTERS, dtype=np.int64),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    folded = np.zeros(IVF_CLUSTERS, dtype=object)
+    for cid, n in zip(partials["cluster_id"], partials["n"]):
+        folded[int(cid)] += int(n)
+    total = int(folded.sum())
+    share = [
+        (1000 * int(n)) // total if total else 0 for n in folded
+    ]
+    return pd.DataFrame(
+        {
+            "cluster_id": pd.Series(range(IVF_CLUSTERS), dtype="int64"),
+            "n_vecs": pd.Series([int(n) for n in folded], dtype="int64"),
+            "share_permille": pd.Series(share, dtype="int64"),
+        }
+    )
+
+
+def _ivf_stats_oracle_sql() -> str:
+    from .ops.ann import IVF_CLUSTERS, ivf_centroids
+
+    cents = ivf_centroids(64)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in cents[i])}])"
+        for i in range(IVF_CLUSTERS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents(ci, cv) AS (VALUES {values}),
+    assign AS (
+      SELECT vec_id, ci AS cl FROM (
+        SELECT e.vec_id, c.ci,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.ci
+               ) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    sizes AS (SELECT cl, count(*) AS n FROM assign GROUP BY cl),
+    tot AS (SELECT count(*) AS t FROM e)
+    SELECT c.ci AS cluster_id,
+           CAST(coalesce(s.n, 0) AS BIGINT) AS n_vecs,
+           CAST(CASE WHEN t.t = 0 THEN 0
+                     ELSE (1000 * coalesce(s.n, 0)) // t.t END AS BIGINT)
+             AS share_permille
+    FROM cents c CROSS JOIN tot t
+    LEFT JOIN sizes s ON s.cl = c.ci
+    ORDER BY cluster_id
+    """
+
+
+ORACLE_SQL["embedding_ivf_stats"] = _ivf_stats_oracle_sql()
