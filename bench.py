@@ -228,6 +228,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_c4_filters", q.doc_c4_filters),
         ("doc_pmi_collocations", q.doc_pmi_collocations),
         ("embedding_knn_graph", q.embedding_knn_graph),
+        ("embedding_cluster_purity", q.embedding_cluster_purity),
+        ("doc_tokenize_ids", q.doc_tokenize_ids),
+        ("doc_snapshot_ingest", q.doc_snapshot_ingest),
     ]:
         start = time.perf_counter()
         fn(sf_dir)
