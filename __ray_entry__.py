@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_rarity": q.doc_bigram_rarity,
         "doc_pmi_collocations": q.doc_pmi_collocations,
         "corpus_profile": q.corpus_profile,
+        "source_trigram_diversity": q.source_trigram_diversity,
         # Multimodal: perceptual-hash image dedup
         "image_ahash": q.image_ahash,
         "image_neardup_pairs": q.image_neardup_pairs,

@@ -10332,3 +10332,132 @@ def _ivf_stats_oracle_sql() -> str:
 
 
 ORACLE_SQL["embedding_ivf_stats"] = _ivf_stats_oracle_sql()
+
+
+def source_trigram_diversity(sf_dir: str):
+    """Per-source n-gram diversity — the boilerplate-source detector
+    (a template-heavy crawl source repeats the same trigrams; its
+    distinct/total ratio collapses long before per-doc signals fire).
+    One pass: each batch emits (source, gram-key, count) partials with
+    64-bit md5 gram keys, one coarse gram-key bucket shuffle, exact
+    per-(source, gram) merge in-bucket — each (source, gram) lives in
+    exactly one bucket, so bucket partials (source, occurrences,
+    distinct) fold driver-side over the SOURCES-bounded dimension.
+    Exchange bytes are gram-vocabulary-sized, never corpus-sized."""
+    import hashlib
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "key": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+                "bucket": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(batch):
+            return empty
+        rows_s: list = []
+        rows_k: list = []
+        for src, text in zip(batch["source"], batch["text"]):
+            toks = (text or "").lower().split()
+            for a, b, c in zip(toks, toks[1:], toks[2:]):
+                g = f"{a}\x1f{b}\x1f{c}".encode("utf-8")
+                rows_s.append(src)
+                rows_k.append(
+                    int.from_bytes(
+                        hashlib.md5(g).digest()[:8], "big", signed=True
+                    )
+                )
+        if not rows_s:
+            return empty
+        df = pd.DataFrame(
+            {
+                "source": pd.Series(rows_s, dtype="object"),
+                "key": pd.Series(rows_k, dtype="int64"),
+            }
+        )
+        agg = (
+            df.groupby(["source", "key"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        agg["cnt"] = agg["cnt"].astype("int64")
+        agg["bucket"] = (agg["key"] % 256).astype("int64")
+        return agg
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "d": pd.Series(dtype="int64"),
+            }
+        )
+        if "source" not in group.columns or not len(group):
+            return empty
+        per_gram = group.groupby(["source", "key"], sort=False)["cnt"].sum()
+        out = per_gram.groupby(level="source").agg(["sum", "size"])
+        return pd.DataFrame(
+            {
+                "source": out.index.to_numpy(dtype=object),
+                "n": out["sum"].to_numpy(dtype=np.int64),
+                "d": out["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series(dtype="object"),
+            "n_trigrams": pd.Series(dtype="int64"),
+            "n_distinct": pd.Series(dtype="int64"),
+            "diversity_permille": pd.Series(dtype="int64"),
+        }
+    )
+    if "source" not in partials.columns or not len(partials):
+        return empty
+    agg = partials.groupby("source").agg(n=("n", "sum"), d=("d", "sum"))
+    agg = agg.sort_index()
+    return pd.DataFrame(
+        {
+            "source": agg.index.to_numpy(dtype=object),
+            "n_trigrams": agg["n"].to_numpy(dtype=np.int64),
+            "n_distinct": agg["d"].to_numpy(dtype=np.int64),
+            "diversity_permille": (
+                1000 * agg["d"].to_numpy(dtype=np.int64)
+                // agg["n"].to_numpy(dtype=np.int64)
+            ),
+        }
+    )
+
+
+ORACLE_SQL["source_trigram_diversity"] = """
+    WITH arrs AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    tri AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(arr) - 1),
+                                   i -> arr[i] || chr(31) || arr[i + 1]
+                                        || chr(31) || arr[i + 2])) AS g
+      FROM arrs WHERE len(arr) >= 3
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST((1000 * count(DISTINCT g)) // count(*) AS BIGINT)
+             AS diversity_permille
+    FROM tri
+    GROUP BY source
+    ORDER BY source
+"""
