@@ -119,3 +119,43 @@ class TestSynthOracleParity:
         sql = con.execute(ORACLE_SQL["doc_c4_filters"]).df()
         for col in ("clean_text", "n_lines", "n_kept", "keep"):
             assert list(engine[col]) == list(sql[col]), col
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestC4Properties:
+    """Structural invariants of the line filter on arbitrary pages."""
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet='abc JX.!?"{\n\t',
+                max_size=60,
+            ),
+            max_size=6,
+        )
+    )
+    def test_invariants(self, pages):
+        s = pd.Series(pages, dtype=object)
+        out = c4_line_filter_batch(s)
+        assert len(out) == len(pages)
+        for page, row in zip(pages, out.itertuples()):
+            lines = [ln.strip() for ln in (page or "").split("\n")]
+            assert row.n_lines == len(lines)
+            assert 0 <= row.n_kept <= row.n_lines
+            if row.keep:
+                kept = row.clean_text.split("\n")
+                assert len(kept) == row.n_kept >= 3
+                for ln in kept:
+                    # every surviving line passes all three line rules
+                    assert ln and ln[-1] in '.!?"'
+                    assert len(ln.split()) >= 5
+                    assert "javascript" not in ln.lower()
+                    assert ln in lines
+                assert "{" not in (page or "")
+                assert "lorem ipsum" not in (page or "").lower()
+            else:
+                assert row.clean_text == ""
