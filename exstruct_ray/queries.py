@@ -9743,15 +9743,83 @@ def doc_pmi_collocations(sf_dir: str):
     bounded dimension, per the mixture-sample discipline — with Python-int
     products so the 100-TB token total cannot overflow before the floor
     division."""
-    from .ops.text import (
-        _BIGRAM_SEP,
-        corpus_bigram_counts,
-        corpus_token_counts,
-    )
+    import zlib
+
+    from .ops.text import _BIGRAM_SEP
+
+    # ONE tagged pass for both LM orders (corpus_token_counts +
+    # corpus_bigram_counts would each re-read the corpus; the tagged
+    # union rides one coarse key-hash bucket shuffle instead)
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "kind": pd.Series(dtype="int64"),
+                "key": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "bucket": pd.Series(dtype="int64"),
+            }
+        )
+        toks = (
+            batch["text"].fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
+        )
+        unigrams = toks.explode().dropna()
+        bigrams = toks.apply(
+            lambda ws: [a + _BIGRAM_SEP + b for a, b in zip(ws, ws[1:])]
+        ).explode().dropna()
+        frames = []
+        for kind, keys in ((0, unigrams), (1, bigrams)):
+            if not len(keys):
+                continue
+            counts = keys.value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.full(len(counts), kind, dtype=np.int64),
+                        "key": counts.index,
+                        "n": counts.to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            out["key"]
+            .map(lambda t: zlib.crc32(t.encode("utf-8")) % 256)
+            .astype("int64")
+        )
+        return out
+
+    def merge_counts(group: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in group.columns or not len(group):
+            return pd.DataFrame(
+                {
+                    "kind": pd.Series(dtype="int64"),
+                    "key": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        agg = group.groupby(["kind", "key"], sort=False, as_index=False)["n"].sum()
+        agg["n"] = agg["n"].astype("int64")
+        return agg
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    uni = corpus_token_counts(ds)
-    bi = corpus_bigram_counts(ds)
+    counts_all = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    if "key" not in counts_all.columns:
+        counts_all = pd.DataFrame(
+            {
+                "kind": pd.Series(dtype="int64"),
+                "key": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    uni = counts_all[counts_all["kind"] == 0].rename(columns={"key": "token"})
+    bi = counts_all[counts_all["kind"] == 1].rename(columns={"key": "bigram"})
 
     empty = pd.DataFrame(
         {
