@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_exploded": _extract_exploded,
         "edit_patch_extract": _edit_patch_extract,
         "textdoc_extract": q.textdoc_extract,
+        "extract_doc_profile": _extract_doc_profile,
         # Relational operators with exact DuckDB oracles
         "q1_pricing_summary": q.q1_pricing_summary,
         "q2_min_cost_supplier": q.q2_min_cost_supplier,
@@ -321,3 +322,76 @@ def oracle_sql() -> dict[str, str]:
     from exstruct_ray.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
+
+
+def _extract_doc_profile(sf_dir: str):
+    """End-to-end composition: the flagship extraction pipeline FEEDING a
+    corpus-level aggregate — per-document span-kind profile + a
+    table-or-rows usability verdict (the shape a 100-TB curation run uses
+    to route extracted workbooks). Aggregation happens on the unflattened
+    (doc_id, spans) rows via list_parent_indices, so a document can never
+    straddle a batch boundary; the oracle recomputes every column from
+    the pinned golden span parquet in SQL."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from exstruct_ray.stages.pipeline import build_extraction_pipeline
+
+    ds = _corpus_dataset(sf_dir)
+    out = build_extraction_pipeline(ds, batch_size=16)
+
+    def profile(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="object"),
+                "n_spans": pd.Series(dtype="int64"),
+                "n_cell_rows": pd.Series(dtype="int64"),
+                "n_tables": pd.Series(dtype="int64"),
+                "n_shapes": pd.Series(dtype="int64"),
+                "cell_chars": pd.Series(dtype="int64"),
+                "doc_ok": pd.Series(dtype="int64"),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        list_arr = batch.column("spans").combine_chunks()
+        values = list_arr.flatten()
+        parents = pc.list_parent_indices(list_arr).to_numpy()
+        kind = np.asarray(values.field("kind").to_pylist(), dtype=object)
+        text_len = pc.utf8_length(
+            pc.fill_null(values.field("text"), "")
+        ).to_numpy()
+        doc_ids = batch.column("doc_id").to_pylist()
+        n = len(doc_ids)
+        n_spans = np.bincount(parents, minlength=n).astype(np.int64)
+        is_cell = kind == "cell_row"
+        is_table = kind == "table"
+        is_shape = np.isin(kind, ("shape", "arrow", "chart"))
+        n_cell = np.bincount(parents, weights=is_cell, minlength=n).astype(
+            np.int64
+        )
+        n_table = np.bincount(parents, weights=is_table, minlength=n).astype(
+            np.int64
+        )
+        n_shape = np.bincount(parents, weights=is_shape, minlength=n).astype(
+            np.int64
+        )
+        cell_chars = np.bincount(
+            parents, weights=np.where(is_cell, text_len, 0), minlength=n
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="object"),
+                "n_spans": n_spans,
+                "n_cell_rows": n_cell,
+                "n_tables": n_table,
+                "n_shapes": n_shape,
+                "cell_chars": cell_chars,
+                "doc_ok": ((n_table >= 1) | (n_cell >= 5)).astype(np.int64),
+            }
+        )
+
+    res = out.map_batches(profile, batch_format="pyarrow").to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)

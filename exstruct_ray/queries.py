@@ -10529,3 +10529,26 @@ ORACLE_SQL["source_trigram_diversity"] = """
     GROUP BY source
     ORDER BY source
 """
+
+
+ORACLE_SQL["extract_doc_profile"] = f"""
+    WITH s AS (
+      SELECT * FROM read_parquet('{_GOLDEN_DIR}/extract_light_sf0.01.parquet')
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (WHERE kind = 'cell_row') AS BIGINT)
+             AS n_cell_rows,
+           CAST(count(*) FILTER (WHERE kind = 'table') AS BIGINT) AS n_tables,
+           CAST(count(*) FILTER (WHERE kind IN ('shape', 'arrow', 'chart'))
+                AS BIGINT) AS n_shapes,
+           CAST(coalesce(sum(length(text))
+                         FILTER (WHERE kind = 'cell_row'), 0) AS BIGINT)
+             AS cell_chars,
+           CAST(CASE WHEN count(*) FILTER (WHERE kind = 'table') >= 1
+                       OR count(*) FILTER (WHERE kind = 'cell_row') >= 5
+                     THEN 1 ELSE 0 END AS BIGINT) AS doc_ok
+    FROM s
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
