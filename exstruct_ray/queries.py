@@ -9801,7 +9801,13 @@ def doc_pmi_collocations(sf_dir: str):
             )
         agg = group.groupby(["kind", "key"], sort=False, as_index=False)["n"].sum()
         agg["n"] = agg["n"].astype("int64")
-        return agg
+        # push the pair min-count cut into the bucket (counts are final
+        # here — each key lives in one bucket): the driver fold then sees
+        # only surviving bigrams, not the raw pair vocabulary, which at
+        # web scale is the difference between a table and a firehose.
+        # Unigrams (kind 0) all survive — every one can be a PMI
+        # denominator.
+        return agg[(agg["kind"] == 0) | (agg["n"] >= 5)]
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     counts_all = (
