@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_inactive_2001": q.customers_inactive_2001,
         "supplier_balance_by_region": q.supplier_balance_by_region,
         "orders_running_total": q.orders_running_total,
+        "orders_priority_year_pivot": q.orders_priority_year_pivot,
         "events_sessionize": q.events_sessionize,
         "doc_quality_filter": q.doc_quality_filter,
         "doc_gopher_quality": q.doc_gopher_quality,

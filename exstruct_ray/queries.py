@@ -10558,3 +10558,76 @@ ORACLE_SQL["extract_doc_profile"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+def orders_priority_year_pivot(sf_dir: str):
+    """Pivot / crosstab — the one relational reporting shape the suite
+    lacked: order counts as (priority row) x (order-year column) wide
+    table. In-batch (priority, year) partial counts are the only thing
+    that moves (a 5x7 grid per batch); the driver folds the grid and
+    pivots to the fixed 1995–2001 column set (zero-filled — an absent
+    year must be a 0 column, not a missing one). The wide schema is the
+    contract: at any corpus size the exchange is grid-sized."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
+    years = list(range(1995, 2002))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "priority": pd.Series(dtype="object"),
+                    "year": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "priority": batch["o_orderpriority"],
+                "year": pd.to_datetime(batch["o_orderdate"]).dt.year.astype(
+                    "int64"
+                ),
+            }
+        )
+        out = df.groupby(["priority", "year"], sort=False).size().reset_index(
+            name="n"
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if "priority" not in partials.columns or not len(partials):
+        cols = {"priority": pd.Series(dtype="object")}
+        for y in years:
+            cols[f"n_{y}"] = pd.Series(dtype="int64")
+        cols["total"] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols)
+    agg = (
+        partials.groupby(["priority", "year"], sort=False)["n"]
+        .sum()
+        .reset_index()
+    )
+    wide = agg.pivot_table(
+        index="priority", columns="year", values="n", fill_value=0
+    )
+    # total spans ALL years present in the data (count(*) semantics),
+    # not just the pinned column set
+    totals = agg.groupby("priority")["n"].sum().sort_index()
+    wide = wide.reindex(columns=years, fill_value=0).sort_index()
+    out = pd.DataFrame({"priority": wide.index.to_numpy(dtype=object)})
+    for y in years:
+        out[f"n_{y}"] = wide[y].to_numpy(dtype=np.int64)
+    out["total"] = totals.to_numpy(dtype=np.int64)
+    return out.reset_index(drop=True)
+
+
+ORACLE_SQL["orders_priority_year_pivot"] = """
+    SELECT o_orderpriority AS priority,
+           """ + ",\n           ".join(
+    f"CAST(count(*) FILTER (WHERE year(o_orderdate) = {y}) AS BIGINT) AS n_{y}"
+    for y in range(1995, 2002)
+) + """,
+           CAST(count(*) AS BIGINT) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+"""
