@@ -10631,3 +10631,85 @@ ORACLE_SQL["orders_priority_year_pivot"] = """
     GROUP BY o_orderpriority
     ORDER BY priority
 """
+
+
+def events_hourly_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, hour) — ROLLUP's missing sibling: all
+    four grouping levels including the per-hour marginal the rollup
+    can't produce. Same distributed shape: in-batch leaf partials are
+    the only corpus-sized work; all three marginal levels derive from
+    the group-count-sized leaf table, never re-scanning the input.
+    lvl is the GROUPING() bitmask (0 leaf, 1 hour rolled, 2 type
+    rolled, 3 grand total); sentinels '' / -1 as in the rollup."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def leaf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hour = (
+            batch["ts"].dt.floor("h").to_numpy("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        v = np.rint(batch["value"].to_numpy(dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        tmp = pd.DataFrame(
+            {
+                "event_type": batch["event_type"]
+                .fillna("<null>")
+                .astype("object")
+                .to_numpy(),
+                "hour": hour,
+                "n": np.int64(1),
+                "vsum_micro": v,
+            }
+        )
+        return tmp.groupby(["event_type", "hour"], as_index=False).sum()
+
+    leaf = (
+        ds.map_batches(leaf_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "hour"], as_index=False)
+        .sum()
+    )
+    per_type = leaf.groupby("event_type", as_index=False)[
+        ["n", "vsum_micro"]
+    ].sum()
+    per_type["hour"] = np.int64(-1)
+    per_hour = leaf.groupby("hour", as_index=False)[["n", "vsum_micro"]].sum()
+    per_hour["event_type"] = ""
+    total = pd.DataFrame(
+        {
+            "event_type": [""],
+            "hour": np.int64(-1),
+            "n": [leaf["n"].sum()],
+            "vsum_micro": [leaf["vsum_micro"].sum()],
+        }
+    )
+    leaf["lvl"] = np.int64(0)
+    per_type["lvl"] = np.int64(1)
+    per_hour["lvl"] = np.int64(2)
+    total["lvl"] = np.int64(3)
+    out = pd.concat([leaf, per_type, per_hour, total], ignore_index=True)
+    for c in ("n", "vsum_micro", "hour", "lvl"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lvl", "event_type", "hour"]).reset_index(
+        drop=True
+    )[["event_type", "hour", "n", "vsum_micro", "lvl"]]
+
+
+ORACLE_SQL["events_hourly_cube"] = """
+    WITH q AS (
+      SELECT coalesce(event_type, '<null>') AS event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+               AS hour,
+             CAST(round_even(value * 1000000.0, 0) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT coalesce(event_type, '') AS event_type,
+           coalesce(hour, -1) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS vsum_micro,
+           CAST(GROUPING(event_type) * 2 + GROUPING(hour) AS BIGINT) AS lvl
+    FROM q
+    GROUP BY CUBE(event_type, hour)
+    ORDER BY lvl, event_type, hour
+"""

@@ -319,3 +319,41 @@ class TestBudgetSelect:
             expected.reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestHourlyCube:
+    def test_all_four_levels_and_oracle(self, ray_session, tmp_path):
+        from exstruct_ray.queries import ORACLE_SQL, events_hourly_cube
+
+        _write_events(
+            tmp_path,
+            [1.0, 2.0, 3.0, 4.0, 5.5],
+            types=["a", "a", "b", "b", "b"],
+            hours=[0, 1, 0, 0, 2],
+        )
+        out = events_hourly_cube(str(tmp_path))
+        leaf = out[out["lvl"] == 0]
+        per_type = out[out["lvl"] == 1].set_index("event_type")
+        per_hour = out[out["lvl"] == 2].set_index("hour")
+        top = out[out["lvl"] == 3].iloc[0]
+        for t in ("a", "b"):
+            sel = leaf[leaf["event_type"] == t]
+            assert per_type.loc[t, "n"] == sel["n"].sum()
+        # the per-hour marginal (what ROLLUP cannot emit)
+        for h in leaf["hour"].unique():
+            sel = leaf[leaf["hour"] == h]
+            assert per_hour.loc[h, "n"] == sel["n"].sum()
+            assert per_hour.loc[h, "vsum_micro"] == sel["vsum_micro"].sum()
+        assert top["n"] == leaf["n"].sum()
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        expected = con.execute(ORACLE_SQL["events_hourly_cube"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
