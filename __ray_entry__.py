@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans_inertia": q.embedding_kmeans_inertia,
         "embedding_neardup_pairs": q.embedding_neardup_pairs,
         "embedding_knn_graph": q.embedding_knn_graph,
+        "embedding_knn_graph_ivf": q.embedding_knn_graph_ivf,
         "embedding_neardup_lsh": q.embedding_neardup_lsh,
         "embedding_semdedup": q.embedding_semdedup,
         "embedding_pq_codes": q.embedding_pq_codes,

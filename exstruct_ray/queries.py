@@ -10713,3 +10713,190 @@ ORACLE_SQL["events_hourly_cube"] = """
     GROUP BY CUBE(event_type, hour)
     ORDER BY lvl, event_type, hour
 """
+
+
+def embedding_knn_graph_ivf(sf_dir: str):
+    """IVF-bucketed approximate k-NN graph — the SCALE path of
+    embedding_knn_graph made first-class and hash-verified: no broadcast
+    of the corpus matrix, no O(n²). Each vector is replicated to its
+    n_probe nearest coarse cells (replication factor 4), cells gather
+    their ASSIGNED members once, and the in-cell matmul scores probers
+    against members only; per-(vector, cell) partial top-k rows then
+    merge exactly in vec_id buckets (sim DESC, neighbor ASC order, the
+    same tie rule as the exact graph). Exchange volume is n·n_probe
+    rows + n·n_probe·k partials — corpus-linear, never quadratic. The
+    oracle re-derives assignment, probing, candidates and ranks from
+    the same seeded codebook literals (embedding_topk_ivf's contract);
+    recall vs the exact graph is the probe-coverage tradeoff, explicit
+    in the band parameters."""
+    from .ops.ann import IVF_CLUSTERS, IVF_PROBE, _normalize, ivf_centroids
+    from .stages.pipeline import _default_concurrency
+
+    k = 5
+    cents = ivf_centroids(64)
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cell": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "emb": pd.Series(dtype="object"),
+                "is_member": pd.Series(dtype="bool"),
+            }
+        )
+        if not len(batch):
+            return empty
+        vecs = _normalize(
+            np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+        )
+        sims = vecs @ cents.T
+        order = np.argsort(-sims, axis=1, kind="stable")
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        # row i probes cells order[i, :n_probe]; its ASSIGNED cell is
+        # order[i, 0] (argmax = first of the stable ordering)
+        probe_cells = order[:, :IVF_PROBE].reshape(-1)
+        rep_ids = np.repeat(ids, IVF_PROBE)
+        rep_vecs = np.repeat(np.arange(n), IVF_PROBE)
+        member = np.zeros(n * IVF_PROBE, dtype=bool)
+        member[0::IVF_PROBE] = True  # the nearest cell is the home cell
+        return pd.DataFrame(
+            {
+                "cell": probe_cells.astype(np.int64),
+                "vec_id": rep_ids,
+                "emb": pd.Series(
+                    [vecs[i].tobytes() for i in rep_vecs], dtype="object"
+                ),
+                "is_member": member,
+            }
+        )
+
+    def score_cell(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+                "bucket": pd.Series(dtype="int64"),
+            }
+        )
+        if "vec_id" not in group.columns or not len(group):
+            return empty
+        members = group[group["is_member"]]
+        if not len(members):
+            return empty
+        m_ids = members["vec_id"].to_numpy(dtype=np.int64)
+        m_mat = np.frombuffer(
+            b"".join(members["emb"]), dtype=np.float64
+        ).reshape(len(members), -1)
+        p_ids = group["vec_id"].to_numpy(dtype=np.int64)
+        p_mat = np.frombuffer(b"".join(group["emb"]), dtype=np.float64).reshape(
+            len(group), -1
+        )
+        sims = p_mat @ m_mat.T
+        # top-k members per prober (exclude self), exact order
+        rows_v, rows_n, rows_s = [], [], []
+        order = np.argsort(-sims, axis=1, kind="stable")
+        for i in range(len(p_ids)):
+            cnt = 0
+            for j in order[i]:
+                if m_ids[j] == p_ids[i]:
+                    continue
+                rows_v.append(p_ids[i])
+                rows_n.append(m_ids[j])
+                rows_s.append(sims[i, j])
+                cnt += 1
+                if cnt == k:
+                    break
+        out = pd.DataFrame(
+            {
+                "vec_id": pd.Series(rows_v, dtype="int64"),
+                "neighbor_id": pd.Series(rows_n, dtype="int64"),
+                "sim": pd.Series(rows_s, dtype="float64"),
+            }
+        )
+        out["bucket"] = (out["vec_id"] % 64).astype("int64")
+        return out
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+        if "vec_id" not in group.columns or not len(group):
+            return empty
+        df = group.drop_duplicates(["vec_id", "neighbor_id"])
+        df = df.sort_values(
+            ["vec_id", "sim", "neighbor_id"], ascending=[True, False, True]
+        )
+        df = df.groupby("vec_id", sort=False).head(k).copy()
+        df["rank"] = df.groupby("vec_id", sort=False).cumcount() + 1
+        return df[["vec_id", "neighbor_id", "rank"]].astype("int64")
+
+    out = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(replicate, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(score_cell, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if "vec_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+def _knn_ivf_oracle_sql() -> str:
+    from .ops.ann import IVF_CLUSTERS, IVF_PROBE, ivf_centroids
+
+    cents = ivf_centroids(64)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in cents[i])}])"
+        for i in range(IVF_CLUSTERS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents(ci, cv) AS (VALUES {values}),
+    ranked_cells AS (
+      SELECT e.vec_id, c.ci,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.ci
+             ) AS rn
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, ci AS cl FROM ranked_cells WHERE rn = 1),
+    probe AS (SELECT vec_id, ci FROM ranked_cells WHERE rn <= {IVF_PROBE}),
+    cand AS (
+      SELECT DISTINCT p.vec_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign a ON a.cl = p.ci
+      WHERE a.vec_id <> p.vec_id
+    )
+    SELECT vec_id, neighbor_id, rank FROM (
+      SELECT cand.vec_id, cand.neighbor_id,
+             row_number() OVER (
+               PARTITION BY cand.vec_id
+               ORDER BY list_cosine_similarity(qq.v, nn.v) DESC,
+                        cand.neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN e qq ON qq.vec_id = cand.vec_id
+      JOIN e nn ON nn.vec_id = cand.neighbor_id)
+    WHERE rank <= 5
+    ORDER BY vec_id, rank
+    """
+
+
+ORACLE_SQL["embedding_knn_graph_ivf"] = _knn_ivf_oracle_sql()

@@ -51,3 +51,48 @@ class TestKnnGraph:
         sql = con.execute(ORACLE_SQL["embedding_knn_graph"]).df()
         for col in ("vec_id", "neighbor_id", "rank"):
             assert list(out[col]) == list(sql[col]), col
+
+
+class TestKnnGraphIvf:
+    def test_subset_of_exact_and_recall(self, ray_session, tmp_path):
+        """The IVF graph's neighbor lists are drawn from probed-cell
+        candidates; every edge must also rank correctly, and on a
+        clustered corpus recall vs the exact graph should be high."""
+        rng = np.random.default_rng(23)
+        # clustered corpus: points near 4 IVF centroid directions
+        from exstruct_ray.ops.ann import ivf_centroids
+
+        cents = ivf_centroids(64)
+        vecs = []
+        for i in range(40):
+            base = cents[i % 4]
+            vecs.append((base + rng.normal(0, 0.05, 64)).astype(np.float32))
+        emb = pd.DataFrame(
+            {
+                "vec_id": pd.Series(range(40), dtype="int64"),
+                "embedding": vecs,
+            }
+        )
+        sf_dir = tmp_path / "sfknnivf"
+        sf_dir.mkdir()
+        emb.to_parquet(sf_dir / "embeddings.parquet")
+
+        from exstruct_ray.queries import (
+            embedding_knn_graph,
+            embedding_knn_graph_ivf,
+        )
+
+        exact = embedding_knn_graph(str(sf_dir))
+        approx = embedding_knn_graph_ivf(str(sf_dir))
+        assert (approx.groupby("vec_id").size() <= 5).all()
+        assert (approx["vec_id"] != approx["neighbor_id"]).all()
+        e = set(zip(exact["vec_id"], exact["neighbor_id"]))
+        a = set(zip(approx["vec_id"], approx["neighbor_id"]))
+        recall = len(e & a) / len(e)
+        assert recall >= 0.9  # same-cluster neighbors live in probed cells
+
+        con = duckdb.connect()
+        con.register("embeddings", emb)
+        sql = con.execute(ORACLE_SQL["embedding_knn_graph_ivf"]).df()
+        for col in ("vec_id", "neighbor_id", "rank"):
+            assert list(approx[col]) == list(sql[col]), col
