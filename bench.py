@@ -231,6 +231,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("embedding_cluster_purity", q.embedding_cluster_purity),
         ("doc_tokenize_ids", q.doc_tokenize_ids),
         ("doc_snapshot_ingest", q.doc_snapshot_ingest),
+        ("embedding_knn_graph_ivf", q.embedding_knn_graph_ivf),
+        ("source_trigram_diversity", q.source_trigram_diversity),
     ]:
         start = time.perf_counter()
         fn(sf_dir)
