@@ -9677,6 +9677,16 @@ def doc_c4_filters(sf_dir: str):
         .map_batches(run, batch_format="pandas")
         .to_pandas()
     )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "clean_text": pd.Series(dtype="object"),
+                "n_lines": pd.Series(dtype="int64"),
+                "n_kept": pd.Series(dtype="int64"),
+                "keep": pd.Series(dtype="int64"),
+            }
+        )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -9913,6 +9923,14 @@ def embedding_knn_graph(sf_dir: str):
     table = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    if table.num_rows == 0:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
     df = table.to_pandas().sort_values("vec_id")
     all_ids = df["vec_id"].to_numpy(dtype=np.int64)
     matrix = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
@@ -10356,6 +10374,13 @@ def embedding_ivf_stats(sf_dir: str):
         .to_pandas()
     )
     folded = np.zeros(IVF_CLUSTERS, dtype=object)
+    if "cluster_id" not in partials.columns:
+        partials = pd.DataFrame(
+            {
+                "cluster_id": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
     for cid, n in zip(partials["cluster_id"], partials["n"]):
         folded[int(cid)] += int(n)
     total = int(folded.sum())
