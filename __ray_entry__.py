@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": q.doc_token_stats,
         "doc_vocabulary": q.doc_vocabulary,
         "lineitem_pushdown": q.lineitem_pushdown,
+        "lineitem_bucket_skew": q.lineitem_bucket_skew,
         "doc_fingerprints": q.doc_fingerprints,
         "doc_winnow_fingerprints": q.doc_winnow_fingerprints,
         "doc_winnow_pairs": q.doc_winnow_pairs,

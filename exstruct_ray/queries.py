@@ -10925,3 +10925,80 @@ def _knn_ivf_oracle_sql() -> str:
 
 
 ORACLE_SQL["embedding_knn_graph_ivf"] = _knn_ivf_oracle_sql()
+
+
+def lineitem_bucket_skew(sf_dir: str):
+    """Shuffle-key skew audit for the join tier — ivf_stats' relational
+    sibling: row counts per md5-derived orderkey bucket (64 buckets),
+    zero-filled, with permille shares. This is the profile that decides
+    salting BEFORE a big-big join ships: a hot bucket at 100 TB is a
+    straggler reducer. Per-batch bincount partials (md5 computed once
+    per UNIQUE key per batch — lineitem repeats each orderkey ~4x),
+    driver folds a 64-cell grid."""
+    import hashlib
+
+    n_buckets = 64
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        keys = batch["l_orderkey"].astype("int64")
+        uniq = keys.unique()
+        lut = {
+            int(k): int.from_bytes(
+                hashlib.md5(str(int(k)).encode()).digest()[:4], "big"
+            )
+            % n_buckets
+            for k in uniq
+        }
+        buckets = keys.map(lut).to_numpy(dtype=np.int64)
+        counts = np.bincount(buckets, minlength=n_buckets)
+        return pd.DataFrame(
+            {
+                "bucket": np.arange(n_buckets, dtype=np.int64),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    folded = np.zeros(n_buckets, dtype=np.int64)
+    if "bucket" in partials.columns:
+        for b, n in zip(partials["bucket"], partials["n"]):
+            folded[int(b)] += int(n)
+    total = int(folded.sum())
+    return pd.DataFrame(
+        {
+            "bucket": pd.Series(range(n_buckets), dtype="int64"),
+            "n_rows": pd.Series(folded, dtype="int64"),
+            "share_permille": pd.Series(
+                [(1000 * int(n)) // total if total else 0 for n in folded],
+                dtype="int64",
+            ),
+        }
+    )
+
+
+ORACLE_SQL["lineitem_bucket_skew"] = """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 64 AS bucket
+      FROM lineitem
+    ),
+    sizes AS (SELECT bucket, count(*) AS n FROM h GROUP BY bucket),
+    tot AS (SELECT count(*) AS t FROM h),
+    grid AS (SELECT unnest(range(0, 64)) AS bucket)
+    SELECT CAST(g.bucket AS BIGINT) AS bucket,
+           CAST(coalesce(s.n, 0) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN t.t = 0 THEN 0
+                     ELSE (1000 * coalesce(s.n, 0)) // t.t END AS BIGINT)
+             AS share_permille
+    FROM grid g CROSS JOIN tot t
+    LEFT JOIN sizes s ON s.bucket = g.bucket
+    ORDER BY bucket
+"""
