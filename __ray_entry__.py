@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": q.doc_decontaminate,
         "doc_streaming_dedup": q.doc_streaming_dedup,
         "doc_snapshot_ingest": q.doc_snapshot_ingest,
+        "doc_curation_packs": q.doc_curation_packs,
         # Web-extraction pipelines (north-rule: HTML boilerplate strip,
         # DOM heuristics, PDF/layout parse)
         "doc_html_main_content": q.doc_html_main_content,

@@ -231,6 +231,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("embedding_cluster_purity", q.embedding_cluster_purity),
         ("doc_tokenize_ids", q.doc_tokenize_ids),
         ("doc_snapshot_ingest", q.doc_snapshot_ingest),
+        ("doc_curation_packs", q.doc_curation_packs),
         ("embedding_knn_graph_ivf", q.embedding_knn_graph_ivf),
         ("source_trigram_diversity", q.source_trigram_diversity),
     ]:

@@ -3836,6 +3836,249 @@ def _clean_corpus_oracle() -> str:
 ORACLE_SQL["doc_clean_corpus"] = _clean_corpus_oracle()
 
 
+def doc_curation_packs(sf_dir: str):
+    """Capstone curation composition: the full keep decision
+    (Gopher quality AND exact-dedup canonicality AND benchmark
+    decontamination, exactly ``doc_clean_corpus``) FEEDING sequence
+    packing — survivors are concatenated in doc_id order into fixed
+    PACK_SEQ_LEN-token training sequences, the last materialized step
+    before a pretraining run reads the corpus.
+
+    Scale shape: the corpus text is read ONCE (the signals pass also
+    counts tokens); dedup canonicality rides the content-hash bucket
+    groupby; flags meet n_tokens in a doc-bucket tagged-union merge
+    that emits only the compact survivor table (doc_id, n_tokens,
+    range bucket — 24 B/doc), materialized before its two consumers
+    (per-bucket totals, in-bucket cumsum). The global prefix sum is
+    the ``doc_pack_sequences`` pattern: tree-reduced per-bucket token
+    totals, driver prefixes the tiny totals, one vectorized in-bucket
+    cumsum with the bucket base added. Three AllToAlls total, nothing
+    corpus-sized on the driver."""
+    import hashlib as _hashlib
+
+    import ray
+
+    from .ops.shuffle import empty_frame, hash_bucket
+    from .ops.text import RE2_WS_PATTERN, gopher_signals_batch, word_ngram_set
+
+    bucket_width = 1024  # survivor docs per range bucket
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_rows = docs.map_batches(
+        lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+    ).to_pandas()
+    bench_grams: set[str] = set()
+    for text in bench_rows.get("text", []):
+        bench_grams |= word_ngram_set(text, 3)
+    grams_ref = ray.put(bench_grams)
+
+    out_cols = [
+        ("doc_id", "int64"),
+        ("tag", "int64"),
+        ("quality_keep", "int64"),
+        ("decontam_keep", "int64"),
+        ("dedup_keep", "int64"),
+        ("n_tokens", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def signals(batch: pd.DataFrame, _ref=grams_ref) -> pd.DataFrame:
+        grams = ray.get(_ref)
+        g = gopher_signals_batch(batch)
+        texts = batch["text"].fillna("").reset_index(drop=True)
+        ids = batch["doc_id"].reset_index(drop=True).astype("int64")
+        is_bench = (ids % 97 == 0).to_numpy()
+        contam = np.zeros(len(batch), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not is_bench[i] and word_ngram_set(t, 3) & grams:
+                contam[i] = 1
+        toks = texts.str.split(RE2_WS_PATTERN, regex=True).apply(
+            lambda ws: sum(1 for w in ws if w)
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "tag": np.int64(0),
+                "quality_keep": g["keep"].astype("int64"),
+                "decontam_keep": ((~is_bench) & (contam == 0)).astype(
+                    np.int64
+                ),
+                "dedup_keep": np.int64(0),
+                "n_tokens": toks.astype("int64"),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], 64)
+        return out[[c for c, _ in out_cols]]
+
+    def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        hashes = [
+            _hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts
+        ]
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "content_hash": pd.Series(hashes, dtype="object"),
+            }
+        )
+        out["hbucket"] = (
+            out["content_hash"].map(lambda h: int(h[:4], 16) % 64)
+        ).astype("int64")
+        return out
+
+    def keeper_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or len(group) == 0:
+            return empty_frame(out_cols)
+        mins = group.groupby("content_hash")["doc_id"].transform("min")
+        out = pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "tag": np.int64(1),
+                "quality_keep": np.int64(0),
+                "decontam_keep": np.int64(0),
+                "dedup_keep": (group["doc_id"] == mins)
+                .astype("int64")
+                .reset_index(drop=True),
+                "n_tokens": np.int64(0),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], 64)
+        return out[[c for c, _ in out_cols]]
+
+    dedup_tags = (
+        docs.map_batches(hash_rows, batch_format="pandas")
+        .groupby("hbucket")
+        .map_groups(keeper_in_bucket, batch_format="pandas")
+    )
+    sig = docs.map_batches(signals, batch_format="pandas")
+
+    surv_cols = [
+        ("doc_id", "int64"),
+        ("n_tokens", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def merge_survivors(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or len(group) == 0:
+            return empty_frame(surv_cols)
+        agg = (
+            group.groupby("doc_id")[
+                ["quality_keep", "decontam_keep", "dedup_keep", "n_tokens"]
+            ]
+            .sum()
+            .reset_index()
+        )
+        keep = (
+            (agg["quality_keep"] > 0)
+            & (agg["decontam_keep"] > 0)
+            & (agg["dedup_keep"] > 0)
+        )
+        out = agg.loc[keep, ["doc_id", "n_tokens"]].reset_index(drop=True)
+        out["bucket"] = (out["doc_id"] // bucket_width).astype("int64")
+        return out.astype("int64")[[c for c, _ in surv_cols]]
+
+    survivors = (
+        sig.union(dedup_tags)
+        .groupby("bucket")
+        .map_groups(merge_survivors, batch_format="pandas")
+        .materialize()  # compact 24 B/doc table, two consumers below
+    )
+
+    def sums_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if "bucket" not in batch.columns or batch.empty:
+            return empty_frame([("bucket", "int64"), ("total", "int64")])
+        out = batch.groupby("bucket", as_index=False).agg(
+            total=("n_tokens", "sum")
+        )
+        return out.astype("int64")
+
+    def sums_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if "bucket" not in batch.columns or batch.empty:
+            return empty_frame([("bucket", "int64"), ("total", "int64")])
+        out = batch.groupby("bucket", as_index=False).agg(
+            total=("total", "sum")
+        )
+        return out.astype("int64")
+
+    sums = (
+        survivors.map_batches(sums_partial, batch_format="pandas")
+        .map_batches(sums_merge, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    final_cols = [
+        ("doc_id", "int64"),
+        ("n_tokens", "int64"),
+        ("pack_id", "int64"),
+        ("offset_in_pack", "int64"),
+    ]
+    if "bucket" not in sums.columns or sums.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in final_cols}
+        )
+    totals = sums.groupby("bucket")["total"].sum().sort_index()
+    base = totals.cumsum().shift(fill_value=0).to_dict()
+
+    def pack_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or group.empty:
+            return empty_frame(final_cols)
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        start = int(base.get(int(g["bucket"].iloc[0]), 0)) + np.concatenate(
+            [[0], g["n_tokens"].to_numpy()[:-1].cumsum()]
+        )
+        g["pack_id"] = (start // PACK_SEQ_LEN).astype("int64")
+        g["offset_in_pack"] = (start % PACK_SEQ_LEN).astype("int64")
+        return g[[c for c, _ in final_cols]]
+
+    out = (
+        survivors.groupby("bucket")
+        .map_groups(pack_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in final_cols}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _curation_packs_oracle() -> str:
+    clean = _clean_corpus_oracle()
+    return f"""
+    WITH cc AS (
+      {clean}
+    ),
+    counts AS (
+      SELECT doc_id,
+             length(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    surv AS (
+      SELECT c.doc_id, t.n_tokens
+      FROM cc c JOIN counts t USING (doc_id)
+      WHERE c.keep = 1
+    ),
+    pref AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS start
+      FROM surv
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_pack
+    FROM pref ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["doc_curation_packs"] = _curation_packs_oracle()
+
+
 def events_rolling_window(sf_dir: str):
     """Trailing-range window aggregate: per event, the count and integer
     micro-unit value sum of the same user's events in the trailing one
