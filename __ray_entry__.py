@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_patch_extract": _edit_patch_extract,
         "textdoc_extract": q.textdoc_extract,
         "extract_doc_profile": _extract_doc_profile,
+        "extract_span_dedup": _extract_span_dedup,
         # Relational operators with exact DuckDB oracles
         "q1_pricing_summary": q.q1_pricing_summary,
         "q2_min_cost_supplier": q.q2_min_cost_supplier,
@@ -400,3 +401,96 @@ def _extract_doc_profile(sf_dir: str):
 
     res = out.map_batches(profile, batch_format="pyarrow").to_pandas()
     return res.sort_values("doc_id").reset_index(drop=True)
+
+
+def _extract_span_dedup(sf_dir: str):
+    """Extraction→dedup composition: the flagship pipeline FEEDING
+    cross-workbook boilerplate detection — cell_row span texts that
+    recur in >= 2 distinct documents (shared header rows, copied
+    sheets), the extraction-side analogue of corpus exact-dedup.
+
+    Scale shape: spans flatten batch-locally (list_parent_indices on
+    the unflattened rows); only 16-byte md5 keys + doc ids ride the
+    one hash-bucket exchange; exact nunique/count/min inside each
+    bucket. The oracle recomputes from the pinned golden span parquet."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from exstruct_ray.ops.shuffle import empty_frame
+    from exstruct_ray.stages.pipeline import build_extraction_pipeline
+
+    ds = _corpus_dataset(sf_dir)
+    out = build_extraction_pipeline(ds, batch_size=16)
+
+    mid_cols = [
+        ("text_md5", "object"),
+        ("doc_id", "object"),
+        ("bucket", "int64"),
+    ]
+
+    def cell_keys(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return empty_frame(mid_cols)
+        list_arr = batch.column("spans").combine_chunks()
+        values = list_arr.flatten()
+        parents = pc.list_parent_indices(list_arr).to_numpy()
+        mask = pc.equal(values.field("kind"), "cell_row").to_numpy(
+            zero_copy_only=False
+        )
+        if not mask.any():
+            return empty_frame(mid_cols)
+        texts = pc.fill_null(values.field("text"), "").to_pylist()
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)[
+            parents
+        ]
+        hashes = [
+            _hashlib.md5(texts[i].encode("utf-8")).hexdigest()
+            for i in np.flatnonzero(mask)
+        ]
+        out_df = pd.DataFrame(
+            {
+                "text_md5": pd.Series(hashes, dtype="object"),
+                "doc_id": pd.Series(doc_ids[mask], dtype="object"),
+            }
+        )
+        out_df["bucket"] = (
+            out_df["text_md5"].map(lambda h: int(h[:4], 16) % 64)
+        ).astype("int64")
+        return out_df[[c for c, _ in mid_cols]]
+
+    final_cols = [
+        ("text_md5", "object"),
+        ("n_docs", "int64"),
+        ("n_rows", "int64"),
+        ("canonical_doc", "object"),
+    ]
+
+    def dups_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "text_md5" not in group.columns or len(group) == 0:
+            return empty_frame(final_cols)
+        agg = group.groupby("text_md5").agg(
+            n_docs=("doc_id", "nunique"),
+            n_rows=("doc_id", "size"),
+            canonical_doc=("doc_id", "min"),
+        )
+        agg = agg[agg["n_docs"] >= 2].reset_index()
+        for c in ("n_docs", "n_rows"):
+            agg[c] = agg[c].astype("int64")
+        agg["canonical_doc"] = agg["canonical_doc"].astype("object")
+        return agg[[c for c, _ in final_cols]]
+
+    res = (
+        out.map_batches(cell_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dups_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "text_md5" not in res.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in final_cols}
+        )
+    return res.sort_values("text_md5").reset_index(drop=True)

@@ -10827,6 +10827,24 @@ ORACLE_SQL["extract_doc_profile"] = f"""
     ORDER BY doc_id
 """
 
+ORACLE_SQL["extract_span_dedup"] = f"""
+    WITH s AS (
+      SELECT * FROM read_parquet('{_GOLDEN_DIR}/extract_light_sf0.01.parquet')
+    ),
+    c AS (
+      SELECT md5(coalesce(text, '')) AS text_md5, doc_id
+      FROM s WHERE kind = 'cell_row'
+    )
+    SELECT text_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(doc_id) AS canonical_doc
+    FROM c
+    GROUP BY text_md5
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY text_md5
+"""
+
 
 def orders_priority_year_pivot(sf_dir: str):
     """Pivot / crosstab — the one relational reporting shape the suite

@@ -60,3 +60,47 @@ class TestExtractDocProfile:
             assert list(out[col]) == list(exp[col].astype("int64")), col
         # the verdict actually splits the corpus (both classes present)
         assert out["doc_ok"].nunique() <= 2 and out["doc_ok"].max() == 1
+
+
+class TestExtractSpanDedup:
+    def test_matches_golden_recompute(self, ray_session):
+        import hashlib
+
+        import __ray_entry__ as entry
+
+        out = entry.queries()["extract_span_dedup"]("/root/testdata/sf0.001")
+        golden_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "golden",
+            "extract_light_sf0.001.parquet",
+        )
+        g = pd.read_parquet(golden_path)
+        cells = g[g["kind"] == "cell_row"].copy()
+        cells["text_md5"] = (
+            cells["text"]
+            .fillna("")
+            .map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+        )
+        exp = (
+            cells.groupby("text_md5")
+            .agg(
+                n_docs=("doc_id", "nunique"),
+                n_rows=("doc_id", "size"),
+                canonical_doc=("doc_id", "min"),
+            )
+            .reset_index()
+        )
+        exp = (
+            exp[exp["n_docs"] >= 2]
+            .sort_values("text_md5")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(exp) > 0
+        assert list(out["text_md5"]) == list(exp["text_md5"])
+        assert list(out["n_docs"]) == list(exp["n_docs"].astype("int64"))
+        assert list(out["n_rows"]) == list(exp["n_rows"].astype("int64"))
+        assert list(out["canonical_doc"]) == list(exp["canonical_doc"])
+        # every reported row text really crosses a document boundary
+        assert (out["n_docs"] >= 2).all()
+        assert (out["n_rows"] >= out["n_docs"]).all()
