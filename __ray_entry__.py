@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": q.doc_quality_filter,
         "doc_gopher_quality": q.doc_gopher_quality,
         "doc_duplicated_spans": q.doc_duplicated_spans,
+        "doc_exactsubstr_cut": q.doc_exactsubstr_cut,
         "doc_lm_rarity": q.doc_lm_rarity,
         "doc_neardup_survivors": q.doc_neardup_survivors,
         "doc_pagerank": q.doc_pagerank,

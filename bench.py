@@ -234,6 +234,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_curation_packs", q.doc_curation_packs),
         ("embedding_knn_graph_ivf", q.embedding_knn_graph_ivf),
         ("source_trigram_diversity", q.source_trigram_diversity),
+        ("doc_exactsubstr_cut", q.doc_exactsubstr_cut),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

@@ -3527,6 +3527,192 @@ ORACLE_SQL["doc_duplicated_spans"] = """
     """
 
 
+def doc_exactsubstr_cut(sf_dir: str):
+    """ExactSubstr repetition REMOVAL — the rewrite step of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"):
+    every document re-emitted with its corpus-duplicated word spans cut
+    out. doc_duplicated_spans finds the spans; this query applies them.
+
+    Scale shape: the span discovery is the existing two-coarse-bucket
+    exchange (ids+positions only on the wire); the cut then meets the raw
+    text in ONE doc-bucket tagged-union merge where a vectorized
+    difference-array mask drops the covered words — the text is read once
+    and shuffled once, spans are duplicated-content-sized, and nothing
+    corpus-sized reaches the driver. Output one row per document:
+    original word count, words cut, and the cleaned text (kept words
+    joined by single spaces — ExactSubstr's whitespace tokenization
+    already erased the original spacing)."""
+    from .ops.dedup import duplicated_ngram_spans
+    from .ops.shuffle import empty_frame, hash_bucket
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    spans = duplicated_ngram_spans(docs, n=5)
+
+    out_cols = [
+        ("doc_id", "int64"),
+        ("n_words", "int64"),
+        ("n_cut_words", "int64"),
+        ("text_clean", "object"),
+    ]
+    union_cols = [
+        ("doc_id", "int64"),
+        ("tag", "int64"),
+        ("start_word", "int64"),
+        ("end_word", "int64"),
+        ("text", "object"),
+        ("bucket", "int64"),
+    ]
+
+    def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "tag": np.int64(0),
+                "start_word": np.int64(0),
+                "end_word": np.int64(0),
+                "text": batch["text"].fillna("").reset_index(drop=True),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], 64)
+        return out[[c for c, _ in union_cols]]
+
+    def tag_spans(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "tag": np.int64(1),
+                "start_word": batch["start_word"]
+                .astype("int64")
+                .reset_index(drop=True),
+                "end_word": batch["end_word"]
+                .astype("int64")
+                .reset_index(drop=True),
+                "text": "",
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], 64)
+        return out[[c for c, _ in union_cols]]
+
+    def cut_group(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or not len(group):
+            return empty_frame(out_cols)
+        is_span = group["tag"].to_numpy() == 1
+        docs_g = group.loc[~is_span]
+        spans_g = group.loc[is_span].sort_values(["doc_id", "start_word"])
+        sdoc = spans_g["doc_id"].to_numpy(dtype=np.int64)
+        sstart = spans_g["start_word"].to_numpy(dtype=np.int64)
+        send = spans_g["end_word"].to_numpy(dtype=np.int64)
+        # the span computation's token class (RE2 \s complement); the cut
+        # tokenizes the ORIGINAL case — lowercasing never moves word
+        # boundaries, so positions line up with the lowered gram pass
+        words_col = docs_g["text"].fillna("").str.findall(r"[^\t\n\f\r ]+")
+        ids = docs_g["doc_id"].to_numpy(dtype=np.int64)
+        rows_id: list[int] = []
+        rows_n: list[int] = []
+        rows_cut: list[int] = []
+        rows_txt: list[str] = []
+        for did, words in zip(ids, words_col):
+            nw = len(words)
+            lo = np.searchsorted(sdoc, did, side="left")
+            hi = np.searchsorted(sdoc, did, side="right")
+            rows_id.append(int(did))
+            rows_n.append(nw)
+            if lo == hi or nw == 0:
+                rows_cut.append(0)
+                rows_txt.append(" ".join(words))
+                continue
+            # difference-array coverage mask over word positions
+            diff = np.zeros(nw + 1, dtype=np.int64)
+            np.add.at(diff, np.minimum(sstart[lo:hi], nw), 1)
+            np.add.at(diff, np.minimum(send[lo:hi], nw), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = [w for w, c in zip(words, covered) if not c]
+            rows_cut.append(int(covered.sum()))
+            rows_txt.append(" ".join(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows_id, dtype="int64"),
+                "n_words": pd.Series(rows_n, dtype="int64"),
+                "n_cut_words": pd.Series(rows_cut, dtype="int64"),
+                "text_clean": pd.Series(rows_txt, dtype="object"),
+            }
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pandas").union(
+        spans.map_batches(tag_spans, batch_format="pandas")
+    )
+    out = tagged.groupby("bucket").map_groups(
+        cut_group, batch_format="pandas"
+    ).to_pandas()
+    if "doc_id" not in out.columns or not len(out):
+        return empty_frame(out_cols)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_exactsubstr_cut"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS worig
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([{'pos': i - 1,
+                      'g': md5(array_to_string(ws[i:i+4], ' '))}
+                     for i in range(1, len(ws) - 3)],
+                    recursive := true)
+      FROM toks WHERE len(ws) >= 5
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+      FROM isl GROUP BY doc_id, gid
+    ),
+    sp AS (
+      SELECT doc_id, list({'s': s, 'e': e}) AS iv FROM spans GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT t.doc_id,
+             len(t.worig) AS n_words,
+             [t.worig[i] for i in range(1, len(t.worig) + 1)
+              if p.iv IS NULL
+                 OR len(list_filter(p.iv,
+                        x -> i - 1 >= x.s AND i - 1 < x.e)) = 0] AS kept
+      FROM toks t LEFT JOIN sp p USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_words - len(kept) AS BIGINT) AS n_cut_words,
+           COALESCE(array_to_string(kept, ' '), '') AS text_clean
+    FROM cut
+    ORDER BY doc_id
+    """
+
+
 def doc_lm_rarity(sf_dir: str):
     """Unigram-LM rarity quality score (CCNet-style perplexity proxy):
     corpus token counts via one coarse-bucket shuffle, broadcast as the

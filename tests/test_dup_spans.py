@@ -101,3 +101,102 @@ class TestDuplicatedSpans:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestExactsubstrCut:
+    """ExactSubstr repetition removal (doc_exactsubstr_cut): the spans
+    applied as a text rewrite."""
+
+    def _run(self, texts, ray_session, tmp_path):
+        import duckdb
+        import ray  # noqa: F401
+
+        from exstruct_ray.queries import ORACLE_SQL, doc_exactsubstr_cut
+
+        frame = pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts, "lang": "en",
+             "source": "t", "n_chars": [len(t) for t in texts]}
+        )
+        (tmp_path / "corpus").mkdir(exist_ok=True)
+        path = tmp_path / "corpus" / "documents.parquet"
+        frame.to_parquet(path)
+        out = doc_exactsubstr_cut(str(tmp_path / "corpus"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_exactsubstr_cut"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
+        return out
+
+    def test_cut_semantics_and_oracle_parity(self, ray_session, tmp_path):
+        shared = "the quick brown fox jumps"
+        out = self._run(
+            [
+                f"alpha beta {shared} gamma delta",
+                f"one two three {shared} four",
+                "a b c d e a b c d e",          # fully covered
+                "short words only",              # < n words, untouched
+                "entirely different words everywhere here now",
+            ],
+            ray_session,
+            tmp_path,
+        )
+        by_id = out.set_index("doc_id")
+        assert by_id.loc[0, "text_clean"] == "alpha beta gamma delta"
+        assert by_id.loc[0, "n_words"] == 9
+        assert by_id.loc[0, "n_cut_words"] == 5
+        assert by_id.loc[1, "text_clean"] == "one two three four"
+        assert by_id.loc[2, "text_clean"] == ""          # all words cut
+        assert by_id.loc[2, "n_cut_words"] == 10
+        assert by_id.loc[3, "text_clean"] == "short words only"
+        assert by_id.loc[3, "n_cut_words"] == 0
+        # invariant: kept word count == n_words - n_cut_words
+        for _, r in out.iterrows():
+            n_kept = len(r["text_clean"].split()) if r["text_clean"] else 0
+            assert n_kept == r["n_words"] - r["n_cut_words"]
+
+    def test_case_preserved_case_insensitive_match(
+        self, ray_session, tmp_path
+    ):
+        # grams match case-insensitively (span pass lowercases); the
+        # rewrite keeps the ORIGINAL case of surviving words
+        out = self._run(
+            [
+                "KEEP Me the quick brown fox jumps",
+                "other words the QUICK Brown FOX JUMPS",
+            ],
+            ray_session,
+            tmp_path,
+        )
+        by_id = out.set_index("doc_id")
+        assert by_id.loc[0, "text_clean"] == "KEEP Me"
+        assert by_id.loc[1, "text_clean"] == "other words"
+
+    def test_whitespace_normalized_tabs_and_runs(self, ray_session, tmp_path):
+        # tokenization erases original spacing: runs/tabs become one space
+        out = self._run(
+            ["solo\tdoc  with   odd\tspacing only here"],
+            ray_session,
+            tmp_path,
+        )
+        assert (
+            out.iloc[0]["text_clean"]
+            == "solo doc with odd spacing only here"
+        )
+        assert out.iloc[0]["n_cut_words"] == 0
+
+    def test_empty_and_no_dup_corpus(self, ray_session, tmp_path):
+        out = self._run(
+            ["", "completely unique sentence number one here"],
+            ray_session,
+            tmp_path,
+        )
+        by_id = out.set_index("doc_id")
+        assert by_id.loc[0, "n_words"] == 0
+        assert by_id.loc[0, "text_clean"] == ""
+        assert by_id.loc[1, "n_cut_words"] == 0
