@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exactsubstr_cut": q.doc_exactsubstr_cut,
         "doc_lm_rarity": q.doc_lm_rarity,
         "doc_neardup_survivors": q.doc_neardup_survivors,
+        "doc_neardup_best_keep": q.doc_neardup_best_keep,
         "doc_pagerank": q.doc_pagerank,
         "doc_clean_corpus": q.doc_clean_corpus,
         "doc_chunks": q.doc_chunks,

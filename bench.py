@@ -235,6 +235,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("embedding_knn_graph_ivf", q.embedding_knn_graph_ivf),
         ("source_trigram_diversity", q.source_trigram_diversity),
         ("doc_exactsubstr_cut", q.doc_exactsubstr_cut),
+        ("doc_neardup_best_keep", q.doc_neardup_best_keep),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

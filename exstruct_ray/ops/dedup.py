@@ -477,6 +477,16 @@ def dedup_groups(pairs_df: pd.DataFrame) -> pd.DataFrame:
     distributed fixpoint) instead, or call dedup_groups_auto which routes
     by pair count automatically.
     """
+    if "doc_a" not in pairs_df.columns or not len(pairs_df):
+        # zero-pair input arrives as a zero-COLUMN frame (map_groups emits
+        # column-less blocks for empty hash partitions)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "group_id": pd.Series(dtype="int64"),
+                "is_canonical": pd.Series(dtype="bool"),
+            }
+        )
     parent: dict = {}
 
     def find(x):

@@ -3823,6 +3823,117 @@ ORACLE_SQL["doc_neardup_survivors"] = (
 )
 
 
+def doc_neardup_best_keep(sf_dir: str):
+    """Quality-ranked near-dup survivor selection (the FineWeb refinement
+    of lowest-id dedup): within each MinHash connected component keep the
+    doc with the MOST tokens (tie → lowest doc_id) — near-duplicates often
+    differ by truncation, and lowest-id keeps the truncated copy half the
+    time. One row per component member: (doc_id, group_id, n_tokens, keep).
+
+    Scale shape: pair discovery and components are the existing bounded
+    exchanges (dedup_groups_auto routes driver union-find vs distributed
+    label propagation by pair count); the member token counts come from
+    ONE corpus pass filtered against the broadcast member-id set (bounded
+    by the duplicated-doc count, the same contract doc_neardup_survivors
+    and doc_pagerank document); ranking happens on that
+    duplicate-count-sized table."""
+    import ray
+
+    from .ops.dedup import dedup_groups_auto, minhash_dedup_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, jaccard_threshold=0.7)
+    groups = dedup_groups_auto(pairs)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "group_id": pd.Series(dtype="int64"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "keep": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(groups) or "doc_id" not in groups.columns:
+        return empty
+    members = set(int(d) for d in groups["doc_id"])
+    ref = ray.put(members)
+
+    def member_tokens(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        m = ray.get(_ref)
+        sel = batch.loc[batch["doc_id"].isin(m)]
+        return pd.DataFrame(
+            {
+                "doc_id": sel["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "n_tokens": sel["text"]
+                .fillna("")
+                .str.findall(r"[^\t\n\f\r ]+")
+                .str.len()
+                .astype("int64")
+                .reset_index(drop=True),
+            }
+        )
+
+    toks = docs.map_batches(member_tokens, batch_format="pandas").to_pandas()
+    out = groups[["doc_id", "group_id"]].merge(toks, on="doc_id")
+    out = out.sort_values(
+        ["group_id", "n_tokens", "doc_id"],
+        ascending=[True, False, True],
+    )
+    out["keep"] = (
+        (out["group_id"] != out["group_id"].shift()).astype("int64")
+    )
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "doc_id": "int64",
+                "group_id": "int64",
+                "n_tokens": "int64",
+                "keep": "int64",
+            }
+        )[["doc_id", "group_id", "n_tokens", "keep"]]
+    )
+
+
+ORACLE_SQL["doc_neardup_best_keep"] = (
+    _CHAR5_PAIRS.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.7
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac WHERE j >= 0.7
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id),
+    ranked AS (
+      SELECT c.doc_id, c.group_id,
+             length(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                t -> t <> '')) AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.group_id
+               ORDER BY length(list_filter(
+                          regexp_split_to_array(d.text, '\\s+'),
+                          t -> t <> '')) DESC, c.doc_id
+             ) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(group_id AS BIGINT) AS group_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM ranked
+    ORDER BY doc_id
+    """
+)
+
+
 def doc_clean_corpus(sf_dir: str):
     """Composite curation verdict — the end-to-end keep decision a
     training-data pipeline applies per document: Gopher repetition

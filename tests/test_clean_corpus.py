@@ -97,3 +97,90 @@ class TestNeardupSurvivors:
         _write_docs(tmp_path, texts)
         out = doc_neardup_survivors(str(tmp_path))
         assert out["doc_id"].tolist() == [0, 3]
+
+
+class TestNeardupBestKeep:
+    """Quality-ranked survivor selection: keep the longest member of each
+    near-dup component (tie -> lowest id), not the lowest id."""
+
+    def test_longest_member_wins(self, ray_session, tmp_path):
+        from exstruct_ray.queries import doc_neardup_best_keep
+
+        base = (
+            "the very same long document body repeated verbatim many words "
+            "to give the shingler enough distinct five character shingles "
+            "for a confident jaccard estimate of unity between the copies"
+        )
+        texts = [
+            base,                                   # truncated-ish copy
+            base + " plus an extra trailing clause appended here",
+            base,                                   # another short copy
+            "a completely different document about other topics entirely "
+            "with its own vocabulary and no overlap in any shingle space",
+        ]
+        _write_docs(tmp_path, texts)
+        out = doc_neardup_best_keep(str(tmp_path))
+        by_id = out.set_index("doc_id")
+        # one component {0,1,2}; doc 3 unpaired (absent from output)
+        assert sorted(out["doc_id"]) == [0, 1, 2]
+        assert (out["group_id"] == 0).all()
+        # the LONGEST copy (doc 1) survives, not the lowest id
+        assert by_id.loc[1, "keep"] == 1
+        assert by_id.loc[0, "keep"] == 0
+        assert by_id.loc[2, "keep"] == 0
+
+    def test_tie_breaks_to_lowest_id_and_oracle_parity(
+        self, ray_session, tmp_path
+    ):
+        from exstruct_ray.queries import ORACLE_SQL, doc_neardup_best_keep
+
+        dup = (
+            "identical twins of equal token length share every shingle "
+            "and therefore tie on tokens so the lower id must survive "
+            "per the pinned deterministic ordering of this selection"
+        )
+        _write_docs(tmp_path, [dup, dup, "unrelated other text entirely"])
+        out = doc_neardup_best_keep(str(tmp_path))
+        by_id = out.set_index("doc_id")
+        assert by_id.loc[0, "keep"] == 1 and by_id.loc[1, "keep"] == 0
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_neardup_best_keep"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_no_duplicates_empty_output(self, ray_session, tmp_path):
+        from exstruct_ray.queries import doc_neardup_best_keep
+
+        _write_docs(
+            tmp_path,
+            ["completely unique sentence number one here today",
+             "another entirely distinct set of words and phrases"],
+        )
+        out = doc_neardup_best_keep(str(tmp_path))
+        assert len(out) == 0
+        assert list(out.columns) == [
+            "doc_id", "group_id", "n_tokens", "keep",
+        ]
+
+
+class TestNeardupSurvivorsDupFree:
+    def test_dup_free_corpus_all_survive(self, ray_session, tmp_path):
+        # regression: zero candidate pairs used to KeyError inside
+        # dedup_groups (zero-column frame from empty map_groups blocks)
+        from exstruct_ray.queries import doc_neardup_survivors
+
+        _write_docs(
+            tmp_path,
+            ["completely unique sentence number one here today",
+             "another entirely distinct set of words and phrases"],
+        )
+        out = doc_neardup_survivors(str(tmp_path))
+        assert out["doc_id"].tolist() == [0, 1]
