@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "events_cohort_retention": q.events_cohort_retention,
         "doc_sample_10pct": q.doc_sample_10pct,
+        "doc_epoch_shuffle": q.doc_epoch_shuffle,
         "part_type_stats": q.part_type_stats,
         # Training-data ops
         "doc_normalize_text": q.doc_normalize_text,

@@ -236,6 +236,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("source_trigram_diversity", q.source_trigram_diversity),
         ("doc_exactsubstr_cut", q.doc_exactsubstr_cut),
         ("doc_neardup_best_keep", q.doc_neardup_best_keep),
+        ("doc_epoch_shuffle", q.doc_epoch_shuffle),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

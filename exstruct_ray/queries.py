@@ -2598,6 +2598,141 @@ ORACLE_SQL["doc_sample_10pct"] = """
 """
 
 
+def doc_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle — the training-data layout step that
+    assigns every document a shard and a position inside it, as one
+    seeded pseudorandom permutation (md5-keyed, so any retry or re-run
+    reproduces the identical order; a new seed string is a new epoch).
+
+    Scale shape: NO global sort. The order key is uniform md5 hex, so its
+    leading byte is a balanced range partition: one ids-only pass emits
+    (doc_id, key, shard, bucket); per-(shard, bucket) counts (≤ 2048
+    rows) reach the driver, which prefix-sums them into in-shard bucket
+    offsets; one bucketed groupby then ranks locally and adds the offset
+    — the doc_pack_sequences prefix-sum pattern applied to ordering. The
+    compact key table is materialized once and feeds both passes."""
+    import hashlib as _hashlib
+
+    import ray
+
+    n_shards = 8
+    seed = "epoch0"
+
+    ids = _read(sf_dir, "documents", columns=["doc_id"])
+    key_cols = [
+        ("doc_id", "int64"),
+        ("key", "object"),
+        ("shard_id", "int64"),
+        ("g", "int64"),
+    ]
+
+    def key_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        from .ops.shuffle import empty_frame
+
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(key_cols)
+        ids_ = batch["doc_id"].astype("int64").reset_index(drop=True)
+        keys = [
+            _hashlib.md5(f"{seed}:{d}".encode()).hexdigest() for d in ids_
+        ]
+        shard = np.array(
+            [int(k[:8], 16) % n_shards for k in keys], dtype=np.int64
+        )
+        bucket = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids_,
+                "key": pd.Series(keys, dtype="object"),
+                "shard_id": pd.Series(shard, dtype="int64"),
+                "g": pd.Series(shard * 256 + bucket, dtype="int64"),
+            }
+        )
+
+    # compact (id, 32-byte key) table, materialized once for its two
+    # consumers (counts pass + rank pass) — never the raw corpus
+    keyed = ids.map_batches(key_rows, batch_format="pandas").materialize()
+
+    def count_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "g" not in batch.columns or not len(batch):
+            return pd.DataFrame(
+                {
+                    "g": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        out = batch.groupby("g").size().rename("n").reset_index()
+        return out.astype({"g": "int64", "n": "int64"})
+
+    counts = (
+        keyed.map_batches(count_rows, batch_format="pandas")
+        .to_pandas()
+        .groupby("g")["n"]
+        .sum()
+        .sort_index()
+    )
+    # in-shard offset of each (shard, bucket): prefix sum over the
+    # bucket-ordered counts within the shard (bucket = leading key byte,
+    # so bucket order IS key order)
+    off = pd.DataFrame({"g": counts.index, "n": counts.to_numpy()})
+    off["shard"] = off["g"] // 256
+    off["offset"] = (
+        off.groupby("shard")["n"].cumsum() - off["n"]
+    ).astype("int64")
+    off_ref = ray.put(dict(zip(off["g"], off["offset"])))
+
+    out_cols = [
+        ("doc_id", "int64"),
+        ("shard_id", "int64"),
+        ("pos_in_shard", "int64"),
+    ]
+
+    def rank_group(group: pd.DataFrame, _ref=off_ref) -> pd.DataFrame:
+        from .ops.shuffle import empty_frame
+
+        if "doc_id" not in group.columns or not len(group):
+            return empty_frame(out_cols)
+        offsets = ray.get(_ref)
+        base = int(offsets[int(group["g"].iloc[0])])
+        g2 = group.sort_values(["key", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g2["doc_id"].astype("int64"),
+                "shard_id": g2["shard_id"].astype("int64"),
+                "pos_in_shard": pd.Series(
+                    base + np.arange(len(g2), dtype=np.int64),
+                    dtype="int64",
+                ),
+            }
+        )
+
+    out = keyed.groupby("g").map_groups(
+        rank_group, batch_format="pandas"
+    ).to_pandas()
+    if "doc_id" not in out.columns or not len(out):
+        from .ops.shuffle import empty_frame
+
+        return empty_frame(out_cols)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_epoch_shuffle"] = """
+    WITH k AS (
+      SELECT doc_id,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(key, 1, 8) AS UBIGINT) % 8 AS BIGINT)
+             AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY CAST('0x' || substr(key, 1, 8) AS UBIGINT) % 8
+                  ORDER BY key, doc_id
+                ) - 1 AS BIGINT) AS pos_in_shard
+    FROM k
+    ORDER BY doc_id
+"""
+
+
 ORACLE_SQL["textdoc_extract"] = """
     SELECT * FROM (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -357,3 +357,48 @@ class TestHourlyCube:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestEpochShuffle:
+    """Deterministic epoch shuffle: seeded md5 permutation into shards."""
+
+    def _write(self, tmp_path, n):
+        frame = pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "text": [f"document body number {i}" for i in range(n)],
+                "lang": "en",
+                "source": "t",
+                "n_chars": 20,
+            }
+        )
+        frame.to_parquet(tmp_path / "documents.parquet")
+
+    def test_permutation_determinism_and_oracle(self, ray_session, tmp_path):
+        from exstruct_ray.queries import ORACLE_SQL, doc_epoch_shuffle
+
+        self._write(tmp_path, 300)
+        out = doc_epoch_shuffle(str(tmp_path))
+        assert len(out) == 300
+        assert sorted(out["doc_id"]) == list(range(300))
+        # positions are a 0..n_s-1 permutation within every shard
+        for _, grp in out.groupby("shard_id"):
+            assert sorted(grp["pos_in_shard"]) == list(range(len(grp)))
+        # retry-stable: identical on a re-run
+        again = doc_epoch_shuffle(str(tmp_path))
+        pd.testing.assert_frame_equal(out, again)
+        # not the identity order (it actually shuffles)
+        shard0 = out[out["shard_id"] == out["shard_id"].iloc[0]]
+        assert not shard0.sort_values("pos_in_shard")["doc_id"].is_monotonic_increasing
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_epoch_shuffle"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
