@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_sample": q.doc_mixture_sample,
         "doc_token_stats": q.doc_token_stats,
         "doc_vocabulary": q.doc_vocabulary,
+        "doc_phrase_index": q.doc_phrase_index,
         "lineitem_pushdown": q.lineitem_pushdown,
         "lineitem_bucket_skew": q.lineitem_bucket_skew,
         "doc_fingerprints": q.doc_fingerprints,

@@ -237,6 +237,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_exactsubstr_cut", q.doc_exactsubstr_cut),
         ("doc_neardup_best_keep", q.doc_neardup_best_keep),
         ("doc_epoch_shuffle", q.doc_epoch_shuffle),
+        ("doc_phrase_index", q.doc_phrase_index),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

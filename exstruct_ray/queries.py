@@ -1709,6 +1709,96 @@ def doc_vocabulary(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+def doc_phrase_index(sf_dir: str):
+    """Pruned phrase (word-bigram) inverted index — the retrieval
+    artifact a BM25/phrase-query server loads: every bigram whose
+    document frequency sits in the useful band [2, 20] (df=1 indexes
+    nothing retrievable; stopword-grade phrases are pruned), with its df
+    and the sorted posting list.
+
+    Scale shape: per-doc DISTINCT (doc_id, phrase) pairs are built
+    vectorized in one map_batches pass (a doc is one row, so batch-local
+    distinct is globally exact); only those pairs ride the one
+    phrase-bucket coarse shuffle; df counting, band pruning and posting
+    assembly happen exactly inside each bucket group. Postings emit as a
+    comma-joined string — a storage-layout choice that also keeps the
+    oracle hash byte-stable."""
+    import zlib
+
+    from .ops.shuffle import empty_frame
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    pair_cols = [
+        ("doc_id", "int64"),
+        ("phrase", "object"),
+        ("bucket", "int64"),
+    ]
+    out_cols = [
+        ("phrase", "object"),
+        ("df", "int64"),
+        ("postings", "object"),
+    ]
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(pair_cols)
+        toks = batch["text"].fillna("").str.findall(r"[^\t\n\f\r ]+")
+        exploded = toks.reset_index(drop=True).explode().dropna()
+        if not len(exploded):
+            return empty_frame(pair_cols)
+        wdf = pd.DataFrame(
+            {"i": exploded.index.to_numpy(), "w": exploded.to_numpy()}
+        )
+        nxt = wdf.groupby("i")["w"].shift(-1)
+        wdf["phrase"] = wdf["w"] + " " + nxt
+        wdf = wdf.dropna(subset=["phrase"])
+        if not len(wdf):
+            return empty_frame(pair_cols)
+        doc_ids = batch["doc_id"].reset_index(drop=True).to_numpy(
+            dtype=np.int64
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": doc_ids[wdf["i"].to_numpy()],
+                "phrase": wdf["phrase"].to_numpy(),
+            }
+        ).drop_duplicates()
+        out["bucket"] = pd.Series(
+            [zlib.crc32(p.encode("utf-8")) % 256 for p in out["phrase"]],
+            index=out.index,
+            dtype="int64",
+        )
+        return out.reset_index(drop=True)
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        if "phrase" not in group.columns or not len(group):
+            return empty_frame(out_cols)
+        g = group.sort_values(["phrase", "doc_id"])
+        agg = g.groupby("phrase")["doc_id"].agg(
+            df="size",
+            postings=lambda s: ",".join(str(int(d)) for d in s),
+        )
+        agg = agg[(agg["df"] >= 2) & (agg["df"] <= 20)]
+        return pd.DataFrame(
+            {
+                "phrase": agg.index.to_numpy(),
+                "df": agg["df"].to_numpy(dtype=np.int64),
+                "postings": agg["postings"].to_numpy(),
+            }
+        )
+
+    out = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(build, batch_format="pandas")
+        .to_pandas()
+    )
+    if "phrase" not in out.columns or not len(out):
+        return empty_frame(out_cols)
+    return out.sort_values("phrase").reset_index(drop=True)
+
+
 def lineitem_pushdown(sf_dir: str):
     """Prune-at-the-read demonstration: row-group/row filter + column
     projection pushed into the parquet scan (only two columns and the
@@ -2596,6 +2686,29 @@ ORACLE_SQL["doc_sample_10pct"] = """
           % 1000 < 100
     ORDER BY doc_id
 """
+
+
+ORACLE_SQL["doc_phrase_index"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1]
+                     for i in range(1, len(ws))]) AS phrase
+      FROM toks WHERE len(ws) >= 2
+    )
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM bg
+    GROUP BY phrase
+    HAVING count(*) BETWEEN 2 AND 20
+    ORDER BY phrase
+    """
 
 
 def doc_epoch_shuffle(sf_dir: str):

@@ -402,3 +402,59 @@ class TestEpochShuffle:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestPhraseIndex:
+    """Pruned bigram inverted index: df band [2, 20], sorted postings."""
+
+    def test_band_postings_and_oracle(self, ray_session, tmp_path):
+        from exstruct_ray.queries import ORACLE_SQL, doc_phrase_index
+
+        texts = [
+            "alpha beta gamma",          # "alpha beta" in docs 0,1,2
+            "alpha beta delta",
+            "x alpha beta",
+            "gamma delta",               # "gamma delta" only here + doc 4
+            "gamma delta",
+            "unique words here",         # all df=1 phrases -> pruned
+        ]
+        frame = pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts, "lang": "en",
+             "source": "t", "n_chars": [len(t) for t in texts]}
+        )
+        frame.to_parquet(tmp_path / "documents.parquet")
+        out = doc_phrase_index(str(tmp_path))
+        idx = out.set_index("phrase")
+        assert idx.loc["alpha beta", "df"] == 3
+        assert idx.loc["alpha beta", "postings"] == "0,1,2"
+        assert idx.loc["gamma delta", "df"] == 2
+        assert idx.loc["gamma delta", "postings"] == "3,4"
+        assert "unique words" not in idx.index          # df=1 pruned
+        assert (idx["df"] >= 2).all() and (idx["df"] <= 20).all()
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_phrase_index"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_within_doc_repeat_counts_once(self, ray_session, tmp_path):
+        from exstruct_ray.queries import doc_phrase_index
+
+        frame = pd.DataFrame(
+            {"doc_id": [0, 1],
+             "text": ["rep pair rep pair rep pair", "rep pair once"],
+             "lang": "en", "source": "t", "n_chars": 20}
+        )
+        frame.to_parquet(tmp_path / "documents.parquet")
+        out = doc_phrase_index(str(tmp_path))
+        idx = out.set_index("phrase")
+        # df is DOCUMENT frequency: repeats inside doc 0 count once
+        assert idx.loc["rep pair", "df"] == 2
+        assert idx.loc["rep pair", "postings"] == "0,1"
