@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_window": q.events_rolling_window,
         "events_value_histogram": q.events_value_histogram,
         "events_hourly_rollup": q.events_hourly_rollup,
+        "events_hourly_anomaly": q.events_hourly_anomaly,
         "events_hourly_cube": q.events_hourly_cube,
         "events_top_users_per_type": q.events_top_users_per_type,
         "doc_quality_deciles": q.doc_quality_deciles,

@@ -238,6 +238,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_neardup_best_keep", q.doc_neardup_best_keep),
         ("doc_epoch_shuffle", q.doc_epoch_shuffle),
         ("doc_phrase_index", q.doc_phrase_index),
+        ("events_hourly_anomaly", q.events_hourly_anomaly),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

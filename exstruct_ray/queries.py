@@ -306,6 +306,104 @@ def events_hourly(sf_dir: str):
     return out.sort_values(["bucket", "event_type"]).reset_index(drop=True)
 
 
+def events_hourly_anomaly(sf_dir: str):
+    """Integer-exact hourly anomaly flags — the data-quality monitor a
+    pipeline runs over its own event stream: an (event_type, hour) cell
+    is anomalous when its count deviates from the type's mean by more
+    than 3 sigma. The 3-sigma rule is evaluated sqrt-free and
+    division-free: with H observed hours, S = Σn, Q = Σn², flag
+    ``(n·H − S)² > 9·(H·Q − S²)`` — both sides exact integers (the
+    semdedup trick applied to variance), so the SQL oracle is a hash
+    check, not a close check.
+
+    Scale shape: one in-batch-partial pass builds the (hour, type)
+    count grid (the events_hourly exchange); per-type moments and flags
+    are computed on that grid-sized table with arbitrary-precision
+    Python ints (the inertia driver-fold pattern — (n·H)² overflows
+    int64 at cluster scale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tmp = pa.table(
+            {
+                "bucket": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = tmp.group_by(["bucket", "event_type"]).aggregate(
+            [("n_events", "sum")]
+        )
+        return pa.table(
+            {
+                "bucket": agg.column("bucket"),
+                "event_type": agg.column("event_type"),
+                "n_events": agg.column("n_events_sum"),
+            }
+        )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["bucket", "event_type"], as_index=False).sum()
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "event_type"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    if "event_type" not in grid.columns or not len(grid):
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "bucket": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype="int64"),
+                "is_anomaly": pd.Series(dtype="int64"),
+            }
+        )
+    grid["n_events"] = grid["n_events"].astype("int64")
+    flags = np.zeros(len(grid), dtype=np.int64)
+    for _, idx in grid.groupby("event_type").groups.items():
+        ns = [int(v) for v in grid.loc[idx, "n_events"]]
+        hh, ss, qq = len(ns), sum(ns), sum(v * v for v in ns)
+        var_h2 = hh * qq - ss * ss  # H² · σ², exact
+        for pos, v in zip(idx, ns):
+            dev = v * hh - ss  # H · (n − μ), exact
+            flags[grid.index.get_loc(pos)] = int(dev * dev > 9 * var_h2)
+    grid["is_anomaly"] = flags
+    return (
+        grid[["event_type", "bucket", "n_events", "is_anomaly"]]
+        .sort_values(["event_type", "bucket"])
+        .reset_index(drop=True)
+    )
+
+
+ORACLE_SQL_EVENTS_ANOMALY = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS hh,
+             CAST(sum(n) AS HUGEINT) AS ss,
+             sum(CAST(n AS HUGEINT) * n) AS qq
+      FROM h GROUP BY 1
+    )
+    SELECT h.event_type,
+           h.bucket,
+           CAST(h.n AS BIGINT) AS n_events,
+           CAST(CASE WHEN (h.n * s.hh - s.ss) * (h.n * s.hh - s.ss)
+                          > 9 * (s.hh * s.qq - s.ss * s.ss)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM h JOIN s USING (event_type)
+    ORDER BY h.event_type, h.bucket
+    """
+
+
 def distinct_users(sf_dir: str):
     """count(distinct) via in-batch dedup → coarse-bucket shuffle → exact
     dedup inside each group — the full (event_type, user_id) key would
@@ -2687,6 +2785,8 @@ ORACLE_SQL["doc_sample_10pct"] = """
     ORDER BY doc_id
 """
 
+
+ORACLE_SQL["events_hourly_anomaly"] = ORACLE_SQL_EVENTS_ANOMALY
 
 ORACLE_SQL["doc_phrase_index"] = """
     WITH toks AS (

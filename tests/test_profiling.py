@@ -458,3 +458,70 @@ class TestPhraseIndex:
         # df is DOCUMENT frequency: repeats inside doc 0 count once
         assert idx.loc["rep pair", "df"] == 2
         assert idx.loc["rep pair", "postings"] == "0,1"
+
+
+class TestHourlyAnomaly:
+    """Integer-exact 3-sigma anomaly flags over (event_type, hour) counts."""
+
+    def _write(self, tmp_path, rows):
+        frame = pd.DataFrame(rows)
+        frame["ts"] = pd.to_datetime(frame["ts"])
+        frame["user_id"] = 1
+        frame["value"] = 1.0
+        frame.to_parquet(tmp_path / "events.parquet")
+
+    def test_planted_spike_flagged(self, ray_session, tmp_path):
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            events_hourly_anomaly,
+        )
+
+        rows = []
+        # type "a": 11 quiet hours of 10 events, one spike hour of 200.
+        # (11 quiet, not 9: a single outlier among H points has
+        # z² ≤ H−1, so H must exceed 10 for any spike to clear 3σ)
+        for h in range(11):
+            rows += [
+                {"ts": f"2001-01-01 {h:02d}:15:00", "event_type": "a"}
+            ] * 10
+        rows += [{"ts": "2001-01-01 11:15:00", "event_type": "a"}] * 200
+        # type "b": perfectly flat -> zero variance, nothing flagged
+        for h in range(10):
+            rows += [
+                {"ts": f"2001-01-01 {h:02d}:45:00", "event_type": "b"}
+            ] * 7
+        self._write(tmp_path, rows)
+        out = events_hourly_anomaly(str(tmp_path))
+        a = out[out["event_type"] == "a"]
+        assert a["is_anomaly"].sum() == 1
+        assert int(a.loc[a["is_anomaly"] == 1, "n_events"].iloc[0]) == 200
+        b = out[out["event_type"] == "b"]
+        assert b["is_anomaly"].sum() == 0
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'events.parquet'}')"
+        )
+        expected = con.execute(ORACLE_SQL["events_hourly_anomaly"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_boundary_exactly_three_sigma_not_flagged(
+        self, ray_session, tmp_path
+    ):
+        from exstruct_ray.queries import events_hourly_anomaly
+
+        # counts 1,1,1,1,6: H=5 S=10 Q=40 -> H²σ²=100; dev(6)=6·5−10=20,
+        # dev²=400 > 900? no -> NOT flagged (strict >, exactly at 2σ)
+        rows = []
+        for h, n in enumerate([1, 1, 1, 1, 6]):
+            rows += [
+                {"ts": f"2001-01-02 {h:02d}:00:00", "event_type": "c"}
+            ] * n
+        self._write(tmp_path, rows)
+        out = events_hourly_anomaly(str(tmp_path))
+        assert out["is_anomaly"].sum() == 0
