@@ -239,6 +239,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_epoch_shuffle", q.doc_epoch_shuffle),
         ("doc_phrase_index", q.doc_phrase_index),
         ("events_hourly_anomaly", q.events_hourly_anomaly),
+        ("doc_boilerplate_by_source", q.doc_boilerplate_by_source),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

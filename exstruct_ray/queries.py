@@ -4061,6 +4061,150 @@ ORACLE_SQL["doc_exactsubstr_cut"] = """
     """
 
 
+def doc_boilerplate_by_source(sf_dir: str):
+    """Per-source boilerplate inflation — the observability readout a
+    curation team uses to decide which sources need ExactSubstr cutting:
+    for every source, total docs/tokens, tokens covered by
+    corpus-duplicated word spans, and the integer permille share.
+
+    Scale shape: span discovery is the existing two-bucket exchange; the
+    per-doc covered-token sums (end−start over merged, non-overlapping
+    intervals) reduce spans to one bounded table; the doc→source
+    attribution for those docs comes from ONE corpus pass against the
+    broadcast member-id set (bounded by the duplicated-doc count); the
+    per-source token totals ride in-batch partials. Only
+    source-cardinality rows reach the driver from the corpus side."""
+    import ray
+
+    from .ops.dedup import duplicated_ngram_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    spans = duplicated_ngram_spans(docs, n=5).to_pandas()
+    if "doc_id" in spans.columns and len(spans):
+        dup_per_doc = (
+            (spans["end_word"] - spans["start_word"])
+            .groupby(spans["doc_id"])
+            .sum()
+            .astype("int64")
+        )
+    else:
+        dup_per_doc = pd.Series(dtype="int64")
+    members = set(int(d) for d in dup_per_doc.index)
+    ref = ray.put(members)
+
+    def partials(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        m = ray.get(_ref)
+        n_tokens = (
+            batch["text"].fillna("").str.findall(r"[^\t\n\f\r ]+").str.len()
+        )
+        agg = pd.DataFrame(
+            {
+                "source": batch["source"].reset_index(drop=True),
+                "n_docs": np.int64(1),
+                "n_tokens": n_tokens.astype("int64").reset_index(drop=True),
+            }
+        ).groupby("source", as_index=False).sum()
+        sel = batch.loc[batch["doc_id"].isin(m), ["doc_id", "source"]]
+        agg["tag"] = np.int64(0)
+        agg["doc_id"] = np.int64(-1)
+        mem = pd.DataFrame(
+            {
+                "source": sel["source"].reset_index(drop=True),
+                "n_docs": np.int64(0),
+                "n_tokens": np.int64(0),
+                "tag": np.int64(1),
+                "doc_id": sel["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+            }
+        )
+        return pd.concat([agg, mem], ignore_index=True)
+
+    rows = docs.map_batches(partials, batch_format="pandas").to_pandas()
+    totals = (
+        rows.loc[rows["tag"] == 0]
+        .groupby("source", as_index=False)[["n_docs", "n_tokens"]]
+        .sum()
+    )
+    mem = rows.loc[rows["tag"] == 1, ["doc_id", "source"]]
+    mem = mem.assign(
+        dup_tokens=dup_per_doc.reindex(mem["doc_id"]).to_numpy()
+    )
+    dup_by_src = (
+        mem.groupby("source", as_index=False)["dup_tokens"].sum()
+        if len(mem)
+        else pd.DataFrame({"source": [], "dup_tokens": []})
+    )
+    out = totals.merge(dup_by_src, on="source", how="left")
+    out["dup_tokens"] = (
+        out["dup_tokens"].fillna(0).astype("int64")
+    )
+    out["dup_permille"] = (
+        (1000 * out["dup_tokens"]) // out["n_tokens"].clip(lower=1)
+    ).astype("int64")
+    out = out.astype({"n_docs": "int64", "n_tokens": "int64"})
+    return out.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "n_tokens", "dup_tokens", "dup_permille"]
+    ]
+
+
+ORACLE_SQL["doc_boilerplate_by_source"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([{'pos': i - 1,
+                      'g': md5(array_to_string(ws[i:i+4], ' '))}
+                     for i in range(1, len(ws) - 3)],
+                    recursive := true)
+      FROM toks WHERE len(ws) >= 5
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+      FROM isl GROUP BY doc_id, gid
+    ),
+    dupdoc AS (
+      SELECT doc_id, sum(e - s) AS dup_tokens FROM spans GROUP BY doc_id
+    ),
+    src AS (
+      SELECT d.source,
+             count(*) AS n_docs,
+             sum(len(t.ws)) AS n_tokens,
+             sum(COALESCE(x.dup_tokens, 0)) AS dup_tokens
+      FROM documents d
+      JOIN toks t USING (doc_id)
+      LEFT JOIN dupdoc x USING (doc_id)
+      GROUP BY d.source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(dup_tokens AS BIGINT) AS dup_tokens,
+           CAST((1000 * dup_tokens) // greatest(n_tokens, 1) AS BIGINT)
+             AS dup_permille
+    FROM src
+    ORDER BY source
+    """
+
+
 def doc_lm_rarity(sf_dir: str):
     """Unigram-LM rarity quality score (CCNet-style perplexity proxy):
     corpus token counts via one coarse-bucket shuffle, broadcast as the

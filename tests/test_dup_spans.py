@@ -200,3 +200,55 @@ class TestExactsubstrCut:
         assert by_id.loc[0, "n_words"] == 0
         assert by_id.loc[0, "text_clean"] == ""
         assert by_id.loc[1, "n_cut_words"] == 0
+
+
+class TestBoilerplateBySource:
+    """Per-source duplicated-token share (doc_boilerplate_by_source)."""
+
+    def test_shares_and_oracle_parity(self, ray_session, tmp_path):
+        import duckdb
+
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            doc_boilerplate_by_source,
+        )
+
+        shared = "the quick brown fox jumps over lazy dogs"  # 8 words
+        frame = pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": [
+                    f"{shared} unique tail one here",   # srcA: 8/12 dup
+                    f"{shared} other unique words now",  # srcA: 8/12 dup
+                    "entirely fresh content with no duplication at all",
+                    "more fresh content that repeats nothing anywhere",
+                ],
+                "lang": "en",
+                "source": ["srcA", "srcA", "srcB", "srcB"],
+                "n_chars": 40,
+            }
+        )
+        (tmp_path / "c").mkdir()
+        frame.to_parquet(tmp_path / "c" / "documents.parquet")
+        out = doc_boilerplate_by_source(str(tmp_path / "c"))
+        by = out.set_index("source")
+        assert by.loc["srcA", "n_docs"] == 2
+        assert by.loc["srcA", "n_tokens"] == 24
+        assert by.loc["srcA", "dup_tokens"] == 16
+        assert by.loc["srcA", "dup_permille"] == 1000 * 16 // 24
+        assert by.loc["srcB", "dup_tokens"] == 0
+        assert by.loc["srcB", "dup_permille"] == 0
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'c' / 'documents.parquet'}')"
+        )
+        expected = con.execute(
+            ORACLE_SQL["doc_boilerplate_by_source"]
+        ).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
