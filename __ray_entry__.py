@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textdoc_extract": q.textdoc_extract,
         "extract_doc_profile": _extract_doc_profile,
         "extract_span_dedup": _extract_span_dedup,
+        "extract_formula_audit": _extract_formula_audit,
         # Relational operators with exact DuckDB oracles
         "q1_pricing_summary": q.q1_pricing_summary,
         "q2_min_cost_supplier": q.q2_min_cost_supplier,
@@ -407,6 +408,85 @@ def _extract_doc_profile(sf_dir: str):
 
     res = out.map_batches(profile, batch_format="pyarrow").to_pandas()
     return res.sort_values("doc_id").reset_index(drop=True)
+
+
+def _extract_formula_audit(sf_dir: str):
+    """Extraction→analysis composition: the VERBOSE pipeline feeding a
+    corpus-level formula audit — per document, how many distinct
+    formulas its sheets declare, how many cells they cover, and how many
+    are SUM-family (the shape a migration/consistency pass uses to find
+    computation-heavy workbooks).
+
+    formulas_map span payloads are canonical JSON (formula → [row, col]
+    locations, the golden-gated byte-stable serialization); the audit
+    parses them batch-locally after an Arrow-side kind filter (flatten +
+    list_parent_indices on the unflattened rows, so a document never
+    straddles a batch). The oracle recomputes every column from the
+    pinned golden verbose parquet via DuckDB's JSON→MAP cast."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from exstruct_ray.config import ExtractOptions
+    from exstruct_ray.stages.pipeline import build_extraction_pipeline
+
+    ds = _corpus_dataset(sf_dir)
+    out = build_extraction_pipeline(
+        ds, ExtractOptions(mode="verbose"), batch_size=16
+    )
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="object"),
+            "n_formulas": pd.Series(dtype="int64"),
+            "n_formula_cells": pd.Series(dtype="int64"),
+            "n_sum_like": pd.Series(dtype="int64"),
+        }
+    )
+
+    def audit(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return empty
+        list_arr = batch.column("spans").combine_chunks()
+        values = list_arr.flatten()
+        parents = pc.list_parent_indices(list_arr).to_numpy()
+        mask = pc.equal(values.field("kind"), "formulas_map").to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.nonzero(mask)[0]
+        if not len(idx):
+            return empty
+        texts = values.field("text").take(pa.array(idx)).to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        rows = []
+        for pid, payload in zip(parents[idx], texts):
+            fmap = json.loads(payload or "{}")
+            rows.append(
+                {
+                    "doc_id": doc_ids[pid],
+                    "n_formulas": len(fmap),
+                    "n_formula_cells": sum(len(v) for v in fmap.values()),
+                    "n_sum_like": sum(1 for k in fmap if "SUM(" in k),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out_df = out.map_batches(audit, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in out_df.columns or not len(out_df):
+        return empty
+    # one formulas_map span per sheet — fold sheets into the document
+    agg = out_df.groupby("doc_id", as_index=False).sum()
+    agg = agg.astype(
+        {
+            "n_formulas": "int64",
+            "n_formula_cells": "int64",
+            "n_sum_like": "int64",
+        }
+    )
+    return agg.sort_values("doc_id").reset_index(drop=True)
 
 
 def _extract_span_dedup(sf_dir: str):

@@ -11634,6 +11634,23 @@ ORACLE_SQL["extract_span_dedup"] = f"""
     ORDER BY text_md5
 """
 
+ORACLE_SQL["extract_formula_audit"] = f"""
+    WITH s AS (
+      SELECT doc_id, CAST(json(text) AS MAP(VARCHAR, INT[][])) AS m
+      FROM read_parquet('{_GOLDEN_DIR}/extract_verbose_sf0.01.parquet')
+      WHERE kind = 'formulas_map'
+    )
+    SELECT doc_id,
+           CAST(sum(len(map_keys(m))) AS BIGINT) AS n_formulas,
+           CAST(sum(coalesce(list_sum([len(x) for x in map_values(m)]), 0))
+                AS BIGINT) AS n_formula_cells,
+           CAST(sum(len(list_filter(map_keys(m), k -> k LIKE '%SUM(%')))
+                AS BIGINT) AS n_sum_like
+    FROM s
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
 
 def orders_priority_year_pivot(sf_dir: str):
     """Pivot / crosstab — the one relational reporting shape the suite

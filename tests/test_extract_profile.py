@@ -104,3 +104,54 @@ class TestExtractSpanDedup:
         # every reported row text really crosses a document boundary
         assert (out["n_docs"] >= 2).all()
         assert (out["n_rows"] >= out["n_docs"]).all()
+
+
+class TestExtractFormulaAudit:
+    def test_matches_golden_recompute(self, ray_session):
+        import json
+
+        import __ray_entry__ as entry
+
+        out = entry.queries()["extract_formula_audit"](
+            "/root/testdata/sf0.001"
+        )
+        golden_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "golden",
+            "extract_verbose_sf0.001.parquet",
+        )
+        g = pd.read_parquet(golden_path)
+        fm = g[g["kind"] == "formulas_map"]
+        assert len(fm) > 0, "corpus should contain formula workbooks"
+        rows = []
+        for _, r in fm.iterrows():
+            m = json.loads(r["text"] or "{}")
+            rows.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "n_formulas": len(m),
+                    "n_formula_cells": sum(len(v) for v in m.values()),
+                    "n_sum_like": sum(1 for k in m if "SUM(" in k),
+                }
+            )
+        exp = (
+            pd.DataFrame(rows)
+            .groupby("doc_id", as_index=False)
+            .sum()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out, exp.astype(
+                {
+                    "n_formulas": "int64",
+                    "n_formula_cells": "int64",
+                    "n_sum_like": "int64",
+                }
+            )
+        )
+        # semantic spot checks: every audited doc declares >=1 formula,
+        # cells cover at least the formula count
+        assert (out["n_formulas"] >= 1).all()
+        assert (out["n_formula_cells"] >= out["n_formulas"]).all()
