@@ -240,6 +240,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_phrase_index", q.doc_phrase_index),
         ("events_hourly_anomaly", q.events_hourly_anomaly),
         ("doc_boilerplate_by_source", q.doc_boilerplate_by_source),
+        ("doc_bpe_train", q.doc_bpe_train),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

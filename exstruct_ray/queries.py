@@ -4061,6 +4061,188 @@ ORACLE_SQL["doc_exactsubstr_cut"] = """
     """
 
 
+def doc_bpe_train(sf_dir: str, n_merges: int = 8):
+    """BPE tokenizer TRAINING — the merge-learning loop itself (Sennrich
+    et al. 2016, "Neural Machine Translation of Rare Words with Subword
+    Units"): starting from characters, repeatedly find the
+    highest-frequency adjacent symbol pair over the word-count table and
+    merge it everywhere; the learned merge list IS the tokenizer.
+
+    Scale shape (the k-means pattern applied to tokenizer training): the
+    corpus collapses ONCE into the vocabulary-sized (word, count) table
+    (the existing coarse-bucket exchange); each of the ``n_merges``
+    iterations is one shuffle-free map_batches pass over the materialized
+    symbol table emitting pair-count partials (pair space is
+    vocabulary-bounded, the driver folds it like the rarity broadcast),
+    then one broadcast merge-application pass, re-materialized so
+    iteration t never re-executes the previous t−1 merges
+    (CLAUDE.md's lineage rule). Adjacent-pair counting includes
+    overlapping repeats and merge application is leftmost-first
+    non-overlapping — bit-identical to the oracle's generated per-merge
+    CTE chain (symbols carried as '|sym|'-marker strings so REPLACE is
+    token-boundary-exact; words containing '|' are excluded from the
+    vocabulary on both sides).
+
+    Output: one row per learned merge, (rank, left_sym, right_sym, freq).
+    """
+    import ray.data
+
+    from .ops.text import corpus_token_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    vocab = corpus_token_counts(ds)
+    out_empty = pd.DataFrame(
+        {
+            "rank": pd.Series(dtype="int64"),
+            "left_sym": pd.Series(dtype="object"),
+            "right_sym": pd.Series(dtype="object"),
+            "freq": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(vocab):
+        return out_empty
+    vocab = vocab[~vocab["token"].str.contains("|", regex=False)]
+    vds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "cnt": vocab["n"].to_numpy(dtype=np.int64),
+                "syms": pd.Series(
+                    [list(t) for t in vocab["token"]], dtype="object"
+                ),
+            }
+        )
+    ).materialize()
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        acc: dict[str, int] = {}
+        for cnt, syms in zip(batch["cnt"], batch["syms"]):
+            c = int(cnt)
+            for a, b in zip(syms[:-1], syms[1:]):
+                k = a + "|" + b
+                acc[k] = acc.get(k, 0) + c
+        if not acc:
+            return pd.DataFrame(
+                {
+                    "pr": pd.Series(dtype="object"),
+                    "c": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "pr": pd.Series(list(acc), dtype="object"),
+                "c": pd.Series(list(acc.values()), dtype="int64"),
+            }
+        )
+
+    merges: list[dict] = []
+    for r in range(1, n_merges + 1):
+        partials = vds.map_batches(
+            pair_partial, batch_format="pandas"
+        ).to_pandas()
+        if "pr" not in partials.columns or not len(partials):
+            break
+        agg = partials.groupby("pr")["c"].sum()
+        best_c = int(agg.max())
+        best = min(agg.index[agg == best_c])  # tie → lexicographic
+        a, b = best.split("|", 1)
+        merges.append(
+            {"rank": r, "left_sym": a, "right_sym": b, "freq": best_c}
+        )
+
+        def apply_merge(batch: pd.DataFrame, _a=a, _b=b) -> pd.DataFrame:
+            out_syms: list[list[str]] = []
+            for syms in batch["syms"]:
+                syms = list(syms)
+                res: list[str] = []
+                i, n = 0, len(syms)
+                while i < n:  # leftmost-first, non-overlapping
+                    if i < n - 1 and syms[i] == _a and syms[i + 1] == _b:
+                        res.append(_a + _b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out_syms.append(res)
+            return pd.DataFrame(
+                {
+                    "cnt": batch["cnt"]
+                    .reset_index(drop=True)
+                    .astype("int64"),
+                    "syms": pd.Series(out_syms, dtype="object"),
+                }
+            )
+
+        vds = vds.map_batches(
+            apply_merge, batch_format="pandas"
+        ).materialize()
+    if not merges:
+        return out_empty
+    return pd.DataFrame(merges).astype({"rank": "int64", "freq": "int64"})
+
+
+def bpe_train_oracle_sql(n_merges: int = 8) -> str:
+    """Generated DuckDB SQL recomputing the identical BPE training run —
+    one CTE pair (pair-count + argmax + merged-strings) per iteration,
+    the kmeans_chain_sql pattern applied to tokenizer training. Symbols
+    ride as '|sym|'-marker strings; REPLACE('|a| |b|' → '|ab|') is
+    boundary-exact and leftmost-first, matching the engine's list walk.
+    """
+    parts = [
+        """
+    WITH w AS (
+      SELECT w AS word, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    s0 AS (
+      SELECT cnt,
+             '|' || array_to_string(regexp_extract_all(word, '.'), '| |')
+                 || '|' AS s
+      FROM w WHERE word NOT LIKE '%|%'
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT pr, sum(cnt) AS c FROM (
+        SELECT cnt,
+               unnest([sym[j] || '|' || sym[j+1]
+                       for j in range(1, len(sym))]) AS pr
+        FROM (SELECT cnt,
+                     regexp_extract_all(s, '\\|([^|]+)\\|', 1) AS sym
+              FROM {prev})
+      ) GROUP BY pr
+    ),
+    b{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1),
+    s{i} AS (
+      SELECT w.cnt,
+             replace(w.s,
+                     '|' || split_part(b.pr, '|', 1) || '| |'
+                         || split_part(b.pr, '|', 2) || '|',
+                     '|' || split_part(b.pr, '|', 1)
+                         || split_part(b.pr, '|', 2) || '|') AS s
+      FROM {prev} w CROSS JOIN b{i} b
+    )"""
+        )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank,"
+        f" split_part(pr, '|', 1) AS left_sym,"
+        f" split_part(pr, '|', 2) AS right_sym,"
+        f" CAST(c AS BIGINT) AS freq FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + f"""
+    SELECT * FROM (
+    {selects}
+    ) ORDER BY rank
+    """
+
+
 def doc_boilerplate_by_source(sf_dir: str):
     """Per-source boilerplate inflation — the observability readout a
     curation team uses to decide which sources need ExactSubstr cutting:
@@ -4147,6 +4329,8 @@ def doc_boilerplate_by_source(sf_dir: str):
         ["source", "n_docs", "n_tokens", "dup_tokens", "dup_permille"]
     ]
 
+
+ORACLE_SQL["doc_bpe_train"] = bpe_train_oracle_sql(n_merges=8)
 
 ORACLE_SQL["doc_boilerplate_by_source"] = """
     WITH toks AS (
