@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exactsubstr_cut": q.doc_exactsubstr_cut,
         "doc_boilerplate_by_source": q.doc_boilerplate_by_source,
         "doc_bpe_train": q.doc_bpe_train,
+        "doc_bpe_subword_vocab": q.doc_bpe_subword_vocab,
         "doc_lm_rarity": q.doc_lm_rarity,
         "doc_neardup_survivors": q.doc_neardup_survivors,
         "doc_neardup_best_keep": q.doc_neardup_best_keep,

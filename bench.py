@@ -241,6 +241,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("events_hourly_anomaly", q.events_hourly_anomaly),
         ("doc_boilerplate_by_source", q.doc_boilerplate_by_source),
         ("doc_bpe_train", q.doc_bpe_train),
+        ("doc_bpe_subword_vocab", q.doc_bpe_subword_vocab),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

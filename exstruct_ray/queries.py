@@ -4085,6 +4085,14 @@ def doc_bpe_train(sf_dir: str, n_merges: int = 8):
 
     Output: one row per learned merge, (rank, left_sym, right_sym, freq).
     """
+    merges_df, _ = _bpe_fit(sf_dir, n_merges=n_merges)
+    return merges_df
+
+
+def _bpe_fit(sf_dir: str, n_merges: int = 8):
+    """Shared BPE trainer: returns (merges DataFrame, final merged symbol
+    Dataset) so doc_bpe_train and doc_bpe_subword_vocab run the identical
+    loop (see doc_bpe_train for the algorithm + scale-shape contract)."""
     import ray.data
 
     from .ops.text import corpus_token_counts
@@ -4100,7 +4108,7 @@ def doc_bpe_train(sf_dir: str, n_merges: int = 8):
         }
     )
     if not len(vocab):
-        return out_empty
+        return out_empty, None
     vocab = vocab[~vocab["token"].str.contains("|", regex=False)]
     vds = ray.data.from_pandas(
         pd.DataFrame(
@@ -4176,8 +4184,72 @@ def doc_bpe_train(sf_dir: str, n_merges: int = 8):
             apply_merge, batch_format="pandas"
         ).materialize()
     if not merges:
-        return out_empty
-    return pd.DataFrame(merges).astype({"rank": "int64", "freq": "int64"})
+        return out_empty, vds
+    return (
+        pd.DataFrame(merges).astype({"rank": "int64", "freq": "int64"}),
+        vds,
+    )
+
+
+def doc_bpe_subword_vocab(sf_dir: str, n_merges: int = 8):
+    """The trained tokenizer's deployment artifact: the post-merge
+    subword vocabulary with corpus token counts — what the trained BPE
+    actually emits over this corpus (characters absorbed into learned
+    subwords like 'er'/'par'). Runs the identical _bpe_fit loop, then one
+    unnest-and-fold pass over the final vocabulary-sized symbol table.
+    Output: (subword, n_tokens) sorted by subword."""
+    _, vds = _bpe_fit(sf_dir, n_merges=n_merges)
+    empty = pd.DataFrame(
+        {
+            "subword": pd.Series(dtype="object"),
+            "n_tokens": pd.Series(dtype="int64"),
+        }
+    )
+    if vds is None:
+        return empty
+
+    def unnest(batch: pd.DataFrame) -> pd.DataFrame:
+        acc: dict[str, int] = {}
+        for cnt, syms in zip(batch["cnt"], batch["syms"]):
+            c = int(cnt)
+            for s in syms:
+                acc[s] = acc.get(s, 0) + c
+        if not acc:
+            return empty
+        return pd.DataFrame(
+            {
+                "subword": pd.Series(list(acc), dtype="object"),
+                "n_tokens": pd.Series(list(acc.values()), dtype="int64"),
+            }
+        )
+
+    out = vds.map_batches(unnest, batch_format="pandas").to_pandas()
+    if "subword" not in out.columns or not len(out):
+        return empty
+    out = out.groupby("subword", as_index=False)["n_tokens"].sum()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("subword").reset_index(drop=True)
+
+
+def bpe_subword_vocab_oracle_sql(n_merges: int = 8) -> str:
+    """Generated SQL: the bpe_train_oracle_sql chain's final symbol
+    table unnested into weighted subword counts."""
+    chain = bpe_train_oracle_sql(n_merges=n_merges)
+    # reuse the WITH chain, swap the final SELECT for the vocab fold
+    head = chain[: chain.rindex("SELECT * FROM (")]
+    return (
+        head
+        + f"""SELECT sym AS subword,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT cnt,
+             unnest(regexp_extract_all(s, '\\|([^|]+)\\|', 1)) AS sym
+      FROM s{n_merges}
+    )
+    GROUP BY sym
+    ORDER BY subword
+    """
+    )
 
 
 def bpe_train_oracle_sql(n_merges: int = 8) -> str:
@@ -4220,13 +4292,16 @@ def bpe_train_oracle_sql(n_merges: int = 8) -> str:
     ),
     b{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1),
     s{i} AS (
+      -- LEFT JOIN + COALESCE: when the corpus dries out (no pairs left)
+      -- b{i} is empty and the symbol table carries over unchanged — the
+      -- kmeans chain's empty-cluster carryover applied to merges
       SELECT w.cnt,
-             replace(w.s,
+             COALESCE(replace(w.s,
                      '|' || split_part(b.pr, '|', 1) || '| |'
                          || split_part(b.pr, '|', 2) || '|',
                      '|' || split_part(b.pr, '|', 1)
-                         || split_part(b.pr, '|', 2) || '|') AS s
-      FROM {prev} w CROSS JOIN b{i} b
+                         || split_part(b.pr, '|', 2) || '|'), w.s) AS s
+      FROM {prev} w LEFT JOIN b{i} b ON TRUE
     )"""
         )
     selects = "\n    UNION ALL\n    ".join(
@@ -4331,6 +4406,7 @@ def doc_boilerplate_by_source(sf_dir: str):
 
 
 ORACLE_SQL["doc_bpe_train"] = bpe_train_oracle_sql(n_merges=8)
+ORACLE_SQL["doc_bpe_subword_vocab"] = bpe_subword_vocab_oracle_sql(n_merges=8)
 
 ORACLE_SQL["doc_boilerplate_by_source"] = """
     WITH toks AS (

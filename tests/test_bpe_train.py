@@ -79,3 +79,43 @@ class TestBpeTrain:
         assert out.iloc[0].to_dict() == {
             "rank": 1, "left_sym": "c", "right_sym": "d", "freq": 2,
         }
+
+
+class TestBpeSubwordVocab:
+    def test_vocab_after_merges_and_oracle(self, ray_session, tmp_path):
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            doc_bpe_subword_vocab,
+        )
+
+        # 'aaa' x2: merges (a,a) then (aa,a) leave one subword 'aaa' x2
+        _write(tmp_path, ["aaa aaa"])
+        out = doc_bpe_subword_vocab(str(tmp_path))
+        assert out.to_dict("records") == [
+            {"subword": "aaa", "n_tokens": 2}
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_bpe_subword_vocab"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_total_mass_conserved(self, ray_session, tmp_path):
+        from exstruct_ray.queries import doc_bpe_subword_vocab
+
+        # merging never changes total character mass: sum over subwords
+        # of len(subword)*count == total characters in the vocab stream
+        texts = ["lower lower lowest low", "newer newest new"]
+        _write(tmp_path, texts)
+        out = doc_bpe_subword_vocab(str(tmp_path))
+        mass = int(
+            (out["subword"].str.len() * out["n_tokens"]).sum()
+        )
+        expected_chars = sum(len(w) for t in texts for w in t.split())
+        assert mass == expected_chars
