@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate_by_source": q.doc_boilerplate_by_source,
         "doc_bpe_train": q.doc_bpe_train,
         "doc_bpe_subword_vocab": q.doc_bpe_subword_vocab,
+        "doc_bpe_encoded_len": q.doc_bpe_encoded_len,
         "doc_lm_rarity": q.doc_lm_rarity,
         "doc_neardup_survivors": q.doc_neardup_survivors,
         "doc_neardup_best_keep": q.doc_neardup_best_keep,

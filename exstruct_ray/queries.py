@@ -4113,6 +4113,7 @@ def _bpe_fit(sf_dir: str, n_merges: int = 8):
     vds = ray.data.from_pandas(
         pd.DataFrame(
             {
+                "word": vocab["token"].to_numpy(),
                 "cnt": vocab["n"].to_numpy(dtype=np.int64),
                 "syms": pd.Series(
                     [list(t) for t in vocab["token"]], dtype="object"
@@ -4173,6 +4174,7 @@ def _bpe_fit(sf_dir: str, n_merges: int = 8):
                 out_syms.append(res)
             return pd.DataFrame(
                 {
+                    "word": batch["word"].reset_index(drop=True),
                     "cnt": batch["cnt"]
                     .reset_index(drop=True)
                     .astype("int64"),
@@ -4231,6 +4233,97 @@ def doc_bpe_subword_vocab(sf_dir: str, n_merges: int = 8):
     return out.sort_values("subword").reset_index(drop=True)
 
 
+def doc_bpe_encoded_len(sf_dir: str, n_merges: int = 8):
+    """Trained-tokenizer ENCODING — the loop closed: the merges learned
+    by doc_bpe_train applied back to every document, emitting its
+    subword token count (the number a sequence-packing / token-budget
+    stage actually consumes). Because BPE merges are word-local, the
+    encoder is just the broadcast word → n_subwords map from the trained
+    symbol table (vocabulary-sized, the rarity-broadcast contract) and
+    ONE vectorized corpus pass; marker-excluded words ('|') are skipped
+    on both sides. Output: (doc_id, n_subwords)."""
+    import ray
+
+    _, vds = _bpe_fit(sf_dir, n_merges=n_merges)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_subwords": pd.Series(dtype="int64"),
+        }
+    )
+    if vds is None:
+        return empty
+
+    def word_lens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "word": batch["word"].reset_index(drop=True),
+                "k": pd.Series(
+                    [len(s) for s in batch["syms"]], dtype="int64"
+                ),
+            }
+        )
+
+    wl = vds.map_batches(word_lens, batch_format="pandas").to_pandas()
+    lens = dict(zip(wl["word"], (int(v) for v in wl["k"])))
+    ref = ray.put(lens)
+
+    def encode(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        m = ray.get(_ref)
+        toks = batch["text"].fillna("").str.lower().str.findall(
+            r"[^\t\n\f\r ]+"
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "n_subwords": pd.Series(
+                    [sum(m.get(w, 0) for w in ws) for ws in toks],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(encode, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns or not len(out):
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def bpe_encoded_len_oracle_sql(n_merges: int = 8) -> str:
+    """Generated SQL: the trained chain's final symbol table joined back
+    to every document's token stream — per-doc subword counts."""
+    chain = bpe_train_oracle_sql(n_merges=n_merges)
+    head = chain[: chain.rindex("SELECT * FROM (")]
+    return (
+        head.rstrip()  # ends at the s{n} CTE's closing paren
+        + f""",
+    wl AS (
+      SELECT word,
+             len(regexp_extract_all(s, '\\|([^|]+)\\|', 1)) AS k
+      FROM s{n_merges}
+    ),
+    dt AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    per AS (
+      SELECT dt.doc_id, sum(wl.k) AS s
+      FROM dt JOIN wl ON dt.w = wl.word
+      GROUP BY dt.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.s, 0) AS BIGINT) AS n_subwords
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+    )
+
+
 def bpe_subword_vocab_oracle_sql(n_merges: int = 8) -> str:
     """Generated SQL: the bpe_train_oracle_sql chain's final symbol
     table unnested into weighted subword counts."""
@@ -4270,7 +4363,7 @@ def bpe_train_oracle_sql(n_merges: int = 8) -> str:
       ) GROUP BY w
     ),
     s0 AS (
-      SELECT cnt,
+      SELECT word, cnt,
              '|' || array_to_string(regexp_extract_all(word, '.'), '| |')
                  || '|' AS s
       FROM w WHERE word NOT LIKE '%|%'
@@ -4295,7 +4388,7 @@ def bpe_train_oracle_sql(n_merges: int = 8) -> str:
       -- LEFT JOIN + COALESCE: when the corpus dries out (no pairs left)
       -- b{i} is empty and the symbol table carries over unchanged — the
       -- kmeans chain's empty-cluster carryover applied to merges
-      SELECT w.cnt,
+      SELECT w.word, w.cnt,
              COALESCE(replace(w.s,
                      '|' || split_part(b.pr, '|', 1) || '| |'
                          || split_part(b.pr, '|', 2) || '|',
@@ -4407,6 +4500,7 @@ def doc_boilerplate_by_source(sf_dir: str):
 
 ORACLE_SQL["doc_bpe_train"] = bpe_train_oracle_sql(n_merges=8)
 ORACLE_SQL["doc_bpe_subword_vocab"] = bpe_subword_vocab_oracle_sql(n_merges=8)
+ORACLE_SQL["doc_bpe_encoded_len"] = bpe_encoded_len_oracle_sql(n_merges=8)
 
 ORACLE_SQL["doc_boilerplate_by_source"] = """
     WITH toks AS (

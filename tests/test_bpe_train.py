@@ -119,3 +119,33 @@ class TestBpeSubwordVocab:
         )
         expected_chars = sum(len(w) for t in texts for w in t.split())
         assert mass == expected_chars
+
+
+class TestBpeEncodedLen:
+    def test_encoding_compresses_and_oracle(self, ray_session, tmp_path):
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            doc_bpe_encoded_len,
+        )
+
+        # 'aaa' collapses to ONE subword after two merges; 'xyz' words
+        # get partial merges depending on learned pairs
+        _write(tmp_path, ["aaa aaa aaa", "aaa bc", ""])
+        out = doc_bpe_encoded_len(str(tmp_path))
+        by = out.set_index("doc_id")
+        assert by.loc[0, "n_subwords"] == 3      # three 'aaa' -> 3 tokens
+        assert by.loc[2, "n_subwords"] == 0      # empty doc
+        # every doc present, counts never exceed character counts
+        assert sorted(out["doc_id"]) == [0, 1, 2]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_bpe_encoded_len"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
