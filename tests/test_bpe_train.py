@@ -149,3 +149,31 @@ class TestBpeEncodedLen:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+    def test_all_empty_corpus_emits_all_docs_zero(
+        self, ray_session, tmp_path
+    ):
+        import duckdb
+
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            doc_bpe_encoded_len,
+        )
+
+        # empty vocabulary: the oracle LEFT JOINs from documents, so the
+        # engine must still emit one (doc_id, 0) row per document
+        _write(tmp_path, ["", "   ", "\t"])
+        out = doc_bpe_encoded_len(str(tmp_path))
+        assert sorted(out["doc_id"]) == [0, 1, 2]
+        assert (out["n_subwords"] == 0).all()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_bpe_encoded_len"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
