@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_exploded": _extract_exploded,
         "edit_patch_extract": _edit_patch_extract,
         "textdoc_extract": q.textdoc_extract,
+        "textdoc_media_balance": q.textdoc_media_balance,
         "extract_doc_profile": _extract_doc_profile,
         "extract_span_dedup": _extract_span_dedup,
         "extract_formula_audit": _extract_formula_audit,

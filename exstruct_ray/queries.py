@@ -2924,6 +2924,106 @@ ORACLE_SQL["doc_epoch_shuffle"] = """
 """
 
 
+def textdoc_media_balance(sf_dir: str):
+    """Interleaved-corpus curation signal: per-document text/media
+    balance computed from the extraction OUTPUT — the multimodal filter
+    that drops media-heavy/text-thin documents before training (LAION-
+    style alt-text gating generalized to interleaved docs): keep iff the
+    normalized text length clears an absolute floor (150 chars) AND a
+    per-media floor (300 chars per media span).
+
+    Scale shape: rides the same streaming extraction pipeline as
+    textdoc_extract; the aggregate runs on the UNFLATTENED (doc_id,
+    spans) rows batch-locally (a document never straddles a batch), so
+    the signal pass is shuffle-free."""
+    import ray.data  # noqa: F401 — pipeline import path parity
+
+    from .stages.pipeline import build_extraction_pipeline
+
+    def to_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_id = []
+        rows_spans = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            spans = [
+                {"kind": "text", "text": text or "", "media_ref": "", "offset": 0}
+            ]
+            if int(doc_id) % 3 == 0:
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": "",
+                        "media_ref": f"media/img-{int(doc_id)}.png",
+                        "offset": 1,
+                    }
+                )
+            rows_id.append(str(int(doc_id)))
+            rows_spans.append(spans)
+        return pd.DataFrame({"doc_id": rows_id, "spans": rows_spans})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_docs, batch_format="pandas"
+    )
+    out = build_extraction_pipeline(docs, batch_size=64)
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="object"),
+            "text_chars": pd.Series(dtype="int64"),
+            "n_media": pd.Series(dtype="int64"),
+            "keep": pd.Series(dtype="int64"),
+        }
+    )
+
+    def balance(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty
+        rows = []
+        for doc_id, spans in zip(batch["doc_id"], batch["spans"]):
+            chars = 0
+            n_media = 0
+            for s in (spans if spans is not None else []):
+                if s["kind"] == "text":
+                    chars += len(s["text"] or "")
+                elif s["kind"] == "media":
+                    n_media += 1
+            keep = int(chars >= 150 and chars >= 300 * n_media)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "text_chars": chars,
+                    "n_media": n_media,
+                    "keep": keep,
+                }
+            )
+        return pd.DataFrame(rows).astype(
+            {"text_chars": "int64", "n_media": "int64", "keep": "int64"}
+        )
+
+    res = out.map_batches(balance, batch_format="pandas").to_pandas()
+    if "doc_id" not in res.columns or not len(res):
+        return empty
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["textdoc_media_balance"] = """
+    SELECT doc_id,
+           text_chars,
+           n_media,
+           CAST(CASE WHEN text_chars >= 150
+                      AND text_chars >= 300 * n_media
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                  AS BIGINT) AS text_chars,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_media
+      FROM documents
+    )
+    ORDER BY doc_id
+"""
+
+
 ORACLE_SQL["textdoc_extract"] = """
     SELECT * FROM (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,

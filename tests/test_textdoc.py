@@ -1,5 +1,7 @@
 """Interleaved text + media document extraction tests."""
 
+import pandas as pd
+
 from exstruct_ray.config import ExtractOptions
 from exstruct_ray.extract.document import extract_document_spans
 from exstruct_ray.extract.textdoc import (
@@ -96,3 +98,43 @@ class TestCorruptBundleRouting:
         )
         assert len(spans) == 1 and spans[0].kind == "error"
         assert "workbook.xml" in spans[0].text
+
+
+class TestTextdocMediaBalance:
+    def test_thresholds_and_oracle(self, ray_session, tmp_path):
+        import duckdb
+
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            textdoc_media_balance,
+        )
+
+        texts = [
+            "x " * 200,          # doc 0: media (id%3==0), 399 chars -> keep
+            "short text here",   # doc 1: no media, 15 chars -> drop (<150)
+            "y " * 100,          # doc 2: no media, 199 chars -> keep
+            "z " * 100,          # doc 3: media, 199 chars -> drop (<300/media)
+        ]
+        frame = pd.DataFrame(
+            {"doc_id": range(4), "text": texts, "lang": "en",
+             "source": "t", "n_chars": [len(t) for t in texts]}
+        )
+        frame.to_parquet(tmp_path / "documents.parquet")
+        out = textdoc_media_balance(str(tmp_path))
+        by = out.set_index("doc_id")
+        assert by.loc["0", "n_media"] == 1 and by.loc["0", "keep"] == 1
+        assert by.loc["1", "keep"] == 0
+        assert by.loc["2", "keep"] == 1
+        assert by.loc["3", "n_media"] == 1 and by.loc["3", "keep"] == 0
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}')"
+        )
+        expected = con.execute(ORACLE_SQL["textdoc_media_balance"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
