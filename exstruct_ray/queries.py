@@ -4673,6 +4673,208 @@ ORACLE_SQL["doc_boilerplate_by_source"] = """
     """
 
 
+def doc_cut_packs(sf_dir: str):
+    """Day-5 capstone composition: ExactSubstr CUTTING feeding sequence
+    packing — every document's post-cut token count (words surviving the
+    corpus-duplicated-span removal) concatenated in doc_id order into
+    fixed PACK_SEQ_LEN training sequences; fully-cut documents vanish.
+    The dedup→pack hand-off a pretraining data build actually runs.
+
+    Scale shape: span discovery is the existing two-bucket exchange; the
+    per-doc counts and the span coverage sums meet in ONE range-bucket
+    tagged-union merge (the bucket doubles as the packing range key), the
+    compact survivor table (doc_id, n_kept, bucket — 24 B/doc) is
+    materialized before its two consumers, and the global prefix sum is
+    the doc_pack_sequences pattern (tree-reduced bucket totals, driver
+    prefixes the tiny totals, vectorized in-bucket cumsum)."""
+    from .ops.dedup import duplicated_ngram_spans
+    from .ops.shuffle import empty_frame
+
+    bucket_width = 1024
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    spans = duplicated_ngram_spans(docs, n=5)
+
+    union_cols = [
+        ("doc_id", "int64"),
+        ("tag", "int64"),
+        ("n", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def count_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        n_tokens = (
+            batch["text"].fillna("").str.findall(r"[^\t\n\f\r ]+").str.len()
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "tag": np.int64(0),
+                "n": n_tokens.astype("int64").reset_index(drop=True),
+            }
+        )
+        out["bucket"] = (out["doc_id"] // bucket_width).astype("int64")
+        return out[[c for c, _ in union_cols]]
+
+    def span_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "tag": np.int64(1),
+                "n": (batch["end_word"] - batch["start_word"])
+                .astype("int64")
+                .reset_index(drop=True),
+            }
+        )
+        out["bucket"] = (out["doc_id"] // bucket_width).astype("int64")
+        return out[[c for c, _ in union_cols]]
+
+    surv_cols = [
+        ("doc_id", "int64"),
+        ("n_kept", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def merge_kept(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or not len(group):
+            return empty_frame(surv_cols)
+        tot = group.loc[group["tag"] == 0].groupby("doc_id")["n"].sum()
+        cut = group.loc[group["tag"] == 1].groupby("doc_id")["n"].sum()
+        kept = (tot - cut.reindex(tot.index, fill_value=0)).astype("int64")
+        kept = kept[kept > 0]
+        out = pd.DataFrame(
+            {
+                "doc_id": kept.index.to_numpy(dtype=np.int64),
+                "n_kept": kept.to_numpy(),
+            }
+        )
+        out["bucket"] = (out["doc_id"] // bucket_width).astype("int64")
+        return out.astype("int64")[[c for c, _ in surv_cols]]
+
+    survivors = (
+        docs.map_batches(count_rows, batch_format="pandas")
+        .union(spans.map_batches(span_rows, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(merge_kept, batch_format="pandas")
+        .materialize()  # compact 24 B/doc table, two consumers below
+    )
+
+    def sums_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if "bucket" not in batch.columns or batch.empty:
+            return empty_frame([("bucket", "int64"), ("total", "int64")])
+        return batch.groupby("bucket", as_index=False).agg(
+            total=("n_kept", "sum")
+        ).astype("int64")
+
+    def sums_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if "bucket" not in batch.columns or batch.empty:
+            return empty_frame([("bucket", "int64"), ("total", "int64")])
+        return batch.groupby("bucket", as_index=False).agg(
+            total=("total", "sum")
+        ).astype("int64")
+
+    sums = (
+        survivors.map_batches(sums_partial, batch_format="pandas")
+        .map_batches(sums_merge, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    final_cols = [
+        ("doc_id", "int64"),
+        ("n_kept", "int64"),
+        ("pack_id", "int64"),
+        ("offset_in_pack", "int64"),
+    ]
+    if "bucket" not in sums.columns or sums.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in final_cols})
+    totals = sums.groupby("bucket")["total"].sum().sort_index()
+    base = totals.cumsum().shift(fill_value=0).to_dict()
+
+    def pack_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or group.empty:
+            return empty_frame(final_cols)
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        start = int(base.get(int(g["bucket"].iloc[0]), 0)) + np.concatenate(
+            [[0], g["n_kept"].to_numpy()[:-1].cumsum()]
+        )
+        g["pack_id"] = (start // PACK_SEQ_LEN).astype("int64")
+        g["offset_in_pack"] = (start % PACK_SEQ_LEN).astype("int64")
+        return g[[c for c, _ in final_cols]]
+
+    out = (
+        survivors.groupby("bucket")
+        .map_groups(pack_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in final_cols})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+ORACLE_SQL["doc_cut_packs"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([{{'pos': i - 1,
+                      'g': md5(array_to_string(ws[i:i+4], ' '))}}
+                     for i in range(1, len(ws) - 3)],
+                    recursive := true)
+      FROM toks WHERE len(ws) >= 5
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+      FROM isl GROUP BY doc_id, gid
+    ),
+    dupdoc AS (
+      SELECT doc_id, sum(e - s) AS dup_tokens FROM spans GROUP BY doc_id
+    ),
+    surv AS (
+      SELECT t.doc_id,
+             len(t.ws) - COALESCE(x.dup_tokens, 0) AS n_kept
+      FROM toks t LEFT JOIN dupdoc x USING (doc_id)
+      WHERE len(t.ws) - COALESCE(x.dup_tokens, 0) > 0
+    ),
+    pref AS (
+      SELECT doc_id, n_kept,
+             coalesce(sum(n_kept) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS start
+      FROM surv
+    )
+    SELECT doc_id,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(start // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_pack
+    FROM pref
+    ORDER BY doc_id
+    """
+
+
 def doc_lm_rarity(sf_dir: str):
     """Unigram-LM rarity quality score (CCNet-style perplexity proxy):
     corpus token counts via one coarse-bucket shuffle, broadcast as the

@@ -252,3 +252,53 @@ class TestBoilerplateBySource:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestCutPacks:
+    """ExactSubstr cut feeding sequence packing (doc_cut_packs)."""
+
+    def test_contiguity_and_fully_cut_doc_vanishes(
+        self, ray_session, tmp_path
+    ):
+        import duckdb
+
+        from exstruct_ray.queries import ORACLE_SQL, doc_cut_packs
+
+        texts = [
+            "alpha beta the quick brown fox jumps gamma",   # 8w, 5 cut
+            "a b c d e a b c d e",                          # fully cut
+            "one two three the quick brown fox jumps four", # 9w, 5 cut
+            "entirely different words everywhere here now", # 6w, 0 cut
+        ]
+        frame = pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts, "lang": "en",
+             "source": "t", "n_chars": [len(t) for t in texts]}
+        )
+        (tmp_path / "c").mkdir()
+        frame.to_parquet(tmp_path / "c" / "documents.parquet")
+        out = doc_cut_packs(str(tmp_path / "c"))
+        by = by_id = out.set_index("doc_id")
+        # doc 1 is fully covered -> absent
+        assert sorted(out["doc_id"]) == [0, 2, 3]
+        assert by_id.loc[0, "n_kept"] == 3
+        assert by_id.loc[2, "n_kept"] == 4
+        assert by_id.loc[3, "n_kept"] == 6
+        # stream contiguity: each doc starts where the previous ended
+        ordered = out.sort_values("doc_id").reset_index(drop=True)
+        pos = ordered["pack_id"] * 512 + ordered["offset_in_pack"]
+        starts = [0]
+        for n in ordered["n_kept"][:-1]:
+            starts.append(starts[-1] + int(n))
+        assert pos.tolist() == starts
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'c' / 'documents.parquet'}')"
+        )
+        expected = con.execute(ORACLE_SQL["doc_cut_packs"]).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
