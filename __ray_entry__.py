@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exactsubstr_cut": q.doc_exactsubstr_cut,
         "doc_boilerplate_by_source": q.doc_boilerplate_by_source,
         "doc_cut_packs": q.doc_cut_packs,
+        "source_syndication_pairs": q.source_syndication_pairs,
         "doc_bpe_train": q.doc_bpe_train,
         "doc_bpe_subword_vocab": q.doc_bpe_subword_vocab,
         "doc_bpe_encoded_len": q.doc_bpe_encoded_len,

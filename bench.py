@@ -245,6 +245,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_bpe_encoded_len", q.doc_bpe_encoded_len),
         ("textdoc_media_balance", q.textdoc_media_balance),
         ("doc_cut_packs", q.doc_cut_packs),
+        ("source_syndication_pairs", q.source_syndication_pairs),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

@@ -4673,6 +4673,142 @@ ORACLE_SQL["doc_boilerplate_by_source"] = """
     """
 
 
+def source_syndication_pairs(sf_dir: str, min_shared: int = 10):
+    """Cross-source syndication detector — pairs of sources sharing many
+    duplicated word-5-grams (wire copy, mirrored pages, templated spam):
+    the observability readout that decides which source pairs need
+    cross-source dedup rather than per-source cleaning.
+
+    Scale shape: one pass emits per-batch DISTINCT (md5 gram key, source)
+    pairs (ids-only on the wire); a coarse gram-bucket shuffle
+    co-locates each gram's sources; in-group, each multi-source gram
+    emits its unordered source-pair counts (≤ C(n_sources, 2) per gram —
+    source-cardinality-bounded, never doc-bounded); the driver folds the
+    sources²-sized partial table and applies the threshold."""
+    import hashlib as _hashlib
+    from itertools import combinations
+
+    from .ops.shuffle import empty_frame
+
+    docs = _read(sf_dir, "documents", columns=["text", "source"])
+    gram_cols = [
+        ("gram_key", "object"),
+        ("source", "object"),
+        ("gbucket", "int64"),
+    ]
+    pair_cols = [
+        ("source_a", "object"),
+        ("source_b", "object"),
+        ("n", "int64"),
+    ]
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "text" not in batch.columns or not len(batch):
+            return empty_frame(gram_cols)
+        tokens = (
+            batch["text"].fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
+        )
+        exploded = tokens.reset_index(drop=True).explode().dropna()
+        if not len(exploded):
+            return empty_frame(gram_cols)
+        wdf = pd.DataFrame(
+            {"i": exploded.index.to_numpy(), "w": exploded.to_numpy()}
+        )
+        gram = wdf["w"].copy()
+        grouped = wdf.groupby("i")["w"]
+        for shift in range(1, 5):
+            gram = gram + " " + grouped.shift(-shift)
+        wdf["gram"] = gram
+        grams = wdf.dropna(subset=["gram"])
+        if not len(grams):
+            return empty_frame(gram_cols)
+        srcs = batch["source"].reset_index(drop=True).to_numpy()
+        out = pd.DataFrame(
+            {
+                "gram_key": [
+                    _hashlib.md5(g.encode("utf-8")).hexdigest()
+                    for g in grams["gram"].to_numpy()
+                ],
+                "source": srcs[grams["i"].to_numpy()],
+            }
+        ).drop_duplicates()
+        out["gbucket"] = pd.Series(
+            [int(k[:4], 16) % 512 for k in out["gram_key"]],
+            index=out.index,
+            dtype="int64",
+        )
+        return out.reset_index(drop=True)
+
+    def pair_counts(group: pd.DataFrame) -> pd.DataFrame:
+        if "gram_key" not in group.columns or not len(group):
+            return empty_frame(pair_cols)
+        sp = group[["gram_key", "source"]].drop_duplicates()
+        acc: dict[tuple, int] = {}
+        for _, sub in sp.groupby("gram_key")["source"]:
+            ss = sorted(sub)
+            if len(ss) < 2:
+                continue
+            for a, b in combinations(ss, 2):
+                acc[(a, b)] = acc.get((a, b), 0) + 1
+        if not acc:
+            return empty_frame(pair_cols)
+        return pd.DataFrame(
+            {
+                "source_a": [k[0] for k in acc],
+                "source_b": [k[1] for k in acc],
+                "n": pd.Series(list(acc.values()), dtype="int64"),
+            }
+        )
+
+    partials = (
+        docs.map_batches(gram_rows, batch_format="pandas")
+        .groupby("gbucket")
+        .map_groups(pair_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "source_a": pd.Series(dtype="object"),
+            "source_b": pd.Series(dtype="object"),
+            "n_shared_grams": pd.Series(dtype="int64"),
+        }
+    )
+    if "source_a" not in partials.columns or not len(partials):
+        return empty
+    out = (
+        partials.groupby(["source_a", "source_b"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_shared_grams"})
+    )
+    out = out[out["n_shared_grams"] >= min_shared]
+    out["n_shared_grams"] = out["n_shared_grams"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+ORACLE_SQL["source_syndication_pairs"] = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT source,
+             unnest([md5(array_to_string(ws[i:i+4], ' '))
+                     for i in range(1, len(ws) - 3)]) AS g
+      FROM toks WHERE len(ws) >= 5
+    ),
+    sp AS (SELECT DISTINCT g, source FROM grams)
+    SELECT a.source AS source_a,
+           b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM sp a JOIN sp b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+    HAVING count(*) >= 10
+    ORDER BY source_a, source_b
+    """
+
+
 def doc_cut_packs(sf_dir: str):
     """Day-5 capstone composition: ExactSubstr CUTTING feeding sequence
     packing — every document's post-cut token count (words surviving the

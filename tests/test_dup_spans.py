@@ -302,3 +302,61 @@ class TestCutPacks:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestSyndicationPairs:
+    """Cross-source shared-duplicated-gram detector."""
+
+    def test_planted_syndication_and_oracle(self, ray_session, tmp_path):
+        import duckdb
+
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            source_syndication_pairs,
+        )
+
+        wire = ("breaking news the quick brown fox jumps over the lazy dog "
+                "again today in the city center after long negotiations")
+        texts = [wire, wire + " local angle one", wire + " local angle two",
+                 "completely original reporting with unique words here"]
+        sources = ["wireA", "siteB", "siteC", "siteD"]
+        frame = pd.DataFrame(
+            {"doc_id": range(4), "text": texts, "lang": "en",
+             "source": sources, "n_chars": [len(t) for t in texts]}
+        )
+        (tmp_path / "c").mkdir()
+        frame.to_parquet(tmp_path / "c" / "documents.parquet")
+        out = source_syndication_pairs(str(tmp_path / "c"))
+        got = set(zip(out["source_a"], out["source_b"]))
+        # the three wire-sharing sources pair up; siteD appears nowhere
+        assert got == {("siteB", "siteC"), ("siteB", "wireA"),
+                       ("siteC", "wireA")}
+        assert (out["n_shared_grams"] >= 10).all()
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'c' / 'documents.parquet'}')"
+        )
+        expected = con.execute(
+            ORACLE_SQL["source_syndication_pairs"]
+        ).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_within_source_duplication_ignored(self, ray_session, tmp_path):
+        from exstruct_ray.queries import source_syndication_pairs
+
+        dup = ("the very same long document body repeated verbatim many "
+               "words to give enough distinct five gram material")
+        frame = pd.DataFrame(
+            {"doc_id": range(2), "text": [dup, dup], "lang": "en",
+             "source": ["same", "same"], "n_chars": [len(dup)] * 2}
+        )
+        (tmp_path / "c").mkdir()
+        frame.to_parquet(tmp_path / "c" / "documents.parquet")
+        out = source_syndication_pairs(str(tmp_path / "c"))
+        assert len(out) == 0   # duplication inside ONE source: no pair
