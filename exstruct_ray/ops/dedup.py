@@ -818,6 +818,50 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / union if union else 0.0
 
 
+def gram_key_frame(texts: pd.Series, n: int) -> pd.DataFrame:
+    """(batch row index ``i``, word ``pos``, md5 ``gram_key``) for every
+    word n-gram of every text row — the shared tokenize → shift-concat →
+    md5 emitter behind duplicated_ngram_spans and
+    source_syndication_pairs. The token class (RE2 \\s complement, the
+    SQL oracles' ``\\s+`` split) and the md5 keying are oracle-load-
+    bearing invariants; one implementation so they cannot drift."""
+    empty = pd.DataFrame(
+        {
+            "i": pd.Series(dtype="int64"),
+            "pos": pd.Series(dtype="int64"),
+            "gram_key": pd.Series(dtype="object"),
+        }
+    )
+    tokens = texts.fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
+    exploded = tokens.reset_index(drop=True).explode().dropna()
+    if not len(exploded):
+        return empty
+    wdf = pd.DataFrame(
+        {"i": exploded.index.to_numpy(), "w": exploded.to_numpy()}
+    )
+    wdf["pos"] = wdf.groupby("i").cumcount()
+    gram = wdf["w"].copy()
+    grouped = wdf.groupby("i")["w"]
+    for shift in range(1, n):
+        gram = gram + " " + grouped.shift(-shift)
+    wdf["gram"] = gram
+    grams = wdf.dropna(subset=["gram"])
+    if not len(grams):
+        return empty
+    # the only scalar work is the md5 digest per gram (C-call loop)
+    keys = [
+        hashlib.md5(g.encode("utf-8")).hexdigest()
+        for g in grams["gram"].to_numpy()
+    ]
+    return pd.DataFrame(
+        {
+            "i": grams["i"].to_numpy(),
+            "pos": grams["pos"].to_numpy(dtype=np.int64),
+            "gram_key": pd.Series(keys, dtype="object"),
+        }
+    )
+
+
 def duplicated_ngram_spans(ds, n: int = 5, n_buckets: int = 512):
     """Exact duplicated-substring spans, word-n-gram granularity.
 
@@ -852,39 +896,20 @@ def duplicated_ngram_spans(ds, n: int = 5, n_buckets: int = 512):
                 "gbucket": pd.Series(dtype="int64"),
             }
         )
-        tokens = (
-            batch["text"].fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
-        )
-        exploded = tokens.reset_index(drop=True).explode().dropna()
-        if not len(exploded):
-            return empty
-        wdf = pd.DataFrame(
-            {"i": exploded.index.to_numpy(), "w": exploded.to_numpy()}
-        )
-        wdf["pos"] = wdf.groupby("i").cumcount()
-        gram = wdf["w"].copy()
-        grouped = wdf.groupby("i")["w"]
-        for shift in range(1, n):
-            gram = gram + " " + grouped.shift(-shift)
-        wdf["gram"] = gram
-        grams = wdf.dropna(subset=["gram"])
+        grams = gram_key_frame(batch["text"], n)
         if not len(grams):
             return empty
         doc_ids = (
             batch["doc_id"].reset_index(drop=True).to_numpy(dtype=np.int64)
         )
-        # the only scalar work is the md5 digest per gram (C-call loop)
-        keys = [
-            hashlib.md5(g.encode("utf-8")).hexdigest()
-            for g in grams["gram"].to_numpy()
-        ]
         return pd.DataFrame(
             {
-                "gram_key": pd.Series(keys, dtype="object"),
+                "gram_key": grams["gram_key"],
                 "doc_id": doc_ids[grams["i"].to_numpy()],
-                "pos": grams["pos"].to_numpy(dtype=np.int64),
+                "pos": grams["pos"],
                 "gbucket": pd.Series(
-                    [int(k[:4], 16) % n_buckets for k in keys], dtype="int64"
+                    [int(k[:4], 16) % n_buckets for k in grams["gram_key"]],
+                    dtype="int64",
                 ),
             }
         )

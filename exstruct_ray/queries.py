@@ -1390,43 +1390,64 @@ def events_sessionize(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-def textdoc_extract(sf_dir: str):
-    """Interleaved text+media extraction through the SAME Dataset pipeline
-    as the workbook corpus — the north rule's document shape.
+def _interleaved_docs(sf_dir: str, text_span=None):
+    """Synthetic interleaved (doc_id, spans) corpus from the documents
+    table — the BASELINE.json input shape shared by every textdoc query:
+    one leading content span per doc, and every THIRD doc also carries a
+    media span (the rule every textdoc oracle mirrors as
+    ``doc_id % 3 = 0`` / ``media/img-{id}.png``; one builder so the rule
+    cannot drift between queries). ``text_span(did, text)`` constructs
+    the leading span — default plain ``kind="text"``."""
 
-    Builds (doc_id, spans) rows from the documents table (one text span
-    per doc; every third doc also carries a media span), runs the regular
-    build_extraction_pipeline (which routes non-OOXML documents through
-    the text/media path), and returns the flattened span table. The oracle
-    recomputes the main-content normalization in SQL.
-    """
-    import ray.data
+    def default_span(did: int, text) -> dict:
+        return {
+            "kind": "text",
+            "text": text or "",
+            "media_ref": "",
+            "offset": 0,
+        }
 
-    from .stages.pipeline import build_extraction_pipeline
+    make = text_span or default_span
 
     def to_docs(batch: pd.DataFrame) -> pd.DataFrame:
         rows_id = []
         rows_spans = []
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            spans = [
-                {"kind": "text", "text": text or "", "media_ref": "", "offset": 0}
-            ]
-            if int(doc_id) % 3 == 0:
+            did = int(doc_id)
+            spans = [make(did, text)]
+            if did % 3 == 0:
                 spans.append(
                     {
                         "kind": "media",
                         "text": "",
-                        "media_ref": f"media/img-{int(doc_id)}.png",
+                        "media_ref": f"media/img-{did}.png",
                         "offset": 1,
                     }
                 )
-            rows_id.append(str(int(doc_id)))
+            rows_id.append(str(did))
             rows_spans.append(spans)
         return pd.DataFrame({"doc_id": rows_id, "spans": rows_spans})
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         to_docs, batch_format="pandas"
     )
+
+
+def textdoc_extract(sf_dir: str):
+    """Interleaved text+media extraction through the SAME Dataset pipeline
+    as the workbook corpus — the north rule's document shape.
+
+    Builds (doc_id, spans) rows from the documents table (the shared
+    _interleaved_docs builder), runs the regular
+    build_extraction_pipeline (which routes non-OOXML documents through
+    the text/media path), and returns the flattened span table. The oracle
+    recomputes the main-content normalization in SQL.
+    """
+    import ray.data  # noqa: F401
+
+    from .stages.pipeline import build_extraction_pipeline
+
+    docs = _interleaved_docs(sf_dir)
     out = build_extraction_pipeline(docs, batch_size=64)
 
     def flatten(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2933,36 +2954,13 @@ def textdoc_media_balance(sf_dir: str):
     per-media floor (300 chars per media span).
 
     Scale shape: rides the same streaming extraction pipeline as
-    textdoc_extract; the aggregate runs on the UNFLATTENED (doc_id,
-    spans) rows batch-locally (a document never straddles a batch), so
-    the signal pass is shuffle-free."""
-    import ray.data  # noqa: F401 — pipeline import path parity
-
+    textdoc_extract (the shared _interleaved_docs builder); the aggregate
+    runs on the UNFLATTENED (doc_id, spans) rows batch-locally (a
+    document never straddles a batch), so the signal pass is
+    shuffle-free."""
     from .stages.pipeline import build_extraction_pipeline
 
-    def to_docs(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_id = []
-        rows_spans = []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            spans = [
-                {"kind": "text", "text": text or "", "media_ref": "", "offset": 0}
-            ]
-            if int(doc_id) % 3 == 0:
-                spans.append(
-                    {
-                        "kind": "media",
-                        "text": "",
-                        "media_ref": f"media/img-{int(doc_id)}.png",
-                        "offset": 1,
-                    }
-                )
-            rows_id.append(str(int(doc_id)))
-            rows_spans.append(spans)
-        return pd.DataFrame({"doc_id": rows_id, "spans": rows_spans})
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        to_docs, batch_format="pandas"
-    )
+    docs = _interleaved_docs(sf_dir)
     out = build_extraction_pipeline(docs, batch_size=64)
 
     empty = pd.DataFrame(
@@ -3567,6 +3565,71 @@ ORACLE_SQL["doc_stratified_sample"] = _stratified_oracle_sql()
 PACK_SEQ_LEN = 512
 
 
+def _pack_survivors(survivors, count_col: str) -> pd.DataFrame:
+    """Shared distributed prefix-sum packing scaffold behind
+    doc_pack_sequences, doc_curation_packs and doc_cut_packs (one
+    implementation so the packing math cannot drift between the three).
+
+    ``survivors`` is a MATERIALIZED Dataset of compact
+    (doc_id, <count_col>, bucket) rows — range-bucketed by doc_id — with
+    two consumers here: per-bucket totals merged by an associative tree
+    reduce (no AllToAll), driver prefixes the tiny totals, then one
+    in-bucket vectorized cumsum pass adds the bucket base. Returns
+    (doc_id, <count_col>, pack_id, offset_in_pack) sorted by doc_id."""
+    from .ops.shuffle import empty_frame
+
+    final_cols = [
+        ("doc_id", "int64"),
+        (count_col, "int64"),
+        ("pack_id", "int64"),
+        ("offset_in_pack", "int64"),
+    ]
+
+    def sums_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if "bucket" not in batch.columns or batch.empty:
+            return empty_frame([("bucket", "int64"), ("total", "int64")])
+        return batch.groupby("bucket", as_index=False).agg(
+            total=(count_col, "sum")
+        ).astype("int64")
+
+    def sums_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        if "bucket" not in batch.columns or batch.empty:
+            return empty_frame([("bucket", "int64"), ("total", "int64")])
+        return batch.groupby("bucket", as_index=False).agg(
+            total=("total", "sum")
+        ).astype("int64")
+
+    sums = (
+        survivors.map_batches(sums_partial, batch_format="pandas")
+        .map_batches(sums_merge, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    if "bucket" not in sums.columns or sums.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in final_cols})
+    totals = sums.groupby("bucket")["total"].sum().sort_index()
+    base = totals.cumsum().shift(fill_value=0).to_dict()
+
+    def pack_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or group.empty:
+            return empty_frame(final_cols)
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        start = int(base.get(int(g["bucket"].iloc[0]), 0)) + np.concatenate(
+            [[0], g[count_col].to_numpy()[:-1].cumsum()]
+        )
+        g["pack_id"] = (start // PACK_SEQ_LEN).astype("int64")
+        g["offset_in_pack"] = (start % PACK_SEQ_LEN).astype("int64")
+        return g[[c for c, _ in final_cols]]
+
+    out = (
+        survivors.groupby("bucket")
+        .map_groups(pack_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in final_cols})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_pack_sequences(sf_dir: str):
     """Sequence packing (chunked concatenation): documents in doc_id order
     are concatenated into fixed PACK_SEQ_LEN-token training sequences;
@@ -3581,7 +3644,6 @@ def doc_pack_sequences(sf_dir: str):
     bucket's base offset added. The corpus text is read once; only the
     16-byte-per-doc count table flows twice (materialized before its two
     consumers)."""
-    from .ops.shuffle import empty_frame
     from .ops.text import RE2_WS_PATTERN
 
     bucket_width = 1024  # docs per range bucket
@@ -3604,59 +3666,7 @@ def doc_pack_sequences(sf_dir: str):
         )
 
     counts = ds.map_batches(counts_partial, batch_format="pandas").materialize()
-
-    # Per-bucket token totals: associative merge, driver prefix (tiny).
-    def sums_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        if "bucket" not in batch.columns or batch.empty:
-            return empty_frame([("bucket", "int64"), ("total", "int64")])
-        out = batch.groupby("bucket", as_index=False).agg(total=("n_tokens", "sum"))
-        out["bucket"] = out["bucket"].astype("int64")
-        out["total"] = out["total"].astype("int64")
-        return out
-
-    def sums_merge(batch: pd.DataFrame) -> pd.DataFrame:
-        if "bucket" not in batch.columns or batch.empty:
-            return empty_frame([("bucket", "int64"), ("total", "int64")])
-        out = batch.groupby("bucket", as_index=False).agg(total=("total", "sum"))
-        out["bucket"] = out["bucket"].astype("int64")
-        out["total"] = out["total"].astype("int64")
-        return out
-
-    sums = (
-        counts.map_batches(sums_partial, batch_format="pandas")
-        .map_batches(sums_merge, batch_format="pandas", batch_size=65536)
-        .to_pandas()
-    )
-    totals = sums.groupby("bucket")["total"].sum().sort_index()
-    base = totals.cumsum().shift(fill_value=0).to_dict()  # bucket -> tokens before
-
-    def pack_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        cols = [
-            ("doc_id", "int64"),
-            ("n_tokens", "int64"),
-            ("pack_id", "int64"),
-            ("offset_in_pack", "int64"),
-        ]
-        if "doc_id" not in group.columns or group.empty:
-            return empty_frame(cols)
-        g = group.sort_values("doc_id").reset_index(drop=True)
-        start = int(base.get(int(g["bucket"].iloc[0]), 0)) + np.concatenate(
-            [[0], g["n_tokens"].to_numpy()[:-1].cumsum()]
-        )
-        g["pack_id"] = (start // PACK_SEQ_LEN).astype("int64")
-        g["offset_in_pack"] = (start % PACK_SEQ_LEN).astype("int64")
-        return g[["doc_id", "n_tokens", "pack_id", "offset_in_pack"]]
-
-    out = (
-        counts.groupby("bucket")
-        .map_groups(pack_in_bucket, batch_format="pandas")
-        .to_pandas()
-    )
-    if "doc_id" not in out.columns:
-        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in [
-            ("doc_id", "int64"), ("n_tokens", "int64"),
-            ("pack_id", "int64"), ("offset_in_pack", "int64")]})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _pack_survivors(counts, "n_tokens")
 
 
 ORACLE_SQL["doc_pack_sequences"] = f"""
@@ -4685,7 +4695,6 @@ def source_syndication_pairs(sf_dir: str, min_shared: int = 10):
     emits its unordered source-pair counts (≤ C(n_sources, 2) per gram —
     source-cardinality-bounded, never doc-bounded); the driver folds the
     sources²-sized partial table and applies the threshold."""
-    import hashlib as _hashlib
     from itertools import combinations
 
     from .ops.shuffle import empty_frame
@@ -4703,32 +4712,17 @@ def source_syndication_pairs(sf_dir: str, min_shared: int = 10):
     ]
 
     def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        from .ops.dedup import gram_key_frame
+
         if "text" not in batch.columns or not len(batch):
             return empty_frame(gram_cols)
-        tokens = (
-            batch["text"].fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
-        )
-        exploded = tokens.reset_index(drop=True).explode().dropna()
-        if not len(exploded):
-            return empty_frame(gram_cols)
-        wdf = pd.DataFrame(
-            {"i": exploded.index.to_numpy(), "w": exploded.to_numpy()}
-        )
-        gram = wdf["w"].copy()
-        grouped = wdf.groupby("i")["w"]
-        for shift in range(1, 5):
-            gram = gram + " " + grouped.shift(-shift)
-        wdf["gram"] = gram
-        grams = wdf.dropna(subset=["gram"])
+        grams = gram_key_frame(batch["text"], 5)
         if not len(grams):
             return empty_frame(gram_cols)
         srcs = batch["source"].reset_index(drop=True).to_numpy()
         out = pd.DataFrame(
             {
-                "gram_key": [
-                    _hashlib.md5(g.encode("utf-8")).hexdigest()
-                    for g in grams["gram"].to_numpy()
-                ],
+                "gram_key": grams["gram_key"].to_numpy(),
                 "source": srcs[grams["i"].to_numpy()],
             }
         ).drop_duplicates()
@@ -4901,56 +4895,7 @@ def doc_cut_packs(sf_dir: str):
         .map_groups(merge_kept, batch_format="pandas")
         .materialize()  # compact 24 B/doc table, two consumers below
     )
-
-    def sums_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        if "bucket" not in batch.columns or batch.empty:
-            return empty_frame([("bucket", "int64"), ("total", "int64")])
-        return batch.groupby("bucket", as_index=False).agg(
-            total=("n_kept", "sum")
-        ).astype("int64")
-
-    def sums_merge(batch: pd.DataFrame) -> pd.DataFrame:
-        if "bucket" not in batch.columns or batch.empty:
-            return empty_frame([("bucket", "int64"), ("total", "int64")])
-        return batch.groupby("bucket", as_index=False).agg(
-            total=("total", "sum")
-        ).astype("int64")
-
-    sums = (
-        survivors.map_batches(sums_partial, batch_format="pandas")
-        .map_batches(sums_merge, batch_format="pandas", batch_size=65536)
-        .to_pandas()
-    )
-    final_cols = [
-        ("doc_id", "int64"),
-        ("n_kept", "int64"),
-        ("pack_id", "int64"),
-        ("offset_in_pack", "int64"),
-    ]
-    if "bucket" not in sums.columns or sums.empty:
-        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in final_cols})
-    totals = sums.groupby("bucket")["total"].sum().sort_index()
-    base = totals.cumsum().shift(fill_value=0).to_dict()
-
-    def pack_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if "doc_id" not in group.columns or group.empty:
-            return empty_frame(final_cols)
-        g = group.sort_values("doc_id").reset_index(drop=True)
-        start = int(base.get(int(g["bucket"].iloc[0]), 0)) + np.concatenate(
-            [[0], g["n_kept"].to_numpy()[:-1].cumsum()]
-        )
-        g["pack_id"] = (start // PACK_SEQ_LEN).astype("int64")
-        g["offset_in_pack"] = (start % PACK_SEQ_LEN).astype("int64")
-        return g[[c for c, _ in final_cols]]
-
-    out = (
-        survivors.groupby("bucket")
-        .map_groups(pack_in_bucket, batch_format="pandas")
-        .to_pandas()
-    )
-    if "doc_id" not in out.columns:
-        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in final_cols})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _pack_survivors(survivors, "n_kept")
 
 
 ORACLE_SQL["doc_cut_packs"] = f"""
@@ -5582,62 +5527,7 @@ def doc_curation_packs(sf_dir: str):
         .map_groups(merge_survivors, batch_format="pandas")
         .materialize()  # compact 24 B/doc table, two consumers below
     )
-
-    def sums_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        if "bucket" not in batch.columns or batch.empty:
-            return empty_frame([("bucket", "int64"), ("total", "int64")])
-        out = batch.groupby("bucket", as_index=False).agg(
-            total=("n_tokens", "sum")
-        )
-        return out.astype("int64")
-
-    def sums_merge(batch: pd.DataFrame) -> pd.DataFrame:
-        if "bucket" not in batch.columns or batch.empty:
-            return empty_frame([("bucket", "int64"), ("total", "int64")])
-        out = batch.groupby("bucket", as_index=False).agg(
-            total=("total", "sum")
-        )
-        return out.astype("int64")
-
-    sums = (
-        survivors.map_batches(sums_partial, batch_format="pandas")
-        .map_batches(sums_merge, batch_format="pandas", batch_size=65536)
-        .to_pandas()
-    )
-    final_cols = [
-        ("doc_id", "int64"),
-        ("n_tokens", "int64"),
-        ("pack_id", "int64"),
-        ("offset_in_pack", "int64"),
-    ]
-    if "bucket" not in sums.columns or sums.empty:
-        return pd.DataFrame(
-            {c: pd.Series(dtype=t) for c, t in final_cols}
-        )
-    totals = sums.groupby("bucket")["total"].sum().sort_index()
-    base = totals.cumsum().shift(fill_value=0).to_dict()
-
-    def pack_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if "doc_id" not in group.columns or group.empty:
-            return empty_frame(final_cols)
-        g = group.sort_values("doc_id").reset_index(drop=True)
-        start = int(base.get(int(g["bucket"].iloc[0]), 0)) + np.concatenate(
-            [[0], g["n_tokens"].to_numpy()[:-1].cumsum()]
-        )
-        g["pack_id"] = (start // PACK_SEQ_LEN).astype("int64")
-        g["offset_in_pack"] = (start % PACK_SEQ_LEN).astype("int64")
-        return g[[c for c, _ in final_cols]]
-
-    out = (
-        survivors.groupby("bucket")
-        .map_groups(pack_in_bucket, batch_format="pandas")
-        .to_pandas()
-    )
-    if "doc_id" not in out.columns:
-        return pd.DataFrame(
-            {c: pd.Series(dtype=t) for c, t in final_cols}
-        )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _pack_survivors(survivors, "n_tokens")
 
 
 def _curation_packs_oracle() -> str:
@@ -7530,40 +7420,21 @@ def textdoc_html_density(sf_dir: str):
     "HTML boilerplate strip, DOM heuristics" inside the document pipeline
     (not just as a standalone query).
     """
-    import ray.data
+    import ray.data  # noqa: F401
 
     from .config import ExtractOptions
     from .extract.html_content import synth_page
     from .stages.pipeline import build_extraction_pipeline
 
-    def to_docs(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_spans = [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            did = int(doc_id)
-            spans = [
-                {
-                    "kind": "html",
-                    "text": synth_page(did, text or ""),
-                    "media_ref": "",
-                    "offset": 0,
-                }
-            ]
-            if did % 3 == 0:
-                spans.append(
-                    {
-                        "kind": "media",
-                        "text": "",
-                        "media_ref": f"media/img-{did}.png",
-                        "offset": 1,
-                    }
-                )
-            rows_id.append(str(did))
-            rows_spans.append(spans)
-        return pd.DataFrame({"doc_id": rows_id, "spans": rows_spans})
+    def html_span(did: int, text) -> dict:
+        return {
+            "kind": "html",
+            "text": synth_page(did, text or ""),
+            "media_ref": "",
+            "offset": 0,
+        }
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        to_docs, batch_format="pandas"
-    )
+    docs = _interleaved_docs(sf_dir, text_span=html_span)
     out = build_extraction_pipeline(
         docs, ExtractOptions(html_strategy="density"), batch_size=64
     )

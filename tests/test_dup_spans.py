@@ -277,15 +277,17 @@ class TestCutPacks:
         (tmp_path / "c").mkdir()
         frame.to_parquet(tmp_path / "c" / "documents.parquet")
         out = doc_cut_packs(str(tmp_path / "c"))
-        by = by_id = out.set_index("doc_id")
+        by_id = out.set_index("doc_id")
         # doc 1 is fully covered -> absent
         assert sorted(out["doc_id"]) == [0, 2, 3]
         assert by_id.loc[0, "n_kept"] == 3
         assert by_id.loc[2, "n_kept"] == 4
         assert by_id.loc[3, "n_kept"] == 6
         # stream contiguity: each doc starts where the previous ended
+        from exstruct_ray.queries import PACK_SEQ_LEN
+
         ordered = out.sort_values("doc_id").reset_index(drop=True)
-        pos = ordered["pack_id"] * 512 + ordered["offset_in_pack"]
+        pos = ordered["pack_id"] * PACK_SEQ_LEN + ordered["offset_in_pack"]
         starts = [0]
         for n in ordered["n_kept"][:-1]:
             starts.append(starts[-1] + int(n))
