@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_lang_counts": q.doc_lang_counts,
         "doc_lang_detect": q.doc_lang_detect,
+        "doc_lang_mismatch_by_source": q.doc_lang_mismatch_by_source,
         "doc_minhash_pairs": q.doc_minhash_pairs,
         "doc_dedup_groups": q.doc_dedup_groups,
         "doc_dedup_groups_distributed": q.doc_dedup_groups_distributed,

@@ -246,6 +246,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("textdoc_media_balance", q.textdoc_media_balance),
         ("doc_cut_packs", q.doc_cut_packs),
         ("source_syndication_pairs", q.source_syndication_pairs),
+        ("doc_lang_mismatch_by_source", q.doc_lang_mismatch_by_source),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

@@ -141,8 +141,9 @@ def _lang_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
     out = batch[["doc_id"]].copy()
     out["detected_lang"] = best
-    if "lang" in batch.columns:
-        out["lang"] = batch["lang"]
+    for passthrough in ("lang", "source"):
+        if passthrough in batch.columns:
+            out[passthrough] = batch[passthrough]
     return out
 
 

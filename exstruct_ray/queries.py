@@ -834,11 +834,73 @@ def doc_lang_counts(sf_dir: str):
 
 
 def doc_lang_detect(sf_dir: str):
-    """Heuristic language ID (no SQL oracle — rows-only check)."""
+    """Heuristic language ID (hash-checked against the generated
+    marker-cascade SQL oracle, _lang_oracle_sql)."""
     from .ops.text import detect_language
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return detect_language(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_lang_mismatch_by_source(sf_dir: str):
+    """Metadata-QA readout: per source, how often the heuristic language
+    ID disagrees with the declared ``lang`` label (including detections
+    of 'unknown') — the signal that flags sources with broken or spoofed
+    language metadata before a mixture/sampling stage trusts the label.
+
+    Scale shape: language ID is the existing per-doc vectorized pass;
+    per-source (n_docs, n_mismatch) partials fold in-batch and only
+    source-cardinality rows reach the driver. Shuffle-free."""
+    from .ops.text import _lang_batch
+
+    ds = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "n_docs": pd.Series(dtype="int64"),
+                    "n_mismatch": pd.Series(dtype="int64"),
+                }
+            )
+        lb = _lang_batch(batch)
+        return (
+            pd.DataFrame(
+                {
+                    "source": lb["source"],
+                    "n_docs": np.int64(1),
+                    "n_mismatch": (
+                        lb["detected_lang"] != lb["lang"]
+                    ).astype("int64"),
+                }
+            )
+            .groupby("source", as_index=False)
+            .sum()
+            .astype({"n_docs": "int64", "n_mismatch": "int64"})
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if "source" not in parts.columns or not len(parts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n_docs": pd.Series(dtype="int64"),
+                "n_mismatch": pd.Series(dtype="int64"),
+                "mismatch_permille": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby("source", as_index=False)[
+        ["n_docs", "n_mismatch"]
+    ].sum()
+    out["mismatch_permille"] = (
+        (1000 * out["n_mismatch"]) // out["n_docs"]
+    ).astype("int64")
+    return out.sort_values("source").reset_index(drop=True).astype(
+        {"n_docs": "int64", "n_mismatch": "int64"}
+    )
 
 
 def doc_minhash_pairs(sf_dir: str):
@@ -2594,6 +2656,22 @@ def _lang_oracle_sql() -> str:
 
 
 ORACLE_SQL["doc_lang_detect"] = _lang_oracle_sql()
+
+ORACLE_SQL["doc_lang_mismatch_by_source"] = f"""
+    WITH det AS ({_lang_oracle_sql()}),
+    j AS (
+      SELECT d.source,
+             CASE WHEN det.detected_lang <> det.lang THEN 1 ELSE 0 END AS mm
+      FROM det JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(mm) AS BIGINT) AS n_mismatch,
+           CAST((1000 * sum(mm)) // count(*) AS BIGINT) AS mismatch_permille
+    FROM j
+    GROUP BY source
+    ORDER BY source
+"""
 
 
 def _pii_oracle_sql() -> str:

@@ -112,3 +112,48 @@ class TestLmRarity:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+
+class TestLangMismatchBySource:
+    def test_planted_mismatch_and_oracle(self, ray_session, tmp_path):
+        import duckdb
+
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            doc_lang_mismatch_by_source,
+        )
+
+        frame = pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": [
+                    "the quick brown fox and the lazy dog with many the",
+                    "le chat est sur la table avec le chien et les souris",
+                    "the cat and the dog are on the table with the mouse",
+                    "zzz qqq xxx",   # no markers -> detected 'unknown'
+                ],
+                "lang": ["en", "en", "en", "en"],   # doc 1 mislabeled
+                "source": ["good", "bad", "good", "bad"],
+                "n_chars": 50,
+            }
+        )
+        frame.to_parquet(tmp_path / "documents.parquet")
+        out = doc_lang_mismatch_by_source(str(tmp_path))
+        by = out.set_index("source")
+        assert by.loc["good", "n_mismatch"] == 0
+        assert by.loc["bad", "n_mismatch"] == 2   # fr text + unknown
+        assert by.loc["bad", "mismatch_permille"] == 1000
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}')"
+        )
+        expected = con.execute(
+            ORACLE_SQL["doc_lang_mismatch_by_source"]
+        ).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
