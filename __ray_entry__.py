@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_graph_ivf": q.embedding_knn_graph_ivf,
         "embedding_neardup_lsh": q.embedding_neardup_lsh,
         "embedding_semdedup": q.embedding_semdedup,
+        "embedding_cluster_sample": q.embedding_cluster_sample,
         "embedding_pq_codes": q.embedding_pq_codes,
         "embedding_pq_topk": q.embedding_pq_topk,
         # Joins / windows / sessions

@@ -247,6 +247,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("doc_cut_packs", q.doc_cut_packs),
         ("source_syndication_pairs", q.source_syndication_pairs),
         ("doc_lang_mismatch_by_source", q.doc_lang_mismatch_by_source),
+        ("embedding_cluster_sample", q.embedding_cluster_sample),
     ]:
         start = time.perf_counter()
         fn(sf_dir)

@@ -3965,6 +3965,140 @@ ORACLE_SQL["doc_gopher_quality"] = """
     """
 
 
+def embedding_cluster_sample(sf_dir: str):
+    """Cluster-balanced deterministic downsampling — the diversity lever
+    a curation pipeline applies after clustering (DoReMi / cluster-
+    resampling family): every k-means cluster is thinned toward the
+    SMALLEST cluster's size by a content-free md5(vec_id) permille gate
+    with rate = 1000·min_size // size_c (the dominant cluster keeps
+    ~min_size vectors in expectation; the smallest keeps everything).
+    Deterministic across runs/retries, integer-exact.
+
+    Scale shape: the k-means fit is the shuffle-free broadcast-pass loop;
+    ONE assignment pass emits the compact (vec_id, cluster_id) table
+    (materialized — two consumers); per-cluster counts are k driver rows;
+    the keep gate is a scan-local vectorized pass over the compact table.
+    Output one row per vector: (vec_id, cluster_id, keep)."""
+    import hashlib as _hashlib
+
+    import ray
+
+    from .ops.kmeans import (
+        _assign,
+        decode_qe,
+        kmeans_fit_q,
+        quantize_dataset,
+    )
+
+    k, n_iter, dim = 4, 3, 64
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qds = quantize_dataset(ds, dim=dim)
+    centroids, _ = kmeans_fit_q(qds, k=k, n_iter=n_iter, dim=dim)
+    ref = ray.put(centroids)
+
+    def assign(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        cents = ray.get(_ref)
+        q = decode_qe(batch["qe"].to_numpy(), dim)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "cluster_id": pd.Series(
+                    _assign(q, cents), dtype="int64"
+                ),
+            }
+        )
+
+    assigned = qds.map_batches(assign, batch_format="pandas").materialize()
+
+    counts = (
+        assigned.map_batches(
+            lambda b: b.groupby("cluster_id", as_index=False).agg(
+                n=("vec_id", "size")
+            ).astype("int64"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("cluster_id")["n"]
+        .sum()
+    )
+    min_size = int(counts.min())
+    rates = {
+        int(c): (1000 * min_size) // int(n) for c, n in counts.items()
+    }
+    rates_ref = ray.put(rates)
+
+    def gate(batch: pd.DataFrame, _ref=rates_ref) -> pd.DataFrame:
+        r = ray.get(_ref)
+        ids = batch["vec_id"].astype("int64").reset_index(drop=True)
+        buckets = np.asarray(
+            [
+                int.from_bytes(
+                    _hashlib.md5(str(int(v)).encode()).digest()[:4], "big"
+                )
+                % 1000
+                for v in ids
+            ],
+            dtype=np.int64,
+        )
+        cl = batch["cluster_id"].astype("int64").reset_index(drop=True)
+        rate = cl.map(r).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": cl,
+                "keep": pd.Series(
+                    (buckets < rate).astype(np.int64), dtype="int64"
+                ),
+            }
+        )
+
+    out = assigned.map_batches(gate, batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _cluster_sample_oracle() -> str:
+    from .ops.kmeans import kmeans_chain_sql
+
+    chain, final_c, _ = kmeans_chain_sql(k=4, n_iter=3, dim=64)
+    return (
+        chain
+        + """,
+    dfin AS (
+      SELECT q.vec_id, p.cluster_id,
+             list_sum([(q.qe[i] - p.c[i]) * (q.qe[i] - p.c[i])
+                       for i in range(1, 65)]) AS dist
+      FROM q CROSS JOIN """
+        + final_c
+        + """ p
+    ),
+    afin AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster_id) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM afin GROUP BY 1),
+    mn AS (SELECT min(n) AS m FROM sizes),
+    rates AS (
+      SELECT s.cluster_id, (1000 * mn.m) // s.n AS rate
+      FROM sizes s CROSS JOIN mn
+    )
+    SELECT a.vec_id,
+           CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)),
+                                              1, 8) AS UBIGINT) % 1000
+                          < r.rate
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM afin a JOIN rates r USING (cluster_id)
+    ORDER BY a.vec_id
+    """
+    )
+
+
 def embedding_semdedup(sf_dir: str):
     """SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters +
     in-cluster cosine pruning, all-integer exactness contract — see
@@ -3982,6 +4116,8 @@ def _semdedup_oracle() -> str:
 
 
 ORACLE_SQL["embedding_semdedup"] = _semdedup_oracle()
+
+ORACLE_SQL["embedding_cluster_sample"] = _cluster_sample_oracle()
 
 
 def doc_duplicated_spans(sf_dir: str):

@@ -106,3 +106,58 @@ class TestSemDeDup:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), expected.reset_index(drop=True)
         )
+
+
+class TestClusterSample:
+    """Cluster-balanced deterministic downsampling."""
+
+    def test_balance_determinism_and_oracle(self, ray_session, tmp_path):
+        import duckdb
+        import numpy as np
+
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            embedding_cluster_sample,
+        )
+
+        # two tight synthetic clusters, one 4x the other: the big one is
+        # thinned toward the small one's size; the smallest keeps all
+        rng = np.random.RandomState(7)
+        big = rng.normal(0.0, 0.02, size=(160, 64)) + 1.0
+        small = rng.normal(0.0, 0.02, size=(40, 64)) - 1.0
+        vecs = np.vstack([big, small])
+        frame = pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [v.astype("float32") for v in vecs],
+                "label": 0,
+            }
+        )
+        frame.to_parquet(tmp_path / "embeddings.parquet")
+        out = embedding_cluster_sample(str(tmp_path))
+        assert len(out) == 200
+        sizes = out.groupby("cluster_id").size()
+        kept = out.groupby("cluster_id")["keep"].sum()
+        # the smallest cluster keeps everything (rate 1000)
+        smallest = sizes.idxmin()
+        assert kept[smallest] == sizes[smallest]
+        # the dominant cluster is substantially thinned toward min_size
+        biggest = sizes.idxmax()
+        assert kept[biggest] < sizes[biggest]
+        # deterministic re-run
+        again = embedding_cluster_sample(str(tmp_path))
+        pd.testing.assert_frame_equal(out, again)
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'embeddings.parquet'}')"
+        )
+        expected = con.execute(
+            ORACLE_SQL["embedding_cluster_sample"]
+        ).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
