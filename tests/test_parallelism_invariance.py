@@ -63,3 +63,42 @@ def test_block_structure_invariance(ray_session, two_layouts, qname):
     a = fn(one).reset_index(drop=True)
     b = fn(eight).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def two_embedding_layouts(tmp_path_factory):
+    rng = np.random.RandomState(13)
+    n, dim = 240, 64
+    vecs = rng.normal(0, 1, size=(n, dim)).astype("float32")
+    frame = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [v for v in vecs],
+            "label": [i % 10 for i in range(n)],
+        }
+    )
+    one = tmp_path_factory.mktemp("emb_one")
+    eight = tmp_path_factory.mktemp("emb_eight")
+    frame.to_parquet(one / "embeddings.parquet")
+    (eight / "embeddings.parquet").mkdir()
+    for j, part in enumerate(np.array_split(frame, 8)):
+        part.to_parquet(
+            eight / "embeddings.parquet" / f"part-{j}.parquet"
+        )
+    return str(one), str(eight)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["embedding_kmeans", "embedding_cluster_sample", "embedding_semdedup"],
+)
+def test_embedding_block_structure_invariance(
+    ray_session, two_embedding_layouts, qname
+):
+    from exstruct_ray import queries as q
+
+    one, eight = two_embedding_layouts
+    fn = getattr(q, qname)
+    a = fn(one).reset_index(drop=True)
+    b = fn(eight).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
