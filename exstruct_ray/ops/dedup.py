@@ -818,20 +818,23 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / union if union else 0.0
 
 
-def gram_key_frame(texts: pd.Series, n: int) -> pd.DataFrame:
+def gram_key_frame(
+    texts: pd.Series, n: int, *, with_pos: bool = True
+) -> pd.DataFrame:
     """(batch row index ``i``, word ``pos``, md5 ``gram_key``) for every
     word n-gram of every text row — the shared tokenize → shift-concat →
     md5 emitter behind duplicated_ngram_spans and
     source_syndication_pairs. The token class (RE2 \\s complement, the
     SQL oracles' ``\\s+`` split) and the md5 keying are oracle-load-
-    bearing invariants; one implementation so they cannot drift."""
-    empty = pd.DataFrame(
-        {
-            "i": pd.Series(dtype="int64"),
-            "pos": pd.Series(dtype="int64"),
-            "gram_key": pd.Series(dtype="object"),
-        }
+    bearing invariants; one implementation so they cannot drift.
+    ``with_pos=False`` skips the per-token cumcount for callers that
+    only consume (i, gram_key)."""
+    cols = (
+        [("i", "int64"), ("pos", "int64"), ("gram_key", "object")]
+        if with_pos
+        else [("i", "int64"), ("gram_key", "object")]
     )
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols})
     tokens = texts.fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
     exploded = tokens.reset_index(drop=True).explode().dropna()
     if not len(exploded):
@@ -839,9 +842,10 @@ def gram_key_frame(texts: pd.Series, n: int) -> pd.DataFrame:
     wdf = pd.DataFrame(
         {"i": exploded.index.to_numpy(), "w": exploded.to_numpy()}
     )
-    wdf["pos"] = wdf.groupby("i").cumcount()
-    gram = wdf["w"].copy()
     grouped = wdf.groupby("i")["w"]
+    if with_pos:
+        wdf["pos"] = grouped.cumcount()
+    gram = wdf["w"].copy()
     for shift in range(1, n):
         gram = gram + " " + grouped.shift(-shift)
     wdf["gram"] = gram
@@ -853,13 +857,11 @@ def gram_key_frame(texts: pd.Series, n: int) -> pd.DataFrame:
         hashlib.md5(g.encode("utf-8")).hexdigest()
         for g in grams["gram"].to_numpy()
     ]
-    return pd.DataFrame(
-        {
-            "i": grams["i"].to_numpy(),
-            "pos": grams["pos"].to_numpy(dtype=np.int64),
-            "gram_key": pd.Series(keys, dtype="object"),
-        }
-    )
+    out = {"i": grams["i"].to_numpy()}
+    if with_pos:
+        out["pos"] = grams["pos"].to_numpy(dtype=np.int64)
+    out["gram_key"] = pd.Series(keys, dtype="object")
+    return pd.DataFrame(out)
 
 
 def duplicated_ngram_spans(ds, n: int = 5, n_buckets: int = 512):

@@ -31,6 +31,28 @@ def hash_bucket(values: pd.Series, n_buckets: int) -> pd.Series:
     )
 
 
+def md5_mod_int(values, mod: int) -> np.ndarray:
+    """Deterministic md5 gate/bucket over integer ids: the first 4 digest
+    bytes of ``md5(str(int(id)))`` mod ``mod`` — the engine-wide
+    content-free sampling idiom, always paired with the SQL fragment
+    ``CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8) AS UBIGINT)
+    % mod``. One implementation because the string rendering and the
+    4-byte width are oracle-load-bearing: changing either in one copy
+    silently desynchronizes every paired oracle."""
+    import hashlib
+
+    return np.asarray(
+        [
+            int.from_bytes(
+                hashlib.md5(str(int(v)).encode()).digest()[:4], "big"
+            )
+            % mod
+            for v in values
+        ],
+        dtype=np.int64,
+    )
+
+
 def empty_frame(cols: list[tuple[str, object]]) -> pd.DataFrame:
     """Zero-row frame with pinned dtypes for block-schema unification."""
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols})

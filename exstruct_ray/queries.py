@@ -667,18 +667,11 @@ def doc_leakage_safe_split(sf_dir: str):
 
     def assign(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
         m: dict = ray.get(_ref)
+        from .ops.shuffle import md5_mod_int
+
         did = batch["doc_id"].astype("int64").to_numpy()
         grp = np.array([m.get(int(d), int(d)) for d in did], dtype=np.int64)
-        bucket = np.array(
-            [
-                int.from_bytes(
-                    hashlib.md5(str(int(g)).encode()).digest()[:4], "big"
-                )
-                % 10
-                for g in grp
-            ],
-            dtype=np.int64,
-        )
+        bucket = md5_mod_int(grp, 10)
         return pd.DataFrame(
             {
                 "doc_id": did,
@@ -731,13 +724,9 @@ def doc_sample_10pct(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def sample(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = [
-            int.from_bytes(
-                hashlib.md5(str(int(d)).encode()).digest()[:4], "big"
-            )
-            % 1000
-            for d in batch["doc_id"]
-        ]
+        from .ops.shuffle import md5_mod_int
+
+        keys = md5_mod_int(batch["doc_id"], 1000)
         keep = pd.Series(keys, index=batch.index) < 100
         out = batch.loc[keep, ["doc_id"]].copy()
         out["doc_id"] = out["doc_id"].astype("int64")
@@ -848,6 +837,10 @@ def doc_lang_mismatch_by_source(sf_dir: str):
     of 'unknown') — the signal that flags sources with broken or spoofed
     language metadata before a mixture/sampling stage trusts the label.
 
+    NULL semantics (pinned to the SQL oracle): a NULL declared ``lang``
+    is never a mismatch (SQL ``detected <> NULL`` is NULL → 0), and rows
+    with a NULL ``source`` are unattributable and excluded on both sides.
+
     Scale shape: language ID is the existing per-doc vectorized pass;
     per-source (n_docs, n_mismatch) partials fold in-batch and only
     source-cardinality rows reach the driver. Shuffle-free."""
@@ -867,14 +860,17 @@ def doc_lang_mismatch_by_source(sf_dir: str):
                 }
             )
         lb = _lang_batch(batch)
+        # NULL lang is never a mismatch; NULL source rows drop (groupby
+        # dropna) — both matching the oracle's CASE / WHERE semantics
+        mismatch = (
+            (lb["detected_lang"] != lb["lang"]) & lb["lang"].notna()
+        ).astype("int64")
         return (
             pd.DataFrame(
                 {
                     "source": lb["source"],
                     "n_docs": np.int64(1),
-                    "n_mismatch": (
-                        lb["detected_lang"] != lb["lang"]
-                    ).astype("int64"),
+                    "n_mismatch": mismatch,
                 }
             )
             .groupby("source", as_index=False)
@@ -2663,6 +2659,7 @@ ORACLE_SQL["doc_lang_mismatch_by_source"] = f"""
       SELECT d.source,
              CASE WHEN det.detected_lang <> det.lang THEN 1 ELSE 0 END AS mm
       FROM det JOIN documents d USING (doc_id)
+      WHERE d.source IS NOT NULL
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -3556,16 +3553,9 @@ def doc_stratified_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def sample(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = np.asarray(
-            [
-                int.from_bytes(
-                    hashlib.md5(str(int(d)).encode()).digest()[:4], "big"
-                )
-                % 1000
-                for d in batch["doc_id"]
-            ],
-            dtype=np.int64,
-        )
+        from .ops.shuffle import md5_mod_int
+
+        keys = md5_mod_int(batch["doc_id"], 1000)
         rates = np.asarray(
             [
                 STRATIFIED_RATES_PERMILLE.get(l, STRATIFIED_DEFAULT_PERMILLE)
@@ -3979,8 +3969,6 @@ def embedding_cluster_sample(sf_dir: str):
     (materialized — two consumers); per-cluster counts are k driver rows;
     the keep gate is a scan-local vectorized pass over the compact table.
     Output one row per vector: (vec_id, cluster_id, keep)."""
-    import hashlib as _hashlib
-
     import ray
 
     from .ops.kmeans import (
@@ -4030,18 +4018,11 @@ def embedding_cluster_sample(sf_dir: str):
     rates_ref = ray.put(rates)
 
     def gate(batch: pd.DataFrame, _ref=rates_ref) -> pd.DataFrame:
+        from .ops.shuffle import md5_mod_int
+
         r = ray.get(_ref)
         ids = batch["vec_id"].astype("int64").reset_index(drop=True)
-        buckets = np.asarray(
-            [
-                int.from_bytes(
-                    _hashlib.md5(str(int(v)).encode()).digest()[:4], "big"
-                )
-                % 1000
-                for v in ids
-            ],
-            dtype=np.int64,
-        )
+        buckets = md5_mod_int(ids, 1000)
         cl = batch["cluster_id"].astype("int64").reset_index(drop=True)
         rate = cl.map(r).to_numpy(dtype=np.int64)
         return pd.DataFrame(
@@ -4930,7 +4911,7 @@ def source_syndication_pairs(sf_dir: str, min_shared: int = 10):
 
         if "text" not in batch.columns or not len(batch):
             return empty_frame(gram_cols)
-        grams = gram_key_frame(batch["text"], 5)
+        grams = gram_key_frame(batch["text"], 5, with_pos=False)
         if not len(grams):
             return empty_frame(gram_cols)
         srcs = batch["source"].reset_index(drop=True).to_numpy()
@@ -12906,15 +12887,13 @@ def lineitem_bucket_skew(sf_dir: str):
                     "n": pd.Series(dtype="int64"),
                 }
             )
+        from .ops.shuffle import md5_mod_int
+
         keys = batch["l_orderkey"].astype("int64")
         uniq = keys.unique()
-        lut = {
-            int(k): int.from_bytes(
-                hashlib.md5(str(int(k)).encode()).digest()[:4], "big"
-            )
-            % n_buckets
-            for k in uniq
-        }
+        lut = dict(
+            zip((int(k) for k in uniq), md5_mod_int(uniq, n_buckets))
+        )
         buckets = keys.map(lut).to_numpy(dtype=np.int64)
         counts = np.bincount(buckets, minlength=n_buckets)
         return pd.DataFrame(

@@ -157,3 +157,44 @@ class TestLangMismatchBySource:
             expected[sorted(expected.columns)].reset_index(drop=True),
             check_dtype=False,
         )
+
+    def test_null_lang_and_source_match_oracle(self, ray_session, tmp_path):
+        import duckdb
+
+        from exstruct_ray.queries import (
+            ORACLE_SQL,
+            doc_lang_mismatch_by_source,
+        )
+
+        frame = pd.DataFrame(
+            {
+                "doc_id": range(3),
+                "text": [
+                    "the quick brown fox and the lazy dog with the",
+                    "le chat est sur la table avec le chien et les",
+                    "the cat and the dog are on the table with the",
+                ],
+                "lang": ["en", None, "en"],     # NULL lang: no mismatch
+                "source": ["a", "a", None],     # NULL source: dropped
+                "n_chars": 40,
+            }
+        )
+        frame.to_parquet(tmp_path / "documents.parquet")
+        out = doc_lang_mismatch_by_source(str(tmp_path))
+        assert out["source"].tolist() == ["a"]
+        assert int(out.iloc[0]["n_docs"]) == 2
+        assert int(out.iloc[0]["n_mismatch"]) == 0
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path / 'documents.parquet'}')"
+        )
+        expected = con.execute(
+            ORACLE_SQL["doc_lang_mismatch_by_source"]
+        ).df()
+        pd.testing.assert_frame_equal(
+            out[sorted(out.columns)].reset_index(drop=True),
+            expected[sorted(expected.columns)].reset_index(drop=True),
+            check_dtype=False,
+        )
