@@ -719,8 +719,6 @@ def doc_sample_10pct(sf_dir: str):
     reproducible across runs, machines, and retries, and exactly
     expressible in the SQL oracle. The filter pushes into the scan task
     (no shuffle, no driver)."""
-    import hashlib
-
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def sample(batch: pd.DataFrame) -> pd.DataFrame:
@@ -3548,8 +3546,6 @@ def doc_stratified_sample(sf_dir: str):
     reproducible across runs/retries, scan-local (no shuffle, no driver),
     and exactly expressible in SQL. The standard training-mix lever
     (upsample high-value strata, downsample the rest)."""
-    import hashlib
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def sample(batch: pd.DataFrame) -> pd.DataFrame:
