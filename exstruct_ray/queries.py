@@ -4732,6 +4732,11 @@ def doc_boilerplate_by_source(sf_dir: str):
     for every source, total docs/tokens, tokens covered by
     corpus-duplicated word spans, and the integer permille share.
 
+    NULL semantics (pinned to the SQL oracle, matching
+    doc_lang_mismatch_by_source): rows with a NULL ``source`` are
+    unattributable and excluded on both sides — pandas groupby drops NaN
+    keys and the oracle filters ``WHERE d.source IS NOT NULL``.
+
     Scale shape: span discovery is the existing two-bucket exchange; the
     per-doc covered-token sums (end−start over merged, non-overlapping
     intervals) reduce spans to one bounded table; the doc→source
@@ -4861,6 +4866,7 @@ ORACLE_SQL["doc_boilerplate_by_source"] = """
       FROM documents d
       JOIN toks t USING (doc_id)
       LEFT JOIN dupdoc x USING (doc_id)
+      WHERE d.source IS NOT NULL
       GROUP BY d.source
     )
     SELECT source,
@@ -4879,6 +4885,12 @@ def source_syndication_pairs(sf_dir: str, min_shared: int = 10):
     duplicated word-5-grams (wire copy, mirrored pages, templated spam):
     the observability readout that decides which source pairs need
     cross-source dedup rather than per-source cleaning.
+
+    NULL semantics (pinned to the SQL oracle): rows with a NULL
+    ``source`` are unattributable and excluded up front — the oracle's
+    ``a.source < b.source`` silently drops NULL sources, so the engine
+    drops them at gram emission (a NaN among sorted() would otherwise
+    raise str-vs-float TypeError).
 
     Scale shape: one pass emits per-batch DISTINCT (md5 gram key, source)
     pairs (ids-only on the wire); a coarse gram-bucket shuffle
@@ -4906,6 +4918,9 @@ def source_syndication_pairs(sf_dir: str, min_shared: int = 10):
         from .ops.dedup import gram_key_frame
 
         if "text" not in batch.columns or not len(batch):
+            return empty_frame(gram_cols)
+        batch = batch[batch["source"].notna()].reset_index(drop=True)
+        if not len(batch):
             return empty_frame(gram_cols)
         grams = gram_key_frame(batch["text"], 5, with_pos=False)
         if not len(grams):
