@@ -193,6 +193,35 @@ def word_ngram_set(text: str, n: int) -> set[str]:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
+def gram_rows_batch(
+    batch: pd.DataFrame, n: int = 3, text_col: str = "text"
+) -> pd.DataFrame:
+    """Per-batch DISTINCT word n-grams as rows — the distributed half of
+    collect_gram_set. Emits gram strings only, never document text."""
+    grams: set[str] = set()
+    for t in batch.get(text_col, ()):
+        grams |= word_ngram_set(t, n)
+    return pd.DataFrame({"gram": pd.Series(list(grams), dtype="object")})
+
+
+def collect_gram_set(ds, n: int = 3, text_col: str = "text") -> set[str]:
+    """Distributed n-gram set build over a (small) eval/benchmark table.
+
+    Each batch emits its DISTINCT gram strings as rows; the driver unions
+    gram keys only — eval-set-sized, never the underlying text. This is
+    the scale-safe replacement for collecting benchmark rows to the
+    driver and building the set there (the gram set is what broadcasts,
+    so only it may cross the driver). For corpora-sized eval sides use
+    ops.sketch.bloom_decontaminate (8 KiB bitset) instead.
+    """
+    rows = ds.map_batches(
+        lambda b: gram_rows_batch(b, n, text_col), batch_format="pandas"
+    ).to_pandas()
+    if "gram" not in rows.columns or not len(rows):
+        return set()
+    return set(rows["gram"])
+
+
 def decontaminate(ds, benchmark_grams_ref, n: int = 3):
     """Benchmark decontamination: flag corpus docs sharing any word n-gram
     with a benchmark set (the standard eval-leak scrub before training).

@@ -1701,37 +1701,41 @@ def pii_redact(sf_dir: str):
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
-def doc_decontaminate(sf_dir: str):
+def doc_decontaminate(sf_dir: str, eval_ds=None):
     """Benchmark decontamination: corpus docs sharing any word 3-gram with
-    the held-out benchmark slice (doc_id % 97 == 0).
+    the held-out benchmark slice (doc_id % 97 == 0), or — pass ``eval_ds``
+    (any Dataset with a text column) — with an EXTERNAL eval-set table,
+    the production shape where the benchmark is not part of the corpus.
 
-    The benchmark gram set is tiny (eval suites, not corpora) — built
-    driver-side from the benchmark slice only, broadcast once via ray.put,
-    and the corpus streams through one shuffle-free map_batches. n=3 keeps
-    the overlap non-trivial on the synthetic word-salad corpus; production
-    decontamination raises n (8-13) with the same plumbing."""
+    The benchmark gram set is tiny (eval suites, not corpora) — built in
+    a distributed pass where each batch emits its DISTINCT gram strings
+    (ops.text.collect_gram_set: only gram rows cross the driver, never
+    document text), broadcast once via ray.put, and the corpus streams
+    through one shuffle-free map_batches. n=3 keeps the overlap
+    non-trivial on the synthetic word-salad corpus; production
+    decontamination raises n (8-13) with the same plumbing. For
+    corpus-sized eval sides, ops.sketch.bloom_decontaminate is the
+    constant-size-broadcast variant."""
     import ray
 
-    from .ops.text import decontaminate, word_ngram_set
+    from .ops.text import collect_gram_set, decontaminate
 
-    # The benchmark slice is tiny by definition, but the CORPUS is not:
-    # scan it distributed and collect only the benchmark rows' grams to
-    # the driver (never the corpus text itself).
-    bench_rows = (
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(
+    if eval_ds is None:
+        # Fixture mode: the benchmark slice lives inside the corpus.
+        eval_side = _read(
+            sf_dir, "documents", columns=["doc_id", "text"]
+        ).map_batches(
             lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
         )
-        .to_pandas()
-    )
-    bench_grams: set[str] = set()
-    for text in bench_rows.get("text", []):
-        bench_grams |= word_ngram_set(text, 3)
-    grams_ref = ray.put(bench_grams)
-
-    corpus = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        lambda b: b[b["doc_id"] % 97 != 0], batch_format="pandas"
-    )
+        corpus = _read(
+            sf_dir, "documents", columns=["doc_id", "text"]
+        ).map_batches(
+            lambda b: b[b["doc_id"] % 97 != 0], batch_format="pandas"
+        )
+    else:
+        eval_side = eval_ds
+        corpus = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    grams_ref = ray.put(collect_gram_set(eval_side, n=3))
     out = decontaminate(corpus, grams_ref, n=3).to_pandas()
     if "doc_id" not in out.columns:
         out = pd.DataFrame(
@@ -5383,14 +5387,39 @@ ORACLE_SQL["doc_neardup_best_keep"] = (
 )
 
 
-def doc_clean_corpus(sf_dir: str):
+def _bench_grams_ref(docs, eval_ds=None, n: int = 3):
+    """Broadcast gram set for the decontamination compositions.
+
+    Built in a distributed pass (ops.text.collect_gram_set — each batch
+    emits DISTINCT gram strings; only eval-sized gram rows cross the
+    driver, never document text). Fixture mode derives the eval side
+    from the in-corpus doc_id % 97 slice; pass ``eval_ds`` for the
+    production shape where the eval suite is its own table."""
+    import ray
+
+    from .ops.text import collect_gram_set
+
+    side = (
+        docs.map_batches(
+            lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+        )
+        if eval_ds is None
+        else eval_ds
+    )
+    return ray.put(collect_gram_set(side, n=n))
+
+
+def doc_clean_corpus(sf_dir: str, eval_ds=None):
     """Composite curation verdict — the end-to-end keep decision a
     training-data pipeline applies per document: Gopher repetition
     quality AND exact-dedup canonicality AND benchmark decontamination
-    (bench slice doc_id % 97 == 0 is excluded outright).
+    (fixture mode: bench slice doc_id % 97 == 0 is excluded outright;
+    pass ``eval_ds`` to decontaminate against an external eval table,
+    in which case no corpus doc is bench and all are checked).
 
     Scale shape: the quality+decontamination signals ride ONE vectorized
-    map_batches pass (benchmark grams broadcast via ray.put); dedup
+    map_batches pass (benchmark grams built distributed and broadcast
+    via ray.put — only gram rows ever reach the driver); dedup
     canonicality is a content-hash coarse-bucket groupby; the two per-doc
     signal streams then meet in a doc-bucket tagged-union merge — two
     AllToAlls total, nothing corpus-sized on the driver."""
@@ -5402,13 +5431,8 @@ def doc_clean_corpus(sf_dir: str):
     from .ops.text import gopher_signals_batch, word_ngram_set
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    bench_rows = docs.map_batches(
-        lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
-    ).to_pandas()
-    bench_grams: set[str] = set()
-    for text in bench_rows.get("text", []):
-        bench_grams |= word_ngram_set(text, 3)
-    grams_ref = ray.put(bench_grams)
+    grams_ref = _bench_grams_ref(docs, eval_ds)
+    external_eval = eval_ds is not None
 
     out_cols = [
         ("doc_id", "int64"),
@@ -5424,12 +5448,18 @@ def doc_clean_corpus(sf_dir: str):
         g = gopher_signals_batch(batch)
         texts = batch["text"].fillna("").reset_index(drop=True)
         ids = batch["doc_id"].reset_index(drop=True).astype("int64")
-        is_bench = (ids % 97 == 0).to_numpy()
+        is_bench = (
+            np.zeros(len(batch), dtype=bool)
+            if external_eval
+            else (ids % 97 == 0).to_numpy()
+        )
         contam = np.zeros(len(batch), dtype=np.int64)
-        for i, t in enumerate(texts):
-            # per-row set intersection (same shape as ops.text.decontaminate)
-            if not is_bench[i] and word_ngram_set(t, 3) & grams:
-                contam[i] = 1
+        if grams:  # isdisjoint short-circuits on the first shared gram
+            for i, t in enumerate(texts):
+                if not is_bench[i] and not grams.isdisjoint(
+                    word_ngram_set(t, 3)
+                ):
+                    contam[i] = 1
         out = pd.DataFrame(
             {
                 "doc_id": ids,
@@ -5582,41 +5612,43 @@ def _clean_corpus_oracle() -> str:
 ORACLE_SQL["doc_clean_corpus"] = _clean_corpus_oracle()
 
 
-def doc_curation_packs(sf_dir: str):
+def doc_curation_packs(sf_dir: str, eval_ds=None):
     """Capstone curation composition: the full keep decision
     (Gopher quality AND exact-dedup canonicality AND benchmark
     decontamination, exactly ``doc_clean_corpus``) FEEDING sequence
     packing — survivors are concatenated in doc_id order into fixed
     PACK_SEQ_LEN-token training sequences, the last materialized step
-    before a pretraining run reads the corpus.
+    before a pretraining run reads the corpus. Pass ``eval_ds`` to
+    decontaminate against an external eval table (production shape; no
+    corpus doc is then treated as the bench slice).
 
     Scale shape: the corpus text is read ONCE (the signals pass also
-    counts tokens); dedup canonicality rides the content-hash bucket
-    groupby; flags meet n_tokens in a doc-bucket tagged-union merge
-    that emits only the compact survivor table (doc_id, n_tokens,
-    range bucket — 24 B/doc), materialized before its two consumers
-    (per-bucket totals, in-bucket cumsum). The global prefix sum is
-    the ``doc_pack_sequences`` pattern: tree-reduced per-bucket token
+    counts tokens); the benchmark grams are built distributed
+    (collect_gram_set — only gram rows reach the driver) and broadcast;
+    dedup canonicality rides the content-hash bucket groupby; flags
+    meet n_tokens in a doc-bucket tagged-union merge that emits only
+    the compact survivor table (doc_id, n_tokens, range bucket —
+    24 B/doc), materialized before its two consumers (per-bucket
+    totals, in-bucket cumsum). The global prefix sum is the
+    ``doc_pack_sequences`` pattern: tree-reduced per-bucket token
     totals, driver prefixes the tiny totals, one vectorized in-bucket
     cumsum with the bucket base added. Three AllToAlls total, nothing
     corpus-sized on the driver."""
     import hashlib as _hashlib
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     import ray
 
     from .ops.shuffle import empty_frame, hash_bucket
-    from .ops.text import RE2_WS_PATTERN, gopher_signals_batch, word_ngram_set
+    from .ops.text import gopher_signals_batch, word_ngram_set
 
     bucket_width = 1024  # survivor docs per range bucket
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    bench_rows = docs.map_batches(
-        lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
-    ).to_pandas()
-    bench_grams: set[str] = set()
-    for text in bench_rows.get("text", []):
-        bench_grams |= word_ngram_set(text, 3)
-    grams_ref = ray.put(bench_grams)
+    grams_ref = _bench_grams_ref(docs, eval_ds)
+    external_eval = eval_ds is not None
 
     out_cols = [
         ("doc_id", "int64"),
@@ -5633,13 +5665,26 @@ def doc_curation_packs(sf_dir: str):
         g = gopher_signals_batch(batch)
         texts = batch["text"].fillna("").reset_index(drop=True)
         ids = batch["doc_id"].reset_index(drop=True).astype("int64")
-        is_bench = (ids % 97 == 0).to_numpy()
+        is_bench = (
+            np.zeros(len(batch), dtype=bool)
+            if external_eval
+            else (ids % 97 == 0).to_numpy()
+        )
         contam = np.zeros(len(batch), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not is_bench[i] and word_ngram_set(t, 3) & grams:
-                contam[i] = 1
-        toks = texts.str.split(RE2_WS_PATTERN, regex=True).apply(
-            lambda ws: sum(1 for w in ws if w)
+        if grams:  # isdisjoint short-circuits on the first shared gram
+            for i, t in enumerate(texts):
+                if not is_bench[i] and not grams.isdisjoint(
+                    word_ngram_set(t, 3)
+                ):
+                    contam[i] = 1
+        # Vectorized RE2 token count (the doc_bpe_token_counts precedent);
+        # the explicit class is the pinned [\t\n\f\r ] whitespace (no \v).
+        toks = (
+            pc.count_substring_regex(
+                pa.Array.from_pandas(texts), r"[^\t\n\f\r ]+"
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         out = pd.DataFrame(
             {
@@ -5650,7 +5695,7 @@ def doc_curation_packs(sf_dir: str):
                     np.int64
                 ),
                 "dedup_keep": np.int64(0),
-                "n_tokens": toks.astype("int64"),
+                "n_tokens": toks,
             }
         )
         out["bucket"] = hash_bucket(out["doc_id"], 64)
