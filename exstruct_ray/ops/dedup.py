@@ -539,10 +539,52 @@ def dedup_groups_auto(pairs_ds, driver_pair_limit: int = 2_000_000):
     return label_propagation_groups(pairs_ds)
 
 
+_GROUP_COLS = [
+    ("doc_id", "int64"),
+    ("group_id", "int64"),
+    ("is_canonical", "bool"),
+]
+
+
+def dedup_groups_auto_ds(pairs_ds, driver_pair_limit: int = 2_000_000):
+    """dedup_groups_auto returning a ``ray.data.Dataset`` of
+    (doc_id, group_id, is_canonical) — the member-table handle that
+    downstream survivor selection consumes WITHOUT collecting it to the
+    driver (a boilerplate-heavy crawl's dup members can be 30-50% of the
+    corpus, so the member table is not driver-sized even when the pair
+    table routes small). Small route: driver union-find wrapped back
+    into a Dataset; big route: label propagation with no final collect.
+
+    Returned Dataset is materialized (both the count() probe downstream
+    routing needs and multiple consumers read it without re-executing
+    the MinHash lineage)."""
+    import ray
+
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= driver_pair_limit:
+        groups = dedup_groups(pairs_ds.to_pandas())
+        return ray.data.from_pandas(groups).materialize()
+    return label_propagation_groups_ds(pairs_ds).materialize()
+
+
 _BIT_INDICES = np.arange(64, dtype=np.uint64)
 
 
 def label_propagation_groups(pairs_ds, max_iters: int = 50):
+    """Driver-collected wrapper over label_propagation_groups_ds — kept
+    for callers whose member table is known driver-sized; the Dataset
+    variant is the scale path."""
+    out = label_propagation_groups_ds(pairs_ds, max_iters).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in _GROUP_COLS}
+        )
+    return out.sort_values(["group_id", "doc_id"]).reset_index(drop=True)[
+        ["doc_id", "group_id", "is_canonical"]
+    ]
+
+
+def label_propagation_groups_ds(pairs_ds, max_iters: int = 50):
     """Distributed connected components over near-dup pairs.
 
     The scale path for dedup_groups when the pair set itself exceeds driver
@@ -557,9 +599,9 @@ def label_propagation_groups(pairs_ds, max_iters: int = 50):
     group_id is the component's minimum doc id, the canonical member keeps
     it. Uses the tagged-union bucket merge throughout (no Dataset.join).
 
-    Returns a pandas DataFrame (doc_id, group_id, is_canonical); the label
-    table is one row per duplicated doc — already a small fraction of the
-    corpus — so the final collect is cheap.
+    Returns a ``ray.data.Dataset`` of (doc_id, group_id, is_canonical) —
+    one row per duplicated doc. The label table stays on the cluster;
+    use label_propagation_groups for the driver-collected frame.
     """
     n_buckets = 64
 
@@ -752,13 +794,194 @@ def label_propagation_groups(pairs_ds, max_iters: int = 50):
         if n_changed == 0:
             break
 
-    out = current.to_pandas().rename(
-        columns={"node": "doc_id", "label": "group_id"}
-    )
-    out["is_canonical"] = out["doc_id"] == out["group_id"]
+    def to_groups(batch: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in batch.columns or batch.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in _GROUP_COLS}
+            )
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["node"].astype("int64"),
+                "group_id": batch["label"].astype("int64"),
+            }
+        )
+        out["is_canonical"] = out["doc_id"] == out["group_id"]
+        return out
+
+    return current.map_batches(to_groups, batch_format="pandas")
+
+
+def neardup_best_keep_distributed(docs, groups_ds, n_buckets: int = 64):
+    """Distributed quality-ranked survivor selection (the scale route of
+    doc_neardup_best_keep): within each near-dup component keep the doc
+    with the most whitespace tokens (tie → lowest doc_id).
+
+    Never collects or broadcasts the member table (a boilerplate-heavy
+    crawl's dup members can be 30-50% of the corpus): member rows and
+    corpus token counts meet in a doc-bucket tagged-union merge (the
+    corpus side ships ids + counts only — 16 B/doc on the wire, the text
+    never leaves its reading task), then ranking runs inside
+    group-bucket map_groups (exact per-component groupby, the
+    events_top_users_per_type pattern). Two AllToAlls, driver sees
+    nothing until the caller consumes the result.
+
+    Returns a Dataset with one row per component member:
+    (doc_id, group_id, n_tokens, keep).
+    """
+    from .shuffle import empty_frame, hash_bucket
+
+    union_cols = [
+        ("doc_id", "int64"),
+        ("group_id", "int64"),
+        ("n_tokens", "int64"),
+        ("tag", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def member_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "group_id": batch["group_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "n_tokens": np.int64(0),
+                "tag": np.int64(1),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], n_buckets)
+        return out[[c for c, _ in union_cols]]
+
+    def count_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        n_tokens = (
+            batch["text"].fillna("").str.findall(r"[^\t\n\f\r ]+").str.len()
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "group_id": np.int64(-1),
+                "n_tokens": n_tokens.astype("int64").reset_index(drop=True),
+                "tag": np.int64(0),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], n_buckets)
+        return out[[c for c, _ in union_cols]]
+
+    mid_cols = [
+        ("doc_id", "int64"),
+        ("group_id", "int64"),
+        ("n_tokens", "int64"),
+        ("gbucket", "int64"),
+    ]
+
+    def attach_tokens(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or not len(group):
+            return empty_frame(mid_cols)
+        mem = group[group["tag"] == 1]
+        if not len(mem):
+            return empty_frame(mid_cols)
+        cnt = group.loc[group["tag"] == 0, ["doc_id", "n_tokens"]]
+        m = mem[["doc_id", "group_id"]].merge(cnt, on="doc_id", how="left")
+        m["n_tokens"] = m["n_tokens"].fillna(0).astype("int64")
+        m["gbucket"] = hash_bucket(m["group_id"], n_buckets)
+        return m.astype("int64")[[c for c, _ in mid_cols]]
+
+    out_cols = [
+        ("doc_id", "int64"),
+        ("group_id", "int64"),
+        ("n_tokens", "int64"),
+        ("keep", "int64"),
+    ]
+
+    def rank_in_group(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or not len(group):
+            return empty_frame(out_cols)
+        g = group.sort_values(
+            ["group_id", "n_tokens", "doc_id"],
+            ascending=[True, False, True],
+        ).reset_index(drop=True)
+        g["keep"] = (g["group_id"] != g["group_id"].shift()).astype("int64")
+        return g.astype("int64")[[c for c, _ in out_cols]]
+
     return (
-        out.sort_values(["group_id", "doc_id"])
-        .reset_index(drop=True)[["doc_id", "group_id", "is_canonical"]]
+        groups_ds.map_batches(member_rows, batch_format="pandas")
+        .union(docs.map_batches(count_rows, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(attach_tokens, batch_format="pandas")
+        .groupby("gbucket")
+        .map_groups(rank_in_group, batch_format="pandas")
+    )
+
+
+def neardup_survivors_distributed(docs, groups_ds, n_buckets: int = 64):
+    """Distributed survivor anti-join (the scale route of
+    doc_neardup_survivors): every corpus doc except non-canonical
+    near-dup members survives.
+
+    The pruned-id set is NOT broadcast (at extreme dup skew it is a
+    large corpus fraction): pruned ids and corpus ids meet in a
+    doc-bucket tagged-union merge and the anti-join happens per bucket —
+    one ids-only AllToAll. Returns a Dataset of (doc_id,).
+    """
+    from .shuffle import empty_frame, hash_bucket
+
+    union_cols = [
+        ("doc_id", "int64"),
+        ("tag", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def pruned_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        sel = batch.loc[~batch["is_canonical"].astype(bool)]
+        out = pd.DataFrame(
+            {
+                "doc_id": sel["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "tag": np.int64(1),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], n_buckets)
+        return out[[c for c, _ in union_cols]]
+
+    def id_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "tag": np.int64(0),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], n_buckets)
+        return out[[c for c, _ in union_cols]]
+
+    def anti(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or not len(group):
+            return empty_frame([("doc_id", "int64")])
+        pruned = group.loc[group["tag"] == 1, "doc_id"]
+        keep = group.loc[
+            (group["tag"] == 0) & ~group["doc_id"].isin(pruned), ["doc_id"]
+        ]
+        return keep.astype("int64").reset_index(drop=True)
+
+    return (
+        groups_ds.map_batches(pruned_rows, batch_format="pandas")
+        .union(docs.map_batches(id_rows, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
     )
 
 

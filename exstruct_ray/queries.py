@@ -4730,7 +4730,113 @@ def bpe_train_oracle_sql(n_merges: int = 8) -> str:
     """
 
 
-def doc_boilerplate_by_source(sf_dir: str):
+def _boilerplate_by_source_distributed(docs, dup_ds):
+    """Big route of doc_boilerplate_by_source: the dup-member table never
+    touches the driver. Corpus rows (doc_id, source, n_tokens — ids +
+    enums only, text never leaves its reading task) and per-doc dup sums
+    meet in a doc-bucket tagged-union merge whose groups fold straight to
+    per-source partials; the driver folds source-cardinality × n_buckets
+    rows. NULL sources excluded (the pinned contract)."""
+    from .ops.shuffle import empty_frame, hash_bucket
+
+    union_cols = [
+        ("doc_id", "int64"),
+        ("source", "object"),
+        ("n_tokens", "int64"),
+        ("dup_tokens", "int64"),
+        ("tag", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def corpus_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        batch = batch[batch["source"].notna()].reset_index(drop=True)
+        if not len(batch):
+            return empty_frame(union_cols)
+        n_tokens = (
+            batch["text"].fillna("").str.findall(r"[^\t\n\f\r ]+").str.len()
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "source": batch["source"].astype("object"),
+                "n_tokens": n_tokens.astype("int64"),
+                "dup_tokens": np.int64(0),
+                "tag": np.int64(0),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], 64)
+        return out[[c for c, _ in union_cols]]
+
+    def dup_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(union_cols)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").reset_index(
+                    drop=True
+                ),
+                "source": "",
+                "n_tokens": np.int64(0),
+                "dup_tokens": batch["dup_tokens"]
+                .astype("int64")
+                .reset_index(drop=True),
+                "tag": np.int64(1),
+            }
+        )
+        out["bucket"] = hash_bucket(out["doc_id"], 64)
+        return out[[c for c, _ in union_cols]]
+
+    part_cols = [
+        ("source", "object"),
+        ("n_docs", "int64"),
+        ("n_tokens", "int64"),
+        ("dup_tokens", "int64"),
+    ]
+
+    def merge_to_source(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or not len(group):
+            return empty_frame(part_cols)
+        c = group.loc[group["tag"] == 0, ["doc_id", "source", "n_tokens"]]
+        if not len(c):
+            return empty_frame(part_cols)
+        d = group.loc[group["tag"] == 1, ["doc_id", "dup_tokens"]]
+        m = c.merge(d, on="doc_id", how="left")
+        m["dup_tokens"] = m["dup_tokens"].fillna(0).astype("int64")
+        agg = m.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "count"),
+            n_tokens=("n_tokens", "sum"),
+            dup_tokens=("dup_tokens", "sum"),
+        )
+        return agg[[c for c, _ in part_cols]]
+
+    parts = (
+        docs.map_batches(corpus_rows, batch_format="pandas")
+        .union(dup_ds.map_batches(dup_rows, batch_format="pandas"))
+        .groupby("bucket")
+        .map_groups(merge_to_source, batch_format="pandas")
+        .to_pandas()
+    )
+    if "source" not in parts.columns or not len(parts):
+        return empty_frame(part_cols + [("dup_permille", "int64")])
+    out = parts.groupby("source", as_index=False)[
+        ["n_docs", "n_tokens", "dup_tokens"]
+    ].sum()
+    out["dup_permille"] = (
+        (1000 * out["dup_tokens"]) // out["n_tokens"].clip(lower=1)
+    ).astype("int64")
+    out = out.astype(
+        {"n_docs": "int64", "n_tokens": "int64", "dup_tokens": "int64"}
+    )
+    return out.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "n_tokens", "dup_tokens", "dup_permille"]
+    ]
+
+
+def doc_boilerplate_by_source(
+    sf_dir: str, driver_member_limit: int = 2_000_000
+):
     """Per-source boilerplate inflation — the observability readout a
     curation team uses to decide which sources need ExactSubstr cutting:
     for every source, total docs/tokens, tokens covered by
@@ -4743,24 +4849,69 @@ def doc_boilerplate_by_source(sf_dir: str):
 
     Scale shape: span discovery is the existing two-bucket exchange; the
     per-doc covered-token sums (end−start over merged, non-overlapping
-    intervals) reduce spans to one bounded table; the doc→source
-    attribution for those docs comes from ONE corpus pass against the
-    broadcast member-id set (bounded by the duplicated-doc count); the
-    per-source token totals ride in-batch partials. Only
-    source-cardinality rows reach the driver from the corpus side."""
+    intervals) reduce spans to one bounded table DISTRIBUTED (per-batch
+    partials, exact per doc-bucket). Attribution auto-routes by dup-doc
+    count: at or under ``driver_member_limit`` the doc→source mapping
+    comes from ONE corpus pass against the broadcast member-id set;
+    above it (boilerplate-heavy crawls) corpus rows and dup sums meet in
+    a doc-bucket tagged-union merge that folds straight to per-source
+    partials — either way only source-cardinality rows reach the driver
+    from the corpus side."""
     import ray
 
     from .ops.dedup import duplicated_ngram_spans
+    from .ops.shuffle import empty_frame, hash_bucket
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
-    spans = duplicated_ngram_spans(docs, n=5).to_pandas()
-    if "doc_id" in spans.columns and len(spans):
-        dup_per_doc = (
-            (spans["end_word"] - spans["start_word"])
-            .groupby(spans["doc_id"])
+    spans = duplicated_ngram_spans(docs, n=5)
+
+    dd_cols = [
+        ("doc_id", "int64"),
+        ("dup_tokens", "int64"),
+        ("bucket", "int64"),
+    ]
+
+    def span_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return empty_frame(dd_cols)
+        agg = (
+            pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64").reset_index(
+                        drop=True
+                    ),
+                    "dup_tokens": (batch["end_word"] - batch["start_word"])
+                    .astype("int64")
+                    .reset_index(drop=True),
+                }
+            )
+            .groupby("doc_id", as_index=False)
+            .sum()
+        )
+        agg["bucket"] = hash_bucket(agg["doc_id"], 64)
+        return agg.astype("int64")[[c for c, _ in dd_cols]]
+
+    def span_exact(group: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in group.columns or not len(group):
+            return empty_frame(dd_cols[:2])
+        return (
+            group.groupby("doc_id", as_index=False)["dup_tokens"]
             .sum()
             .astype("int64")
         )
+
+    dup_ds = (
+        spans.map_batches(span_partials, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(span_exact, batch_format="pandas")
+        .materialize()
+    )
+    if dup_ds.count() > driver_member_limit:
+        return _boilerplate_by_source_distributed(docs, dup_ds)
+
+    dup = dup_ds.to_pandas()
+    if "doc_id" in dup.columns and len(dup):
+        dup_per_doc = dup.set_index("doc_id")["dup_tokens"].astype("int64")
     else:
         dup_per_doc = pd.Series(dtype="int64")
     members = set(int(d) for d in dup_per_doc.index)
@@ -5213,21 +5364,39 @@ ORACLE_SQL["doc_lm_rarity"] = """
     """
 
 
-def doc_neardup_survivors(sf_dir: str):
+def doc_neardup_survivors(
+    sf_dir: str, driver_member_limit: int = 2_000_000
+):
     """End-to-end fuzzy dedup: MinHash candidate pairs → connected
     components → keep the lowest doc_id per component; unpaired docs all
-    survive. The pruned-id set is bounded by the duplicate count (small
-    relative to any real corpus), so it broadcasts via ray.put and the
-    corpus streams through one vectorized filter — no join shuffle. At
-    extreme dup rates route the anti-join through the bucket-merge
-    pattern instead of the broadcast."""
+    survive.
+
+    Auto-routed like dedup_groups_auto: at or under
+    ``driver_member_limit`` members the pruned-id set broadcasts via
+    ray.put and the corpus streams through one vectorized filter (no
+    join shuffle — strictly cheaper while the set fits every worker).
+    Above it (boilerplate-heavy crawls where dup members are 30-50% of
+    the corpus) the anti-join routes through the doc-bucket tagged-union
+    merge (ops.dedup.neardup_survivors_distributed) and the member table
+    never touches the driver."""
     import ray
 
-    from .ops.dedup import dedup_groups_auto, minhash_dedup_pairs
+    from .ops.dedup import (
+        dedup_groups_auto_ds,
+        minhash_dedup_pairs,
+        neardup_survivors_distributed,
+    )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.7)
-    groups = dedup_groups_auto(pairs)
+    groups_ds = dedup_groups_auto_ds(pairs)
+    ids = _read(sf_dir, "documents", columns=["doc_id"])
+
+    if groups_ds.count() > driver_member_limit:
+        out = neardup_survivors_distributed(ids, groups_ds).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    groups = groups_ds.to_pandas()
     if len(groups) and "is_canonical" in groups.columns:
         pruned = set(
             int(d)
@@ -5244,11 +5413,7 @@ def doc_neardup_survivors(sf_dir: str):
         out = batch.loc[~batch["doc_id"].isin(p), ["doc_id"]]
         return out.astype({"doc_id": "int64"}).reset_index(drop=True)
 
-    out = (
-        _read(sf_dir, "documents", columns=["doc_id"])
-        .map_batches(keep, batch_format="pandas")
-        .to_pandas()
-    )
+    out = ids.map_batches(keep, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -5276,7 +5441,9 @@ ORACLE_SQL["doc_neardup_survivors"] = (
 )
 
 
-def doc_neardup_best_keep(sf_dir: str):
+def doc_neardup_best_keep(
+    sf_dir: str, driver_member_limit: int = 2_000_000
+):
     """Quality-ranked near-dup survivor selection (the FineWeb refinement
     of lowest-id dedup): within each MinHash connected component keep the
     doc with the MOST tokens (tie → lowest doc_id) — near-duplicates often
@@ -5284,19 +5451,28 @@ def doc_neardup_best_keep(sf_dir: str):
     time. One row per component member: (doc_id, group_id, n_tokens, keep).
 
     Scale shape: pair discovery and components are the existing bounded
-    exchanges (dedup_groups_auto routes driver union-find vs distributed
-    label propagation by pair count); the member token counts come from
-    ONE corpus pass filtered against the broadcast member-id set (bounded
-    by the duplicated-doc count, the same contract doc_neardup_survivors
-    and doc_pagerank document); ranking happens on that
-    duplicate-count-sized table."""
+    exchanges (dedup_groups_auto_ds routes driver union-find vs
+    distributed label propagation by pair count, returning the member
+    table as a Dataset). Auto-routed by member count: at or under
+    ``driver_member_limit`` members the token counts come from ONE
+    corpus pass filtered against the broadcast member-id set and ranking
+    happens on that duplicate-count-sized table; above it (boilerplate-
+    heavy crawls, dup members 30-50% of corpus) the whole selection runs
+    distributed — doc-bucket tagged-union merge attaches token counts
+    ids-only, group-bucket map_groups ranks per component
+    (ops.dedup.neardup_best_keep_distributed) — and the member table
+    never touches the driver."""
     import ray
 
-    from .ops.dedup import dedup_groups_auto, minhash_dedup_pairs
+    from .ops.dedup import (
+        dedup_groups_auto_ds,
+        minhash_dedup_pairs,
+        neardup_best_keep_distributed,
+    )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(docs, jaccard_threshold=0.7)
-    groups = dedup_groups_auto(pairs)
+    groups_ds = dedup_groups_auto_ds(pairs)
     empty = pd.DataFrame(
         {
             "doc_id": pd.Series(dtype="int64"),
@@ -5305,7 +5481,17 @@ def doc_neardup_best_keep(sf_dir: str):
             "keep": pd.Series(dtype="int64"),
         }
     )
-    if not len(groups) or "doc_id" not in groups.columns:
+    n_members = groups_ds.count()
+    if n_members == 0:
+        return empty
+    if n_members > driver_member_limit:
+        out = neardup_best_keep_distributed(docs, groups_ds).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "group_id", "n_tokens", "keep"]
+        ]
+
+    groups = groups_ds.to_pandas()
+    if "doc_id" not in groups.columns:
         return empty
     members = set(int(d) for d in groups["doc_id"])
     ref = ray.put(members)
