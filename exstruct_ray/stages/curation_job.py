@@ -30,6 +30,8 @@ import time
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .manifest import list_input_files
 
@@ -80,7 +82,12 @@ def run_curation_job(
     import ray
     import ray.data
 
-    from ..ops.text import gopher_signals_batch, redact_pii_batch, word_ngram_set
+    from ..ops.text import (
+        collect_gram_set,
+        gopher_signals_batch,
+        redact_pii_batch,
+        word_ngram_set,
+    )
     from ..state.dedup_index import DedupIndex, dedup_against_index
 
     os.makedirs(output_dir, exist_ok=True)
@@ -144,46 +151,67 @@ def run_curation_job(
     def _ensure_setup() -> None:
         if "index" in setup:
             return
-        # Benchmark gram set: distributed scan, only the bench slice's
-        # grams reach the driver (eval-suite-sized), broadcast once.
-        bench_rows = (
-            ray.data.read_parquet(files)
-            .map_batches(
-                lambda b: b[b["doc_id"] % bench_mod == 0],
-                batch_format="pandas",
+        # Benchmark gram set: distributed build (collect_gram_set — each
+        # batch emits DISTINCT gram strings, so only eval-suite-sized gram
+        # rows reach the driver, never corpus text), broadcast once.
+        def bench_filter(b: pa.Table) -> pa.Table:
+            # pyarrow ships no modulo kernel; the id column is a cheap
+            # numpy hop, the filter itself stays Arrow.
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(
+                pa.array(ids.astype(np.int64) % bench_mod == 0)
             )
-            .to_pandas()
-        )
-        bench_grams: set[str] = set()
-        for text in bench_rows.get("text", []):
-            bench_grams |= word_ngram_set(text, 3)
-        grams_ref = ray.put(bench_grams)
 
-        def curate(batch: pd.DataFrame, _ref=grams_ref) -> pd.DataFrame:
+        bench = ray.data.read_parquet(
+            files, columns=["doc_id", "text"]
+        ).map_batches(bench_filter, batch_format="pyarrow")
+        grams_ref = ray.put(collect_gram_set(bench, n=3))
+
+        def curate(batch: pa.Table, _ref=grams_ref) -> pa.Table:
+            # Arrow-native hot stage: the only pandas materialization is
+            # the text column (gopher/PII kernels are pandas-string); the
+            # row filter and every other column stay zero-copy Arrow.
             grams = ray.get(_ref)
-            g = gopher_signals_batch(batch)
-            keep_q = g["keep"].to_numpy(dtype=bool)
-            ids = batch["doc_id"].reset_index(drop=True).astype("int64")
-            is_bench = (ids % bench_mod == 0).to_numpy()
-            texts = batch["text"].fillna("").reset_index(drop=True)
-            contam = np.fromiter(
-                (
-                    True if b else bool(word_ngram_set(t, 3) & grams)
-                    for t, b in zip(texts, is_bench)
-                ),
-                dtype=bool,
-                count=len(texts),
+            texts = batch.column("text").to_pandas().fillna("")
+            ids = (
+                batch.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            keep = keep_q & ~contam
-            out = batch.reset_index(drop=True).loc[keep].copy()
-            if len(out):
-                redacted, n_pii = redact_pii_batch(
-                    out["text"].fillna("").astype(str)
+            g = gopher_signals_batch(
+                pd.DataFrame({"doc_id": ids, "text": texts})
+            )
+            keep_q = g["keep"].to_numpy(dtype=bool)
+            is_bench = ids % bench_mod == 0
+            if grams:
+                contam = np.fromiter(
+                    (
+                        b or not grams.isdisjoint(word_ngram_set(t, 3))
+                        for t, b in zip(texts, is_bench)
+                    ),
+                    dtype=bool,
+                    count=len(texts),
                 )
-                out["text"] = redacted
-                out["n_pii"] = n_pii.astype("int64")
             else:
-                out["n_pii"] = pd.Series(dtype="int64")
+                contam = is_bench.copy()
+            keep = keep_q & ~contam
+            out = batch.filter(pa.array(keep, type=pa.bool_()))
+            if out.num_rows:
+                redacted, n_pii = redact_pii_batch(
+                    out.column("text").to_pandas().fillna("").astype(str)
+                )
+                out = out.set_column(
+                    out.schema.get_field_index("text"),
+                    "text",
+                    pa.array(redacted.tolist(), type=pa.string()),
+                )
+                out = out.append_column(
+                    "n_pii", pa.array(n_pii.to_numpy(), type=pa.int64())
+                )
+            else:
+                out = out.append_column(
+                    "n_pii", pa.array([], type=pa.int64())
+                )
             return out
 
         # The dedup index: checkpoints under the job's own output dir,
@@ -228,7 +256,7 @@ def run_curation_job(
         )
         docs_in = ds.count()
         curated = ds.map_batches(
-            setup["curate"], batch_format="pandas", batch_size=batch_size
+            setup["curate"], batch_format="pyarrow", batch_size=batch_size
         )
         surviving = dedup_against_index(
             curated, setup["index"], batch_size=batch_size

@@ -269,12 +269,22 @@ def dedup_against_index(
     first-writer-wins exactly once, and a NEW job over the same documents
     (fresh run id) correctly sees them all as duplicates.
     """
-    import pandas as pd
+    import pyarrow as pa
 
-    def admit_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        digests = [_content_hash(t) for t in batch[text_column]]
-        claimants = [index.claimant_of(i) for i in batch[id_column]]
+    def admit_batch(batch: pa.Table) -> pa.Table:
+        # Arrow-native: hashing needs per-row Python strings either way,
+        # but the row filter is a zero-copy Arrow mask — non-text columns
+        # never round-trip through pandas.
+        digests = [
+            _content_hash(t) for t in batch.column(text_column).to_pylist()
+        ]
+        claimants = [
+            index.claimant_of(i)
+            for i in batch.column(id_column).to_pylist()
+        ]
         keep = index.admit_hashes(digests, claimants)
-        return batch.loc[pd.Series(keep, index=batch.index)]
+        return batch.filter(pa.array(keep, type=pa.bool_()))
 
-    return ds.map_batches(admit_batch, batch_format="pandas", batch_size=batch_size)
+    return ds.map_batches(
+        admit_batch, batch_format="pyarrow", batch_size=batch_size
+    )
