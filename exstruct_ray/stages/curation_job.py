@@ -74,8 +74,16 @@ def run_curation_job(
     batch_size: int = 256,
     n_shards: int = 8,
     bench_mod: int = 97,
+    min_words: int = 1,
 ) -> dict:
     """Run (or resume) a partitioned curation job over a document corpus.
+
+    ``min_words`` is the quality floor on whitespace word count: the
+    Gopher repetition signals alone keep content-free documents (every
+    duplicate fraction is 0/0), so without a floor an empty or
+    whitespace-only doc sails through "quality" — the unicode-tail smoke
+    caught exactly that. Default 1 drops only zero-word docs; set 50 for
+    the Gopher-paper word-count bound.
 
     Returns a summary dict: docs_in / kept / partitions / skipped.
     """
@@ -97,8 +105,11 @@ def run_curation_job(
     # no longer align with routing — previously-admitted hashes would miss
     # and duplicate content would be silently re-admitted. (v2 also marks
     # the 4-byte shard routing, which changed the persisted layout.)
+    # min_words joined the fingerprint in v3 (it changes keep decisions,
+    # so resuming an old output dir under a new floor must refuse).
     cfg_hash = hashlib.md5(
-        f"curation-v2|{files_per_partition}|{bench_mod}|{n_shards}".encode()
+        f"curation-v3|{files_per_partition}|{bench_mod}|{n_shards}"
+        f"|{min_words}".encode()
     ).hexdigest()[:12]
 
     header, manifest = _load_curation_manifest(output_dir)
@@ -182,6 +193,11 @@ def run_curation_job(
                 pd.DataFrame({"doc_id": ids, "text": texts})
             )
             keep_q = g["keep"].to_numpy(dtype=bool)
+            if min_words > 0:
+                n_words = (
+                    texts.str.split().str.len().to_numpy(dtype=np.int64)
+                )
+                keep_q &= n_words >= min_words
             is_bench = ids % bench_mod == 0
             if grams:
                 contam = np.fromiter(

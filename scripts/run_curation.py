@@ -37,6 +37,12 @@ def main() -> None:
         default=97,
         help="doc_id %% bench-mod == 0 marks the held-out benchmark slice",
     )
+    parser.add_argument(
+        "--min-words",
+        type=int,
+        default=1,
+        help="quality floor on whitespace word count (50 = Gopher bound)",
+    )
     args = parser.parse_args()
 
     import ray
@@ -54,6 +60,7 @@ def main() -> None:
         batch_size=args.batch_size,
         n_shards=args.n_shards,
         bench_mod=args.bench_mod,
+        min_words=args.min_words,
     )
     summary["wall_sec"] = round(time.perf_counter() - start, 3)
     print(json.dumps(summary))

@@ -142,6 +142,67 @@ class TestCurationJob:
         assert summary["kept"] == 4
 
 
+class TestCurationJobMinWords:
+    def _write(self, tmp_path):
+        input_dir = tmp_path / "corpus"
+        input_dir.mkdir()
+        short = (
+            "twenty wholly distinct vocabulary entries marching onward "
+            "toward satisfying gopher repetition thresholds despite "
+            "modest overall corpus footprint here today friends"
+        )  # 20 words — passes repetition signals, below a 25-word floor
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [CLEAN, "", " \n\t ", short],
+            }
+        ).to_parquet(input_dir / "part-0.parquet")
+        return str(input_dir)
+
+    def test_default_floor_drops_content_free_docs(
+        self, ray_session, tmp_path
+    ):
+        """Repetition signals alone keep empty/whitespace-only docs (all
+        duplicate fractions are 0/0); the min_words floor must not."""
+        input_dir = self._write(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        summary = run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=2
+        )
+        assert summary["docs_in"] == 4
+        assert _read_output(out_dir)["doc_id"].tolist() == [1, 4]
+
+    def test_raised_word_floor(self, ray_session, tmp_path):
+        input_dir = self._write(tmp_path)
+        out_dir = str(tmp_path / "curated_g")
+        run_curation_job(
+            input_dir,
+            out_dir,
+            files_per_partition=1,
+            n_shards=2,
+            min_words=25,
+        )
+        # the 20-word doc now falls below the floor; CLEAN (27 words) stays
+        assert _read_output(out_dir)["doc_id"].tolist() == [1]
+
+    def test_min_words_change_refused(self, ray_session, tmp_path):
+        """min_words changes keep decisions, so it rides the config
+        fingerprint — resuming under a different floor must refuse."""
+        input_dir = self._write(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        run_curation_job(
+            input_dir, out_dir, files_per_partition=1, n_shards=2
+        )
+        with pytest.raises(ValueError, match="config changed"):
+            run_curation_job(
+                input_dir,
+                out_dir,
+                files_per_partition=1,
+                n_shards=2,
+                min_words=5,
+            )
+
+
 class TestCurationJobSafety:
     def test_config_change_refused(self, ray_session, tmp_path):
         input_dir = _write_corpus(tmp_path)
