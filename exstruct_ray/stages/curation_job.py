@@ -66,6 +66,39 @@ def _append_line(output_dir: str, obj: dict) -> None:
         f.write(json.dumps(obj, sort_keys=True) + "\n")
 
 
+def _eval_set_fingerprint(path: str) -> str:
+    """Order-independent content fingerprint of an eval-set text column.
+
+    Per-batch md5-prefix sums fold to one uint64 on the driver, so the
+    fingerprint is stable across file layout, block boundaries and row
+    order — it changes iff the suite's CONTENT changes. Rides the config
+    fingerprint: decontamination decisions depend on the suite, so
+    resuming an output dir under a different suite must refuse.
+    """
+    import ray.data
+
+    def h(b: pa.Table) -> pa.Table:
+        acc = 0
+        for t in b.column("text").to_pylist():
+            d = hashlib.md5((t or "").encode()).digest()
+            acc = (acc + int.from_bytes(d[:8], "big")) & ((1 << 64) - 1)
+        return pa.table(
+            {
+                "acc": pa.array([acc], pa.uint64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(h, batch_format="pyarrow")
+        .to_pandas()
+    )
+    acc = int(parts["acc"].sum()) & ((1 << 64) - 1) if len(parts) else 0
+    n = int(parts["n"].sum()) if len(parts) else 0
+    return hashlib.md5(f"{acc}|{n}".encode()).hexdigest()[:12]
+
+
 def run_curation_job(
     input_path: str,
     output_dir: str,
@@ -75,6 +108,7 @@ def run_curation_job(
     n_shards: int = 8,
     bench_mod: int = 97,
     min_words: int = 1,
+    eval_set: str | None = None,
 ) -> dict:
     """Run (or resume) a partitioned curation job over a document corpus.
 
@@ -84,6 +118,14 @@ def run_curation_job(
     whitespace-only doc sails through "quality" — the unicode-tail smoke
     caught exactly that. Default 1 drops only zero-word docs; set 50 for
     the Gopher-paper word-count bound.
+
+    ``eval_set`` is the production decontamination shape: a parquet
+    path/dir whose ``text`` column is the held-out benchmark suite. The
+    gram set builds from it in a distributed pass and NO corpus slice is
+    treated as benchmark (``bench_mod`` is ignored — no corpus doc is
+    dropped for being "the bench copy", only for overlapping the external
+    suite). Without it, the in-corpus ``doc_id % bench_mod == 0`` fixture
+    slice stands in, as the tests and synthetic corpora expect.
 
     Returns a summary dict: docs_in / kept / partitions / skipped.
     """
@@ -105,11 +147,13 @@ def run_curation_job(
     # no longer align with routing — previously-admitted hashes would miss
     # and duplicate content would be silently re-admitted. (v2 also marks
     # the 4-byte shard routing, which changed the persisted layout.)
-    # min_words joined the fingerprint in v3 (it changes keep decisions,
-    # so resuming an old output dir under a new floor must refuse).
+    # min_words and the eval-set CONTENT fingerprint joined in v3 (both
+    # change keep decisions, so resuming an old output dir under a new
+    # floor or a different benchmark suite must refuse).
+    eval_fp = "-" if eval_set is None else _eval_set_fingerprint(eval_set)
     cfg_hash = hashlib.md5(
         f"curation-v3|{files_per_partition}|{bench_mod}|{n_shards}"
-        f"|{min_words}".encode()
+        f"|{min_words}|{eval_fp}".encode()
     ).hexdigest()[:12]
 
     header, manifest = _load_curation_manifest(output_dir)
@@ -173,9 +217,12 @@ def run_curation_job(
                 pa.array(ids.astype(np.int64) % bench_mod == 0)
             )
 
-        bench = ray.data.read_parquet(
-            files, columns=["doc_id", "text"]
-        ).map_batches(bench_filter, batch_format="pyarrow")
+        if eval_set is not None:
+            bench = ray.data.read_parquet(eval_set, columns=["text"])
+        else:
+            bench = ray.data.read_parquet(
+                files, columns=["doc_id", "text"]
+            ).map_batches(bench_filter, batch_format="pyarrow")
         grams_ref = ray.put(collect_gram_set(bench, n=3))
 
         def curate(batch: pa.Table, _ref=grams_ref) -> pa.Table:
@@ -198,7 +245,14 @@ def run_curation_job(
                     texts.str.split().str.len().to_numpy(dtype=np.int64)
                 )
                 keep_q &= n_words >= min_words
-            is_bench = ids % bench_mod == 0
+            # External suite: no corpus doc IS the benchmark — only
+            # gram overlap contaminates. Fixture mode: the bench slice
+            # itself is dropped (it is the held-out copy).
+            is_bench = (
+                np.zeros(len(ids), dtype=bool)
+                if eval_set is not None
+                else ids % bench_mod == 0
+            )
             if grams:
                 contam = np.fromiter(
                     (

@@ -43,6 +43,12 @@ def main() -> None:
         default=1,
         help="quality floor on whitespace word count (50 = Gopher bound)",
     )
+    parser.add_argument(
+        "--eval-set",
+        default=None,
+        help="parquet path/dir of the benchmark suite (text column); "
+        "when set, decontamination uses it and --bench-mod is ignored",
+    )
     args = parser.parse_args()
 
     import ray
@@ -61,6 +67,7 @@ def main() -> None:
         n_shards=args.n_shards,
         bench_mod=args.bench_mod,
         min_words=args.min_words,
+        eval_set=args.eval_set,
     )
     summary["wall_sec"] = round(time.perf_counter() - start, 3)
     print(json.dumps(summary))

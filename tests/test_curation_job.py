@@ -203,6 +203,86 @@ class TestCurationJobMinWords:
             )
 
 
+class TestCurationJobExternalEvalSet:
+    def _write_eval(self, tmp_path, text=BENCH):
+        eval_dir = tmp_path / "eval"
+        eval_dir.mkdir(exist_ok=True)
+        pd.DataFrame({"doc_id": [0], "text": [text]}).to_parquet(
+            eval_dir / "suite.parquet"
+        )
+        return str(eval_dir)
+
+    def test_external_suite_decontaminates_without_bench_slice(
+        self, ray_session, tmp_path
+    ):
+        """Production shape: the suite is its own table — CONTAM (gram
+        overlap) is dropped, but doc 0 (the fixture's bench-slice id) is
+        judged like any other doc instead of being dropped as 'the bench
+        copy'. BENCH itself is too short for the repetition thresholds,
+        so the survivor delta vs fixture mode is exactly {3}."""
+        input_dir = _write_corpus(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        summary = run_curation_job(
+            input_dir,
+            out_dir,
+            files_per_partition=1,
+            n_shards=4,
+            eval_set=self._write_eval(tmp_path),
+        )
+        assert summary["docs_in"] == 8
+        # vs fixture mode's [1, 2, 5, 7]: doc 3 (CONTAM) still dropped by
+        # gram overlap; doc 0 (BENCH) dropped only because the 8-word doc
+        # fails the top-2-gram fraction — and is contaminated anyway.
+        out = _read_output(out_dir)
+        assert 3 not in out["doc_id"].tolist()
+        assert out["doc_id"].tolist() == [1, 2, 5, 7]
+
+    def test_changed_eval_set_refused(self, ray_session, tmp_path):
+        """The eval-set CONTENT fingerprint rides the config hash —
+        resuming under a different suite must refuse, not mix
+        decontamination policies across partitions."""
+        input_dir = _write_corpus(tmp_path)
+        out_dir = str(tmp_path / "curated")
+        eval_dir = self._write_eval(tmp_path)
+        run_curation_job(
+            input_dir,
+            out_dir,
+            files_per_partition=1,
+            n_shards=4,
+            eval_set=eval_dir,
+        )
+        self._write_eval(tmp_path, text="a completely different suite")
+        with pytest.raises(ValueError, match="config changed"):
+            run_curation_job(
+                input_dir,
+                out_dir,
+                files_per_partition=1,
+                n_shards=4,
+                eval_set=eval_dir,
+            )
+
+    def test_eval_fingerprint_layout_invariant(self, ray_session, tmp_path):
+        """Same suite content in one file vs three files, different row
+        order -> same fingerprint (content-addressed, not layout)."""
+        from exstruct_ray.stages.curation_job import _eval_set_fingerprint
+
+        a = tmp_path / "eva"
+        b = tmp_path / "evb"
+        a.mkdir()
+        b.mkdir()
+        texts = ["alpha suite row", "beta suite row", "gamma suite row"]
+        pd.DataFrame({"text": texts}).to_parquet(a / "one.parquet")
+        for i, t in enumerate(reversed(texts)):
+            pd.DataFrame({"text": [t]}).to_parquet(b / f"p{i}.parquet")
+        assert _eval_set_fingerprint(str(a)) == _eval_set_fingerprint(
+            str(b)
+        )
+        pd.DataFrame({"text": ["extra"]}).to_parquet(b / "p9.parquet")
+        assert _eval_set_fingerprint(str(a)) != _eval_set_fingerprint(
+            str(b)
+        )
+
+
 class TestCurationJobSafety:
     def test_config_change_refused(self, ray_session, tmp_path):
         input_dir = _write_corpus(tmp_path)
