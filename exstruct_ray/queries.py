@@ -13181,3 +13181,293 @@ ORACLE_SQL["lineitem_bucket_skew"] = """
     LEFT JOIN sizes s ON s.bucket = g.bucket
     ORDER BY bucket
 """
+
+
+def events_value_winsorized(sf_dir: str):
+    """Robust per-type event stats under a corpus-global winsorization
+    clip — the data-QA readout that survives fat-tailed `value` columns
+    where a plain mean is one corrupt row away from useless.
+
+    Clip bounds are the exact global p05/p95 from the two-pass
+    histogram-refine selector (``distributed_quantile_disc`` — no global
+    sort, driver sees one candidate bucket per target). With the bounds
+    broadcast, one partial pass computes per-(batch, type) counts,
+    clip-lo/clip-hi counts, and clipped micro-unit sums; only
+    type-cardinality partials reach the driver. Integer-exact: clipping
+    compares raw doubles (bit-identical on both engines), quantization
+    is round_even micro-units AFTER the clip, and the mean is a single
+    IEEE division of two exact integers — the TF-IDF bit-identity
+    argument. NULL event_type pinned to the '<null>' sentinel on both
+    sides (pandas groupby would silently drop it). Scale: two corpus
+    scans + the quantile selector's histogram passes; nothing
+    corpus-sized ever leaves the workers."""
+    from .ops.sketch import distributed_quantile_disc
+
+    qdf = distributed_quantile_disc(
+        _read(sf_dir, "events", columns=["value"]), "value", [0.05, 0.95]
+    )
+    lo = float(qdf.loc[qdf["quantile"] == 0.05, "value"].iloc[0])
+    hi = float(qdf.loc[qdf["quantile"] == 0.95, "value"].iloc[0])
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "n_clip_lo": pd.Series(dtype="int64"),
+                    "n_clip_hi": pd.Series(dtype="int64"),
+                    "vsum_micro": pd.Series(dtype="int64"),
+                }
+            )
+        v = batch["value"].to_numpy(dtype=np.float64)
+        clipped = np.minimum(np.maximum(v, lo), hi)
+        vm = np.rint(clipped * 1e6).astype(np.int64)
+        tmp = pd.DataFrame(
+            {
+                "event_type": batch["event_type"]
+                .fillna("<null>")
+                .astype("object")
+                .to_numpy(),
+                "n": np.int64(1),
+                "n_clip_lo": (v < lo).astype(np.int64),
+                "n_clip_hi": (v > hi).astype(np.int64),
+                "vsum_micro": vm,
+            }
+        )
+        agg = tmp.groupby("event_type", sort=False, as_index=False).sum()
+        for c in ("n", "n_clip_lo", "n_clip_hi", "vsum_micro"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).sum()
+    for c in ("n", "n_clip_lo", "n_clip_hi"):
+        out[c] = out[c].astype("int64")
+    out["winsorized_mean"] = out.pop("vsum_micro").astype("float64") / (
+        out["n"] * 1000000.0
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ORACLE_SQL["events_value_winsorized"] = """
+    WITH nn AS (SELECT count(*) AS n FROM events),
+    ranked AS (
+      SELECT value AS v, row_number() OVER (ORDER BY value) - 1 AS r
+      FROM events
+    ),
+    bounds AS (
+      SELECT
+        min(CASE WHEN r = greatest(0, CAST(ceil(0.05 * nn.n) AS BIGINT) - 1)
+                 THEN v END) AS lo,
+        min(CASE WHEN r = greatest(0, CAST(ceil(0.95 * nn.n) AS BIGINT) - 1)
+                 THEN v END) AS hi
+      FROM ranked CROSS JOIN nn
+    ),
+    clipped AS (
+      SELECT coalesce(event_type, '<null>') AS event_type,
+             CAST(round_even(least(greatest(value, b.lo), b.hi) * 1000000.0,
+                             0) AS BIGINT) AS vm,
+             CASE WHEN value < b.lo THEN 1 ELSE 0 END AS clo,
+             CASE WHEN value > b.hi THEN 1 ELSE 0 END AS chi
+      FROM events CROSS JOIN bounds b
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(clo) AS BIGINT) AS n_clip_lo,
+           CAST(sum(chi) AS BIGINT) AS n_clip_hi,
+           CAST(sum(vm) AS DOUBLE) / (count(*) * 1000000.0)
+             AS winsorized_mean
+    FROM clipped
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def doc_source_drift_tvd(sf_dir: str):
+    """Per-source unigram-distribution drift: total-variation distance
+    between each source's token distribution and the whole corpus —
+    the mixture-health monitor that flags a crawl source whose content
+    shifted (spam influx, template change, language drift) before the
+    mixture sampler keeps trusting its historical weight.
+
+    Integer-exact permille: TVD = ½ Σ_t |c_st/N_s − c_t/N| is computed
+    as Σ_t |c_st·N − c_t·N_s| in arbitrary-precision ints (the products
+    overflow int64 at corpus scale — the events_hourly_anomaly big-int
+    fold, applied per token bucket), divided ONCE at the end:
+    tvd_permille = 1000·Σ // (2·N_s·N). Tokens a source lacks enter
+    algebraically — Σ_{t∉s} c_t·N_s = N_s·(N − Σ_{t∈s} c_t) — so the
+    engine never builds the source×vocab grid the SQL oracle can afford.
+
+    Scale: pass 1 folds per-source token totals (source-cardinality);
+    pass 2 ships vocabulary-bounded (source, token, count) partials
+    through ONE coarse crc32 token-bucket shuffle (a token lives wholly
+    in one bucket, so in-group corpus counts are exact) and emits
+    sources×buckets partial rows — big-int sums ride as decimal strings.
+    NULL sources are excluded on both sides (the pinned-NULL contract;
+    matching WHERE source IS NOT NULL in the oracle)."""
+    n_buckets = 64
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def totals_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["source"].notna()]
+        if not len(sel):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "n_tok": pd.Series(dtype="int64"),
+                }
+            )
+        toks = sel["text"].fillna("").str.lower().str.findall(r"[^\t\n\f\r ]+")
+        tmp = pd.DataFrame(
+            {
+                "source": sel["source"].astype("object").to_numpy(),
+                "n_tok": toks.str.len().to_numpy(dtype=np.int64),
+            }
+        )
+        agg = tmp.groupby("source", sort=False, as_index=False)["n_tok"].sum()
+        agg["n_tok"] = agg["n_tok"].astype("int64")
+        return agg
+
+    totals = (
+        ds.map_batches(totals_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("source")["n_tok"]
+        .sum()
+    )
+    n_s = {str(s): int(v) for s, v in totals.items()}
+    n_corpus = int(sum(n_s.values()))
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        sel = batch[batch["source"].notna()]
+        cols = {
+            "bucket": pd.Series(dtype="int64"),
+            "source": pd.Series(dtype="object"),
+            "token": pd.Series(dtype="object"),
+            "c": pd.Series(dtype="int64"),
+        }
+        if not len(sel):
+            return pd.DataFrame(cols)
+        toks = (
+            sel.set_index("source")["text"]
+            .fillna("")
+            .str.lower()
+            .str.findall(r"[^\t\n\f\r ]+")
+            .explode()
+            .dropna()
+        )
+        if not len(toks):
+            return pd.DataFrame(cols)
+        counts = (
+            toks.to_frame("token")
+            .groupby(["source", "token"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        counts["c"] = counts["c"].astype("int64")
+        counts["bucket"] = (
+            counts["token"]
+            .map(lambda t: zlib.crc32(t.encode("utf-8")) % n_buckets)
+            .astype("int64")
+        )
+        return counts[["bucket", "source", "token", "c"]]
+
+    def drift_partial(group: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {
+            "source": pd.Series(dtype="object"),
+            "a_sum": pd.Series(dtype="object"),
+            "b_sum": pd.Series(dtype="int64"),
+        }
+        if "token" not in group.columns or not len(group):
+            return pd.DataFrame(out_cols)
+        exact = (
+            group.groupby(["source", "token"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        ct = exact.groupby("token", sort=False)["c"].sum()
+        a_acc: dict[str, int] = {}
+        b_acc: dict[str, int] = {}
+        ct_map = {t: int(v) for t, v in ct.items()}
+        for src, tok, c_st in zip(
+            exact["source"], exact["token"], exact["c"]
+        ):
+            c_t = ct_map[tok]
+            ns = n_s[str(src)]
+            a_acc[src] = a_acc.get(src, 0) + abs(
+                int(c_st) * n_corpus - c_t * ns
+            )
+            b_acc[src] = b_acc.get(src, 0) + c_t
+        return pd.DataFrame(
+            {
+                "source": list(a_acc.keys()),
+                "a_sum": [str(v) for v in a_acc.values()],
+                "b_sum": pd.Series(
+                    [b_acc[s] for s in a_acc.keys()], dtype="int64"
+                ),
+            }
+        )
+
+    parts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(drift_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for src in sorted(n_s):
+        ns = n_s[src]
+        sel = parts[parts["source"] == src] if "source" in parts.columns else parts[:0]
+        a_tot = sum(int(v) for v in sel.get("a_sum", []))
+        b_tot = int(sel["b_sum"].sum()) if len(sel) else 0
+        total = a_tot + ns * (n_corpus - b_tot)
+        denom = 2 * ns * n_corpus
+        rows.append(
+            {
+                "source": src,
+                "n_tokens": ns,
+                "tvd_permille": (1000 * total) // denom if denom else 0,
+            }
+        )
+    out = pd.DataFrame(rows, columns=["source", "n_tokens", "tvd_permille"])
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["tvd_permille"] = out["tvd_permille"].astype("int64")
+    return out
+
+
+ORACLE_SQL["doc_source_drift_tvd"] = """
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents WHERE source IS NOT NULL
+    ),
+    st AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    srct AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+    ct AS (SELECT tok, sum(c) AS c FROM st GROUP BY 1),
+    nn AS (SELECT sum(c) AS n FROM ct),
+    grid AS (
+      SELECT s.source, s.ns, t.tok, coalesce(st.c, 0) AS cst, t.c AS ctot
+      FROM srct s CROSS JOIN ct t
+      LEFT JOIN st ON st.source = s.source AND st.tok = t.tok
+    ),
+    sums AS (
+      SELECT source,
+             sum(abs(CAST(cst AS HUGEINT) * nn.n
+                     - CAST(ctot AS HUGEINT) * CAST(ns AS HUGEINT))) AS tot
+      FROM grid CROSS JOIN nn
+      GROUP BY source
+    )
+    SELECT s.source,
+           CAST(s.ns AS BIGINT) AS n_tokens,
+           CAST(1000 * sums.tot
+                // (2 * CAST(s.ns AS HUGEINT) * nn.n) AS BIGINT)
+             AS tvd_permille
+    FROM srct s JOIN sums USING (source) CROSS JOIN nn
+    ORDER BY s.source
+"""
